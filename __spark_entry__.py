@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps
+every implemented operator from SURVEY.md §2 (+ §2.10 LLM-pipeline ops)
+to a ``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives
+the DuckDB twin for each SQL-expressible query. The catalog itself
+lives in ``pim_etl_spark.catalog`` and is populated by the operator
+modules at import time.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Scan → filter → broadcast join → hash agg → window dedup in one
+    plan (SURVEY §7.2 minimum end-to-end slice).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name", "o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = Window.partitionBy("s_name").orderBy(F.col("revenue").desc(), F.col("o_orderstatus").asc())
+    return (
+        revenue.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_name", "o_orderstatus", "revenue", "n_items")
+        .orderBy("s_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §2.10."""
+    from pim_etl_spark.catalog import get_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each SQL-expressible query; non-SQL ops
+    (engine-specific hashing, Python-stub decode) are intentionally
+    absent and get the driver's rows-only check."""
+    from pim_etl_spark.catalog import get_oracles
+
+    return get_oracles()

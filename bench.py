@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the full catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute) into a noop sink so
+result materialization cost is measured without driver collect noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="pim-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = get_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # keep the bench line parseable on failure
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            print(f"FAILED {name}: {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Deduplication operators over the ``documents`` table (SURVEY §2.10).
+
+Exact dedup shuffles only a 32-byte hash + doc_id (never the text);
+near-dup candidates come from MinHash banding so the pairwise Jaccard
+is computed only inside buckets — the standard shape that scales to
+100 TB because no full cross-join ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+# Normalization shared by all dedup flavors: lowercase + collapse
+# whitespace, so trivially-different copies hash identically.
+def _norm_text(c):
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _tokens(c):
+    return F.split(_norm_text(c), " ")
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY text_hash
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep min doc_id.
+
+    Only (hash, doc_id) crosses the shuffle — at 100 TB the text stays
+    columnar in the scan and is never exchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(_norm_text(F.col("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_a
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity between adjacent doc pairs —
+    the verification kernel used inside near-dup buckets (SURVEY §2.10).
+    Computed with array_intersect/array_union higher-order builtins;
+    linear in pairs, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    a = toks.alias("a")
+    b = toks.select((F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.tok"), F.col("tok_b"))).cast("double")
+        / F.size(F.array_union(F.col("a.tok"), F.col("tok_b"))),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("doc_b"), jac.alias("jaccard"))
+        .orderBy("doc_a")
+    )
+
+
+# --- MinHash + LSH near-duplicate detection (rows-only check) -------------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band → catches jaccard ≳ 0.5 pairs
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature over 3-token shingles.
+
+    xxhash64(shingle, seed_i) min-reduced per seed — all JVM-side
+    (explode → groupBy(doc_id) with min aggregations on hash columns).
+    Deterministic: xxhash64 is a fixed algorithm, seeds are literal.
+    """
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(_tokens(F.col("text"))) - F.lit(2)),
+                lambda i: F.concat_ws(" ", F.slice(_tokens(F.col("text")), i, 3)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    The self-join happens per (band, band_hash) bucket — tiny groups —
+    never across the full corpus.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("minhash_lsh_candidates")  # rows-only: hash seeds are engine-specific
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with verified Jaccard.
+
+    Non-SQL-expressible for the oracle (xxhash64 is Spark-specific);
+    the deterministic pipeline is unit-tested with planted
+    near-duplicates in tests/test_llm_ops.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    verified = (
+        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+                / F.size(F.array_union("tok_a", "tok_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+# --- SimHash (rows-only) ---------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, per-bit majority vote.
+
+    Pure column expressions: bit votes are computed with bitwise ops
+    over the token hash array — no Python in the loop.
+    """
+    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    hashes = F.transform(F.col("tok"), lambda t: F.xxhash64(t))
+    # for each bit b: count tokens with bit set; simhash bit = majority
+    bit_exprs = []
+    for b in range(SIMHASH_BITS):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_exprs.append(
+            F.when(votes * 2 >= F.size(F.col("tok")), F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{b}")
+        )
+    with_bits = toks.select("doc_id", "tok", *bit_exprs)
+    # shiftleft wraps at bit 63 like Java <<, avoiding 1<<63 overflow
+    packed = sum(
+        [F.shiftleft(F.col(f"b{b}").cast("long"), b) for b in range(SIMHASH_BITS)],
+        F.lit(0).cast("long"),
+    )
+    return with_bits.select("doc_id", packed.alias("simhash"))
+
+
+@query("simhash_buckets")  # rows-only: xxhash64 is engine-specific
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup blocking: docs sharing the top-16-bit prefix.
+
+    Returns bucket sizes; pairs inside a bucket are hamming-near
+    candidates. Verified against planted duplicates in pytest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash(docs)
+    return (
+        sim.groupBy(F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bucket")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (SURVEY §2.10).
+
+Brute-force cosine top-k is the correctness baseline (broadcast query
+vector, JVM-side arithmetic, TakeOrdered for the top-k — no global
+sort). The LSH-bucketed variant is the 100 TB path: random-hyperplane
+signatures shrink the candidate set before exact re-scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise-product sum via zip_with + aggregate (all JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(cos, 4) AS cosine
+    FROM scored
+    ORDER BY round(cos, 4) DESC, vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against a fixed query vector.
+
+    The query vector is a 1-row broadcast; scoring is map-side with no
+    shuffle; top-k is TakeOrderedAndProject (per-partition heaps).
+    Ordering key is (rounded cosine, vec_id) so ties are deterministic
+    across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double(F.col("embedding")).alias("qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 4).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+@query("ann_lsh_topk")  # rows-only: hyperplanes derive from xxhash64
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-random-projection LSH prefilter + exact
+    re-scoring of the candidate bucket (SURVEY §2.10 scale path).
+
+    Hyperplane h_j components are pseudo-random ±1 derived from
+    xxhash64(dimension, seed_j) — deterministic, engine-side, no stored
+    model. Candidates = vectors agreeing with the query on ≥ 12 of 16
+    signature bits; exact cosine re-ranks them. Recall vs brute force
+    is asserted in tests/test_llm_ops.py.
+    """
+    n_planes = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
+
+    def signature(vec: Column) -> Column:
+        bits = []
+        for j in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    dims,
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(i, F.lit(j)).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{j}"))
+        return F.array(*bits)
+
+    sig = emb.select("vec_id", "label", "embedding", signature(F.col("embedding")).alias("sig"))
+    qrow = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("sig").alias("qsig"), _as_double(F.col("embedding")).alias("qv")
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("sig"), F.col("qsig"), lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    candidates = (
+        sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrow))
+        .withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= n_planes - 4)
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

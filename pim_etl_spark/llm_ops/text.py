@@ -1,0 +1,136 @@
+"""Text analysis over ``documents`` (SURVEY §2.10): token counting,
+quality scoring, language stats, fingerprinting. All JVM-side column
+expressions — the hot path has zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.functions import token_count
+from pim_etl_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics per language (SURVEY §2.10 text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(tc).alias("total_tokens"),
+            F.round(F.avg(tc), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(tok) AS n_tokens,
+           round(CAST(len(list_filter(tok, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                 / len(tok), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 4) AS distinct_ratio
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features: stopword ratio (fluency proxy) and
+    distinct-token ratio (repetition detector) — the standard pre-train
+    corpus filters, as pure array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(tok).alias("n_tokens"),
+            F.round(stop_hits.cast("double") / F.size(tok), 4).alias("stopword_ratio"),
+            F.round(F.size(F.array_distinct(tok)).cast("double") / F.size(tok), 4).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[1:16], ' ')) AS fingerprint,
+           min(doc_id) AS min_doc_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 ORDER BY fingerprint
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the first-16-token prefix —
+    cheap near-head dedup key (SURVEY §2.10 fingerprinting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(tok, 1, 16)))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("min_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN CAST(len(list_filter(tok, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                       / len(tok) >= 0.1
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM feat
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (SURVEY §2.10): stopword-density n-gram
+    classifier (en vs other) cross-tabbed against the labeled lang —
+    a confusion-matrix query."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ratio = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(tok)
+    predicted = F.when(ratio >= 0.1, "en").otherwise("other")
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )

@@ -1,0 +1,185 @@
+"""Nested-data operators: explode, unpivot, JSON, array building
+(SURVEY §2.7 N1–N7, F11, F15/F16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "explode_name_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    GROUP BY token ORDER BY token
+    """,
+)
+def explode_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split→explode→count — the variants-explode shape (SURVEY N1/F16).
+
+    Generator-style row expansion stays inside whole-stage codegen; at
+    scale the explode multiplies rows before the shuffle, so the
+    aggregation is partial-agg'd map-side first.
+    """
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("token")
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, value FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    ) ORDER BY p_partkey, measure
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack() (SURVEY N6 — the XD Qty1..Qty6
+    price-column unpivot shape)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'size', cast(p_size as double), 'retailprice', p_retailprice) AS (measure, value)"
+            ),
+        )
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + agg (SURVEY F11: json.loads equivalent)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "collect_sorted_event_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array re-nesting with deterministic sort (SURVEY N1 re-nest /
+    F15): collect_set→array_sort keeps the output hashable."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "category_levels_unpivot",
+    oracle="""
+    SELECT o_orderkey, level, name FROM (
+      SELECT o_orderkey, 1 AS level, o_orderpriority AS name FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2 AS level, o_orderstatus FROM orders
+    ) WHERE name IS NOT NULL
+    ORDER BY o_orderkey, level
+    """,
+)
+def category_levels_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level category unpivot (SURVEY N2): columns→(level, name)
+    rows with null filtering, expressed as an inline array of structs
+    exploded — the same plan shape as the reference's
+    product_class/category_level1..3 assembly
+    (etl/transformers/midocean_transformer.py:233-267)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cats = F.array(
+        F.struct(F.lit(1).alias("level"), F.col("o_orderpriority").alias("name")),
+        F.struct(F.lit(2).alias("level"), F.col("o_orderstatus").alias("name")),
+    )
+    return (
+        orders.select("o_orderkey", F.explode(F.filter(cats, lambda c: c["name"].isNotNull())).alias("c"))
+        .select("o_orderkey", F.col("c.level").alias("level"), F.col("c.name").alias("name"))
+        .orderBy("o_orderkey", "level")
+    )
+
+
+@query(
+    "first_element_projection",
+    oracle="""
+    -- l_linenumber is not unique per order in this synthetic data, so
+    -- the "first element" is pinned with a full deterministic sort key
+    SELECT l_orderkey,
+           first_item_price,
+           first_item_partkey,
+           n_items
+    FROM (
+      SELECT l_orderkey,
+             l_extendedprice AS first_item_price,
+             l_partkey AS first_item_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_items,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def first_element_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variants[0]-style first-element summary (SURVEY P7, §7.5
+    fidelity: base price = first variant's price). Single window pass
+    computes both the pick and the sibling count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    wc = Window.partitionBy("l_orderkey")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_items", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_extendedprice").alias("first_item_price"),
+            F.col("l_partkey").alias("first_item_partkey"),
+            "n_items",
+        )
+        .orderBy("l_orderkey")
+    )

@@ -1,0 +1,144 @@
+"""PIM-domain query shapes (SURVEY §2.2 P1–P7, §3.3 catalog stats)
+re-expressed over the synthetic warehouse so the DuckDB oracle can
+check them. The real feed pipeline lives in ``pim_etl_spark.pipeline``
+and is covered by pytest fixtures; these entries prove the same
+operator shapes under the driver's hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark import functions as pf
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "master_projection_synthesis",
+    oracle="""
+    SELECT 'tpch_' || CAST(s_suppkey AS VARCHAR) AS product_id,
+           s_name AS name,
+           CASE WHEN s_acctbal < 0 THEN 'discontinued' ELSE 'active' END AS status,
+           round(coalesce(CASE WHEN s_acctbal > 0 THEN s_acctbal END, 0.0), 2) AS weight_value
+    FROM supplier ORDER BY product_id
+    """,
+)
+def master_projection_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform_product master projection shape (SURVEY P1):
+    id synthesis f"{supplier}_{code}" (F6), status derivation (P4),
+    coalesce fallback (P3/F13) in one select.
+
+    Reference: etl/transformers/midocean_transformer.py:125-188.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        pf.synth_product_id("tpch", F.col("s_suppkey").cast("string")).alias("product_id"),
+        F.col("s_name").alias("name"),
+        F.when(F.col("s_acctbal") < 0, "discontinued").otherwise("active").alias("status"),
+        F.round(
+            F.coalesce(F.when(F.col("s_acctbal") > 0, F.col("s_acctbal")), F.lit(0.0)), 2
+        ).alias("weight_value"),
+    ).orderBy("product_id")
+
+
+@query(
+    "catalog_stats_by_supplier",
+    oracle="""
+    SELECT l_suppkey AS supplier_id,
+           count(*) AS n_products,
+           count(DISTINCT l_partkey) AS n_distinct_parts,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def catalog_stats_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The get_collection_stats aggregate surface (SURVEY A1/A3,
+    etl/loaders/mongodb_loader.py:271-299): per-supplier counts."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("supplier_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.countDistinct("l_partkey").alias("n_distinct_parts"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+@query(
+    "price_validity_filter",
+    oracle="""
+    SELECT l_suppkey AS supplier_id, count(*) AS n_valid,
+           round(min(l_extendedprice), 2) AS min_price
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1999-06-01'
+    GROUP BY l_suppkey ORDER BY supplier_id
+    """,
+)
+def price_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """valid_until-style as-of validity filter with a fixed as-of
+    literal (SURVEY J6, etl/transformers/midocean_transformer.py:344-346)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp_ntz"))
+        .groupBy(F.col("l_suppkey").alias("supplier_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_valid"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+@query(
+    "upsert_merge_dedup",
+    oracle="""
+    -- union of "existing" and "incoming" batches, keep latest per key:
+    -- ReplaceOne-upsert semantics as a window dedup
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate, 0 AS batch_seq
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1000.0, o_orderdate, 1 AS batch_seq
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, batch_seq
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY batch_seq DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    ORDER BY o_orderkey
+    """,
+)
+def upsert_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-as-window-dedup (SURVEY W1/S11): new batch overrides
+    existing rows on the key; exactly the loader's bulk ReplaceOne
+    (etl/loaders/mongodb_loader.py:93-197) without Delta MERGE.
+
+    At scale: the union is partition-local; the only shuffle is the
+    row_number hash partition on the key — bucket the gold table by the
+    key to eliminate it on repeat syncs (SURVEY §4).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    existing = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("batch_seq", F.lit(0))
+    )
+    incoming = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice"), "o_orderdate")
+        .withColumn("batch_seq", F.lit(1))
+    )
+    from pim_etl_spark.pipeline.gold import upsert_latest
+
+    merged = upsert_latest(existing.unionByName(incoming), keys=["o_orderkey"], order_col="batch_seq")
+    return (
+        merged.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_seq")
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,426 @@
+"""Scans, filters, projections, joins, aggregations (SURVEY §2.1–2.4).
+
+Every query is declared with the DataFrame API so Catalyst handles
+predicate pushdown, column pruning and join planning; small dimension
+sides are explicitly broadcast (the Spark-native form of the
+reference's in-memory lookup dicts, etl/extractors/midocean_extractor.py:195-209).
+
+Float aggregates are rounded (sums→2dp, avgs→4dp) so the DuckDB oracle
+hash is insensitive to summation order across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# A-series: aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                 AS sum_qty,
+           round(sum(l_extendedprice), 2)                            AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                 AS avg_qty,
+           round(avg(l_extendedprice), 4)                            AS avg_price,
+           round(avg(l_discount), 4)                                 AS avg_disc,
+           count(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→hash-agg (TPC-H Q1 shape; SURVEY A1/A4).
+
+    Partial (map-side) aggregation + AQE-coalesced final agg: the plan
+    that survives 100 TB because only 6 groups ever cross the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "group_count_by_status",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def group_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo ``$group {_id:'$status', count:{$sum:1}}`` equivalent.
+
+    Reference: etl/loaders/mongodb_loader.py:284-286 (SURVEY A2).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "distinct_rollup_stats",
+    oracle="""
+    SELECT r_name, n_name,
+           count(DISTINCT c_custkey) AS n_customers,
+           round(avg(c_acctbal), 4)  AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def distinct_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + COUNT(DISTINCT): catalog-stats surface (SURVEY §2.4 note).
+
+    Catalyst expands rollup to an expand+agg; distinct-agg is planned as
+    a two-phase partial aggregate — no driver-side loops.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-series: filters / projections
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    ORDER BY o_orderkey
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality + range predicate with narrow projection (SURVEY P8/P9).
+
+    Both predicates and the 4-column ReadSchema reach the parquet scan
+    (verify: .explain shows PushedFilters + pruned ReadSchema).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "supplier_filter_isin",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def supplier_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven subset filter (SURVEY P11): sync-one-or-all as isin."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-series: joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "supplier_lookup_join",
+    oracle="""
+    SELECT s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def supplier_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim broadcast hash join (SURVEY J1).
+
+    The reference builds a SKU→price dict and probes it per row
+    (etl/extractors/midocean_extractor.py:195-209); the Spark-native
+    equivalent is broadcasting the dim so the probe happens map-side
+    with zero shuffle of the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "multi_hop_enrich_join",
+    oracle="""
+    SELECT r_name AS region, count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def multi_hop_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop dimension enrichment, both hops broadcast (SURVEY J2)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .orderBy("region")
+    )
+
+
+# Literal decode table: deliberately omits '5-LOW' so the inner join
+# drops unknown codes — the reference's technique-decode semantics
+# (unknown technique codes are silently dropped,
+# etl/transformers/midocean_transformer.py:396-400).
+PRIORITY_DECODE = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "unspecified"),
+]
+
+
+@query(
+    "priority_decode_join",
+    oracle="""
+    SELECT decoded AS priority, count(*) AS n_orders
+    FROM orders
+    JOIN (VALUES ('1-URGENT','urgent'), ('2-HIGH','high'),
+                 ('3-MEDIUM','medium'), ('4-NOT SPECIFIED','unspecified'))
+         AS m(code, decoded)
+      ON o_orderpriority = m.code
+    GROUP BY decoded ORDER BY decoded
+    """,
+)
+def priority_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code→enum decode via broadcast mapping table (SURVEY J3).
+
+    Inner-join semantics intentionally drop unmapped codes, mirroring
+    the reference's technique mapping which skips unknown codes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mapping = spark.createDataFrame(PRIORITY_DECODE, "code string, decoded string")
+    return (
+        orders.join(F.broadcast(mapping), orders.o_orderpriority == mapping.code, "inner")
+        .groupBy(F.col("decoded").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+# Quantity tiers in the shape of the reference's print-price scales
+# (flat-structure/midocean.json:29-80): pick the tier whose
+# [min_qty, max_qty) band contains the quantity.
+QTY_TIERS = [
+    ("T1", 1, 10, 1.00),
+    ("T2", 10, 25, 0.92),
+    ("T3", 25, 40, 0.85),
+    ("T4", 40, None, 0.80),
+]
+
+
+@query(
+    "qty_tier_range_join",
+    oracle="""
+    SELECT t.tier, count(*) AS n_items,
+           round(sum(l_extendedprice * t.factor), 2) AS tiered_revenue
+    FROM lineitem l
+    JOIN (VALUES ('T1', 1, 10, 1.00), ('T2', 10, 25, 0.92),
+                 ('T3', 25, 40, 0.85), ('T4', 40, NULL, 0.80))
+         AS t(tier, min_qty, max_qty, factor)
+      ON l.l_quantity >= t.min_qty
+     AND (t.max_qty IS NULL OR l.l_quantity < t.max_qty)
+    GROUP BY t.tier ORDER BY t.tier
+    """,
+)
+def qty_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join for quantity-tier resolution (SURVEY J5).
+
+    The tier table is broadcast, so the non-equi predicate is evaluated
+    map-side (BroadcastNestedLoopJoin over 4 rows) — no shuffle, which
+    is the only sane physical plan for a band join at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(QTY_TIERS, "tier string, min_qty int, max_qty int, factor double")
+    cond = (F.col("l_quantity") >= F.col("min_qty")) & (
+        F.col("max_qty").isNull() | (F.col("l_quantity") < F.col("max_qty"))
+    )
+    return (
+        li.join(F.broadcast(tiers), cond)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("factor")), 2).alias("tiered_revenue"),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (retention/cleanup read path, SURVEY S13/S14)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "big_spenders_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+)
+def big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: find-by-related-predicate (SURVEY P10 analogue)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L/U-series: sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap +
+    driver merge of k rows, no global sort (SURVEY §2.5 note)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "nation_set_ops",
+    oracle="""
+    SELECT n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      INTERSECT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+      EXCEPT
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < 0
+    ) ORDER BY n_nationkey
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra (SURVEY §2.5 note)."""
+    cust = load_table(spark, sf_dir, "customer")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    furn = cust.filter(F.col("c_mktsegment") == "FURNITURE").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    neg = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    return auto.intersect(furn).exceptAll(neg.distinct()).orderBy("n_nationkey")
+
+
+@query(
+    "union_multi_source",
+    oracle="""
+    SELECT src, count(*) AS n FROM (
+      SELECT 'orders' AS src, o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'big_orders' AS src, o_custkey FROM orders WHERE o_totalprice > 200000
+    ) GROUP BY src ORDER BY src
+    """,
+)
+def union_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of per-source DataFrames (SURVEY U1/U2): the
+    multi-supplier merge pattern (etl/orchestrator.py:43-80)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("orders").alias("src"), F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 200000).select(
+        F.lit("big_orders").alias("src"), F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).groupBy("src").agg(F.count(F.lit(1)).alias("n")).orderBy("src")

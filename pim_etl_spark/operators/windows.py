@@ -1,0 +1,213 @@
+"""Window functions: dedup, tier-pick, running aggs, sessionization
+(SURVEY §2.5 W1/W2 + streaming-adjacent batch semantics §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key window dedup — the upsert semantics of the
+    reference's MongoDB ReplaceOne loader (etl/loaders/mongodb_loader.py:130-134,
+    SURVEY W1). At scale: one hash shuffle on the key; bucket the gold
+    table on the key to amortize across repeat syncs (SURVEY §4).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "max_qty_item_per_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber AS top_linenumber, l_quantity AS top_quantity
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def max_qty_item_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applicable-tier pick: greatest qualifying row per key (SURVEY W2,
+    the print-price tier resolution shape, flat-structure/midocean.json:29-80)."""
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc(), F.col("l_linenumber").asc())
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("top_linenumber"),
+            F.col("l_quantity").alias("top_quantity"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "running_revenue_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregation (SURVEY §2.5)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "customer_rank_lag_in_nation",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           rank()       OVER w AS bal_rank,
+           dense_rank() OVER w AS bal_dense_rank,
+           round(c_acctbal - lag(c_acctbal, 1, c_acctbal)
+                 OVER w, 2) AS bal_gap_to_prev
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    ORDER BY c_nationkey, bal_rank, c_custkey
+    """,
+)
+def customer_rank_lag_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag in one window pass (SURVEY §2.5)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.round(
+                F.col("c_acctbal") - F.lag("c_acctbal", 1, None).over(w).cast("double"),
+                2,
+            ).alias("bal_gap_to_prev"),
+        )
+        .withColumn("bal_gap_to_prev", F.coalesce(F.col("bal_gap_to_prev"), F.lit(0.0)))
+        .orderBy("c_nationkey", "bal_rank", "c_custkey")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             -- microsecond arithmetic: exact on both engines (second
+             -- granularity counts boundaries in DuckDB but truncates in
+             -- Spark, so sub-second gaps at the threshold would differ)
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of ``session_window`` in Structured Streaming (SURVEY §2.8).
+    """
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ties on ts must have a deterministic order (duplicate timestamps
+    # exist at larger SFs) → event_id tiebreak in the running sum too
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(by_time)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (SURVEY §2.8): identical
+    grouping to ``window(ts, '1 hour')`` in the streaming module."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,69 @@
+"""Gold-layer table maintenance: upsert, delete, retention, backup,
+stats (SURVEY §2.1 S11–S16, §2.4 A1–A3).
+
+The reference loads into MongoDB with bulk ``ReplaceOne`` upserts
+(etl/loaders/mongodb_loader.py:93-197); on Spark-without-Delta the same
+semantics are a union + keep-latest-per-key window dedup, written back
+partition-aware. All functions are pure DataFrame→DataFrame so they
+compose and stay testable without a metastore.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert_latest(
+    unioned: DataFrame, keys: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Keep the highest-``order_col`` row per key — ReplaceOne-upsert
+    semantics (SURVEY W1/S11).
+
+    One hash shuffle on ``keys``; at 100 TB bucket the gold table by the
+    same keys so repeat syncs reuse the partitioning (SURVEY §4).
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return unioned.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def apply_upsert(existing: DataFrame, incoming: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """MERGE INTO equivalent: incoming rows replace matching existing
+    rows, unmatched incoming rows are inserted (S11/S12)."""
+    tagged = existing.withColumn("__src", F.lit(0)).unionByName(incoming.withColumn("__src", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(F.col("__src").desc(), F.col(order_col).desc())
+    return tagged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn", "__src")
+
+
+def delete_by_ids(df: DataFrame, key: str, ids: Sequence) -> DataFrame:
+    """delete_many({key: {$in: ids}}) → anti-filter (SURVEY S13,
+    etl/loaders/mongodb_loader.py:226-245)."""
+    return df.filter(~F.col(key).isin(list(ids)))
+
+
+def cleanup_old(df: DataFrame, supplier_col: str, supplier_id: str, ts_col: str, cutoff) -> DataFrame:
+    """Retention delete: drop rows of one supplier older than cutoff
+    (SURVEY S14, etl/loaders/mongodb_loader.py:320-337)."""
+    doomed = (F.col(supplier_col) == supplier_id) & (F.col(ts_col) < F.lit(cutoff))
+    return df.filter(~doomed)
+
+
+def backup(df: DataFrame, path: str) -> None:
+    """$out-style snapshot copy (SURVEY S15): CTAS to a parquet path."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def collection_stats(df: DataFrame, group_cols: Sequence[str] = ("supplier_id",)) -> DataFrame:
+    """get_collection_stats (SURVEY A1–A3): per-group doc counts."""
+    return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("count")).orderBy(*group_cols)
+
+
+def write_gold(df: DataFrame, path: str, partition_by: Sequence[str] = ("supplier_id",)) -> None:
+    """Write the gold table partitioned by supplier (low-cardinality
+    partition column — SURVEY §4 100 TB note: combine with a date
+    column for real feeds)."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Configured for correctness parity with the DuckDB oracle (UTC session
+time zone, nanos-as-long for the nanosecond-timestamp events table) and
+for scale (AQE with coalescing + skew-join handling, broadcast joins for
+dimension tables). The same builder settings are what we would ship to a
+1000-executor cluster; only ``master`` / shuffle-partition counts change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "pim-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    At 100 TB the same knobs hold: AQE coalesces the statically-sized
+    shuffle down to data-proportional partitions, skew-join splits hot
+    keys, and the 64 MiB advisory partition size keeps reducers within
+    executor memory. ``nanosAsLong`` is required to scan parquet files
+    written with nanosecond timestamps (pandas/arrow default).
+    """
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- correctness / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- shuffle sizing: local default; a real cluster overrides ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)),
+        )
+        # --- python<->jvm transfer is Arrow-batched everywhere ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

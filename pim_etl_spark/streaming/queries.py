@@ -1,0 +1,136 @@
+"""Structured Streaming operators (SURVEY §2.8).
+
+The reference's incremental path is a stub that falls back to full sync
+(etl/base.py:267-273); here it is a real micro-batch pipeline:
+file-source ``readStream`` → event-time window aggregation with a
+watermark → sink. The catalog entry executes the stream with an
+``availableNow`` trigger into a memory sink, so the driver's oracle can
+hash a genuinely stream-computed result.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import _ensure_nanos_conf
+
+# events.parquet physical schema (ts is INT64 nanos under nanosAsLong).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table with the same
+    nanos→timestamp normalization as the batch loader."""
+    _ensure_nanos_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    # Watermarks require TimestampType (not NTZ); with the session tz
+    # pinned to UTC the final NTZ cast in the sink query is lossless.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-hour event-time window with a watermark bound on
+    state (late rows beyond the watermark are dropped, exactly the
+    incremental-sync ``--since`` semantics, etl/orchestrator.py:354-359).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; returns the materialized result table."""
+    name = f"stream_result_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_hourly_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregation, executed for real through the
+    micro-batch engine and hash-checked against the batch oracle —
+    stream/batch consistency is the Structured Streaming contract."""
+    events = stream_events(spark, sf_dir)
+    result = run_stream_to_memory(spark, hourly_windowed_counts(events))
+    return result.orderBy("window_start", "event_type")
+
+
+def incremental_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gold_path: str,
+    keys: list[str],
+    order_col: str,
+    schema: StructType,
+) -> None:
+    """Incremental sync: readStream over a feed directory, per-batch
+    MERGE into the gold table via foreachBatch (SURVEY §2.8 —
+    generator/micro-batch pipeline, etl/base.py:233-245).
+
+    Each micro-batch applies ReplaceOne-upsert semantics with the gold
+    layer's window dedup; exercised in tests/test_streaming.py.
+    """
+    from pim_etl_spark.pipeline.gold import apply_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(gold_path)
+        except Exception:
+            existing = spark.createDataFrame([], batch_df.schema)
+        merged = apply_upsert(existing, batch_df, keys=keys, order_col=order_col)
+        merged.write.mode("overwrite").parquet(gold_path)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
