@@ -15,6 +15,35 @@ from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
 
 
+@query("pim_full_pipeline")  # rows-only: feed fixtures are engine-side
+def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete PIM dataflow (SURVEY §3.1): five feed endpoints →
+    unified nested products → flat gold projection. Runs on the
+    deterministic feed fixtures (FIXTURES.md §B shapes); correctness of
+    every stage is asserted field-by-field in tests/test_pipeline.py.
+    """
+    from pim_etl_spark.pipeline import fixtures, silver
+
+    feeds = fixtures.feed_frames(spark, n_masters=40)
+    unified = silver.transform_products(
+        feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
+        feeds["mo_printprices"], spark,
+    )
+    return unified.select(
+        "product_id",
+        "supplier_id",
+        "status",
+        "is_printable",
+        "base_price",
+        F.size("variants").alias("n_variants"),
+        F.size("categories").alias("n_categories"),
+        F.size("print_positions").alias("n_print_positions_built"),
+        F.size("print_options").alias("n_print_options"),
+        F.col("weight")["value"].alias("weight_value"),
+        "carton_quantity",
+    ).orderBy("product_id")
+
+
 @query(
     "master_projection_synthesis",
     oracle="""

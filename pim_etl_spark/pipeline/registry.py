@@ -1,0 +1,97 @@
+"""Supplier registry (SURVEY §2.9): the extension surface.
+
+Mirrors the reference's ``@etl_component`` decorator + factory dicts
+(etl/base.py:315-385): a supplier plugs in with a dict of feed schemas
+and a transform function returning the unified-product DataFrame. The
+orchestrator (run_sync) loops registered suppliers — P11's
+sync-one-or-all — and unions results tagged by supplier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TransformFn = Callable[[dict[str, DataFrame], SparkSession], DataFrame]
+
+_REGISTRY: dict[str, "SupplierSpec"] = {}
+
+
+@dataclass
+class SupplierSpec:
+    supplier_id: str
+    feed_schemas: dict[str, StructType]
+    transform: TransformFn
+    display_name: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+def register_supplier(spec: SupplierSpec) -> SupplierSpec:
+    if spec.supplier_id in _REGISTRY:
+        raise ValueError(f"supplier {spec.supplier_id!r} already registered")
+    _REGISTRY[spec.supplier_id] = spec
+    return spec
+
+
+def get_supplier(supplier_id: str) -> SupplierSpec:
+    try:
+        return _REGISTRY[supplier_id]
+    except KeyError:
+        raise KeyError(
+            f"no supplier registered as {supplier_id!r}; known: {sorted(_REGISTRY)}"
+        ) from None  # mirrors ETLPipelineFactory's unregistered error (etl/base.py:357-362)
+
+
+def list_suppliers() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def run_sync(
+    spark: SparkSession,
+    feeds_by_supplier: dict[str, dict[str, DataFrame]],
+    supplier_id: str | None = None,
+) -> DataFrame:
+    """Full sync for one supplier or all (etl/orchestrator.py:39-80):
+    transform each supplier's feeds and union the unified outputs."""
+    targets = [supplier_id] if supplier_id else list_suppliers()
+    out: DataFrame | None = None
+    for sid in targets:
+        spec = get_supplier(sid)
+        df = spec.transform(feeds_by_supplier[sid], spark)
+        out = df if out is None else out.unionByName(df)
+    assert out is not None, "no suppliers registered"
+    return out
+
+
+def _register_midocean() -> None:
+    from pim_etl_spark.pipeline import schemas, silver
+
+    def _transform(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+        return silver.transform_products(
+            feeds["mo_products"],
+            feeds["mo_pricelist"],
+            feeds["mo_printdata"],
+            feeds["mo_printprices"],
+            spark,
+        )
+
+    register_supplier(
+        SupplierSpec(
+            supplier_id=silver.SUPPLIER_ID,
+            display_name=silver.SUPPLIER_NAME,
+            feed_schemas={
+                "mo_products": schemas.MO_PRODUCTS,
+                "mo_pricelist": schemas.MO_PRICELIST,
+                "mo_printdata": schemas.MO_PRINTDATA,
+                "mo_printprices": schemas.MO_PRINTPRICES,
+                "mo_stock": schemas.MO_STOCK,
+            },
+            transform=_transform,
+        )
+    )
+
+
+_register_midocean()

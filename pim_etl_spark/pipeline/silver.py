@@ -1,0 +1,298 @@
+"""Silver layer: the supplier transform to the unified product
+(SURVEY §2.2 P1–P7, §2.3 J1–J4, §2.7 N1–N5).
+
+Re-expresses the reference's per-row Python transform
+(etl/transformers/midocean_transformer.py:125-188) as one declarative
+DataFrame pipeline:
+
+- dict lookups → broadcast hash joins (pricelist ⋈ variants on sku,
+  printdata ⋈ products on master_code)
+- per-variant loops → explode → columnar transforms → collect_list
+  re-nest (one shuffle, keyed by master_code)
+- technique-code dict → literal decode table, inner join drops
+  unknown codes (midocean_transformer.py:29-95 semantics)
+- print options attached product-agnostically via a broadcast
+  cross join (midocean_transformer.py:428-475 at :464 — every product
+  carries the full technique pricelist, position="various")
+
+At 100 TB: the only wide shuffle is the re-nest on master_code; all
+side feeds (pricelist/printdata/printprices) are broadcast, and the
+output is written partitioned by supplier_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark import functions as pf
+
+SUPPLIER_ID = "midocean"
+SUPPLIER_NAME = "MidOcean"
+
+# Supplier technique code → canonical technique (shape of the
+# reference's ~60-code mapping, midocean_transformer.py:29-95; unknown
+# codes — e.g. the fixture's "XX" — are dropped by the inner join).
+TECHNIQUE_DECODE = [
+    ("L1", "laser_engraving"),
+    ("S2", "screen_print"),
+    ("E1", "embroidery"),
+    ("D4", "digital_print"),
+    ("P3", "pad_print"),
+    ("T6", "transfer_print"),
+    ("DM", "doming"),
+    ("DB", "debossing"),
+    ("SB", "sublimation"),
+]
+
+
+def technique_decode_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TECHNIQUE_DECODE, "technique_id string, technique string")
+
+
+def parse_pricelist(pricelist_raw: DataFrame) -> DataFrame:
+    """Pricelist feed → typed prices (F1 EU-decimal parse, F7 date)."""
+    return pricelist_raw.select(
+        "sku",
+        pf.parse_eu_decimal("price").alias("amount"),
+        F.col("currency"),
+        F.col("valid_until"),
+    )
+
+
+def parse_printprices(pp_raw: DataFrame) -> DataFrame:
+    """Print-pricelist feed → typed tier rows (F1/F2 parses)."""
+    return pp_raw.select(
+        "technique_id",
+        "description",
+        "pricing_type",
+        pf.parse_eu_decimal("setup").alias("setup_cost"),
+        pf.parse_thousands_int("minimum_quantity").cast("int").alias("min_quantity"),
+        pf.parse_eu_decimal("price").alias("amount"),
+        F.when(F.col("next_price") == "", None)
+        .otherwise(pf.parse_eu_decimal("next_price"))
+        .alias("next_colour_price"),
+        pf.parse_eu_decimal("area_from").alias("area_from"),
+        pf.parse_thousands_int("area_to").cast("double").alias("area_to"),
+        "range_id",
+    )
+
+
+def _variant_images() -> F.Column:
+    """P6: keep image assets only; prettify subtype (F5)."""
+    imgs = F.filter(F.col("v.digital_assets"), lambda a: a["type"] == "image")
+    return F.transform(
+        imgs,
+        lambda a: F.struct(
+            a["url"].alias("url"),
+            a["url_highress"].alias("url_high_res"),
+            a["subtype"].alias("subtype"),
+            pf.prettify_subtype(a["subtype"]).alias("description"),
+        ),
+    )
+
+
+def build_variants(products_raw: DataFrame, pricelist: DataFrame) -> DataFrame:
+    """N1: explode variants, join prices per SKU (J1, broadcast),
+    filter/prettify images (P6), derive status (P4), re-nest.
+
+    Returns (master_code, variants array) — one shuffle on master_code.
+    """
+    exploded = products_raw.select("master_code", F.explode("variants").alias("v"))
+    with_price = exploded.join(F.broadcast(pricelist), exploded["v.sku"] == pricelist["sku"], "left")
+    variant = F.struct(
+        F.col("v.variant_id").alias("variant_id"),
+        F.col("v.sku").alias("sku"),
+        pf.derive_status(F.col("v.discontinued_date"), F.col("v.plc_status_description")).alias("status"),
+        F.col("v.color_code").alias("color_code"),
+        F.col("v.color_description").alias("color_name"),
+        F.col("v.color_group").alias("color_group"),
+        F.col("v.gtin").alias("gtin"),
+        # missing SKU in pricelist ⇒ empty price list (J1 left-join intent)
+        F.when(F.col("amount").isNull(), F.array().cast("array<struct<amount:double,currency:string,price_type:string,min_quantity:int,max_quantity:int,valid_until:string>>"))
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.col("amount").alias("amount"),
+                    F.col("currency").alias("currency"),
+                    F.lit("list").alias("price_type"),
+                    F.lit(1).alias("min_quantity"),
+                    F.lit(None).cast("int").alias("max_quantity"),
+                    F.col("valid_until").alias("valid_until"),
+                )
+            )
+        ).alias("prices"),
+        _variant_images().alias("images"),
+    )
+    return (
+        with_price.select("master_code", variant.alias("variant"))
+        .groupBy("master_code")
+        .agg(F.array_sort(F.collect_list("variant")).alias("variants"))
+    )
+
+
+def build_print_positions(printdata_raw: DataFrame, decode: DataFrame) -> DataFrame:
+    """N4/J2/J3: decode technique codes (unknowns dropped), group into
+    PrintPosition structs per master. Two narrow shuffles on
+    (master_code, position) then master_code; printdata ≪ products so
+    the result joins back broadcast."""
+    decoded = printdata_raw.join(F.broadcast(decode), "technique_id", "inner")
+    per_position = (
+        decoded.groupBy("master_code", "position_id")
+        .agg(
+            F.first("print_position_type").alias("position_type"),
+            F.first("max_print_size_width").alias("max_width"),
+            F.first("max_print_size_height").alias("max_height"),
+            F.first("print_size_unit").alias("size_unit"),
+            F.array_sort(F.collect_set("technique")).alias("techniques"),
+            F.array_sort(F.collect_set("image_blank")).alias("images"),
+        )
+    )
+    position = F.struct(
+        F.col("position_id"),
+        F.col("position_type"),
+        F.col("max_width"),
+        F.col("max_height"),
+        F.col("size_unit"),
+        F.col("techniques"),
+        F.col("images"),
+    )
+    return per_position.groupBy("master_code").agg(
+        F.array_sort(F.collect_list(position)).alias("print_positions")
+    )
+
+
+def build_print_options(printprices: DataFrame, decode: DataFrame) -> DataFrame:
+    """J4/N3: flatten technique→scale tiers into Price rows, re-nest
+    per technique, and collapse to ONE row holding the full options
+    array — broadcast-cross-joined onto every product (the reference
+    attaches the entire technique pricelist product-agnostically,
+    position='various', midocean_transformer.py:464)."""
+    decoded = printprices.join(F.broadcast(decode), "technique_id", "inner")
+    price = F.struct(
+        F.col("amount"),
+        F.lit("GBP").alias("currency"),
+        F.lit("print").alias("price_type"),
+        F.col("min_quantity"),
+        F.lit(None).cast("int").alias("max_quantity"),
+        F.lit(None).cast("string").alias("valid_until"),
+    )
+    tier_cmp = lambda l, r: F.when(  # noqa: E731 — sort tiers by min qty ascending
+        l["min_quantity"] < r["min_quantity"], -1
+    ).when(l["min_quantity"] > r["min_quantity"], 1).otherwise(0)
+    per_technique = (
+        decoded.filter(F.col("area_from") == 0)  # base area range only
+        .groupBy("technique_id", "technique")
+        .agg(
+            F.first("setup_cost").alias("setup_cost"),
+            F.array_sort(F.collect_list(price), tier_cmp).alias("prices"),
+        )
+    )
+    option = F.struct(
+        F.col("technique"),
+        F.col("technique_id"),
+        F.lit("various").alias("position"),
+        F.col("setup_cost"),
+        F.col("prices"),
+    )
+    return per_technique.select(option.alias("option")).groupBy().agg(
+        F.array_sort(F.collect_list("option")).alias("print_options")
+    )
+
+
+def transform_products(
+    products_raw: DataFrame,
+    pricelist_raw: DataFrame,
+    printdata_raw: DataFrame,
+    printprices_raw: DataFrame,
+    spark: SparkSession,
+) -> DataFrame:
+    """The full master projection (P1): raw feeds → unified products."""
+    decode = technique_decode_df(spark)
+    pricelist = parse_pricelist(pricelist_raw)
+    printprices = parse_printprices(printprices_raw)
+
+    variants = build_variants(products_raw, pricelist)
+    positions = build_print_positions(printdata_raw, decode)
+    options = build_print_options(printprices, decode)
+
+    first_var = F.try_element_at(F.col("variants"), F.lit(1))
+
+    # N2: product_class (level 1) + first variant's 3 category levels
+    raw_cats = F.array(
+        F.struct(F.col("product_class").alias("name"), F.lit(1).alias("level")),
+        F.struct(F.col("rv1.category_level1").alias("name"), F.lit(1).alias("level")),
+        F.struct(F.col("rv1.category_level2").alias("name"), F.lit(2).alias("level")),
+        F.struct(F.col("rv1.category_level3").alias("name"), F.lit(3).alias("level")),
+    )
+    categories = F.array_distinct(F.filter(raw_cats, lambda c: c["name"].isNotNull() & (c["name"] != "")))
+
+    dims = F.when(
+        F.col("length").isNull() & F.col("width").isNull() & F.col("height").isNull(),
+        F.lit(None),
+    ).otherwise(
+        F.struct(
+            F.col("length").cast("double").alias("length"),
+            F.col("width").cast("double").alias("width"),
+            F.col("height").cast("double").alias("height"),
+            F.lower(F.coalesce(F.col("length_unit"), F.col("width_unit"), F.col("height_unit"))).alias(
+                "unit"
+            ),
+        )
+    )
+    # P3: gross-weight fallback to net
+    weight = F.when(
+        F.coalesce(F.col("gross_weight"), F.col("net_weight")).isNull(), F.lit(None)
+    ).otherwise(
+        F.struct(
+            F.coalesce(F.col("gross_weight").cast("double"), F.col("net_weight").cast("double")).alias(
+                "value"
+            ),
+            F.coalesce(F.col("gross_weight_unit"), F.col("net_weight_unit")).alias("unit"),
+        )
+    )
+
+    enriched = (
+        products_raw.withColumnRenamed("variants", "raw_variants")
+        .join(variants, "master_code", "left")
+        .join(F.broadcast(positions), "master_code", "left")
+        .crossJoin(F.broadcast(options))
+        # categories come from the first RAW variant (N2); price/image
+        # summaries from the first transformed variant (P7)
+        .withColumn("rv1", F.try_element_at(F.col("raw_variants"), F.lit(1)))
+        .withColumn("v1", F.try_element_at(F.col("variants"), F.lit(1)))
+    )
+
+    all_discontinued = F.forall(F.col("variants"), lambda v: v["status"] == "discontinued")
+
+    return enriched.select(
+        pf.synth_product_id(SUPPLIER_ID, F.col("master_code")).alias("product_id"),
+        F.lit(SUPPLIER_ID).alias("supplier_id"),
+        F.lit(SUPPLIER_NAME).alias("supplier_name"),
+        F.col("master_code").alias("supplier_product_code"),
+        F.col("product_name").alias("name"),
+        F.col("short_description"),
+        F.col("long_description"),
+        F.col("brand"),
+        F.col("material"),
+        F.col("country_of_origin"),
+        F.col("commodity_code").alias("tariff_code"),
+        F.when(all_discontinued, "discontinued").otherwise("active").alias("status"),
+        pf.yes_no_bool("printable").alias("is_printable"),
+        F.col("number_of_print_positions").cast("int").alias("n_print_positions"),
+        dims.alias("dimensions"),
+        weight.alias("weight"),
+        pf.parse_thousands_int("outer_carton_quantity").cast("int").alias("carton_quantity"),
+        # §7.5 fidelity: base price = first variant's first price
+        F.try_element_at(first_var["prices"], F.lit(1))["amount"].alias("base_price"),
+        categories.alias("categories"),
+        F.col("variants"),
+        first_var["images"].alias("main_images"),
+        F.col("print_positions"),
+        F.col("print_options"),
+        F.map_from_arrays(
+            F.array(F.lit("master_id"), F.lit("type_of_products"), F.lit("dimensions_raw")),
+            F.array(F.col("master_id"), F.col("type_of_products"), F.col("dimensions")),
+        ).alias("extra_data"),
+        F.col("timestamp").alias("feed_timestamp"),
+    )

@@ -125,7 +125,10 @@ def incremental_upsert_stream(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            existing = spark.read.parquet(gold_path)
+            # materialize before overwriting the same path (lazy scan of
+            # gold_path + overwrite of gold_path would corrupt); at real
+            # scale this is a snapshot-dir swap or Delta MERGE instead
+            existing = spark.read.parquet(gold_path).localCheckpoint(eager=True)
         except Exception:
             existing = spark.createDataFrame([], batch_df.schema)
         merged = apply_upsert(existing, batch_df, keys=keys, order_col=order_col)

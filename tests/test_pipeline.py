@@ -1,0 +1,188 @@
+"""End-to-end tests of the PIM feed pipeline (bronze → silver → gold)
+on deterministic fixtures (FIXTURES.md §B shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pim_etl_spark.pipeline import fixtures, gold, registry, schemas, silver
+from pim_etl_spark.pipeline.bronze import read_jsonc, with_corrupt_quarantine
+
+
+@pytest.fixture(scope="module")
+def feeds(spark):
+    return fixtures.feed_frames(spark, n_masters=40)
+
+
+@pytest.fixture(scope="module")
+def unified(spark, feeds):
+    df = silver.transform_products(
+        feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
+        feeds["mo_printprices"], spark,
+    ).cache()
+    yield df
+    df.unpersist()
+
+
+def test_unified_shape(unified, feeds):
+    rows = unified.collect()
+    assert len(rows) == feeds["mo_products"].count()  # one row per master
+    assert unified.filter(F.col("product_id").isNull()).count() == 0
+    ids = [r.product_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(i.startswith("midocean_PR") for i in ids)
+
+
+def test_eu_decimal_prices_parsed(unified, feeds):
+    # every variant price must equal the EU-comma feed string parsed
+    feed_prices = {
+        r.sku: float(r.price.replace(",", ".")) for r in feeds["mo_pricelist"].collect()
+    }
+    exploded = unified.select(F.explode("variants").alias("v")).select(
+        "v.sku", F.explode_outer("v.prices").alias("p")
+    )
+    for r in exploded.collect():
+        if r.p is None:
+            assert r.sku not in feed_prices  # missing SKU ⇒ empty price list
+        else:
+            assert r.p.amount == pytest.approx(feed_prices[r.sku])
+            assert r.p.currency == "GBP"
+
+
+def test_variant_status_derivation(unified):
+    # sentinel 2099-12-31 + COLLECTION ⇒ active; real date or
+    # DISCONTINUED plc text ⇒ discontinued (reference P4 logic)
+    variants = unified.select(F.explode("variants").alias("v")).collect()
+    assert {r.v.status for r in variants} == {"active", "discontinued"}
+
+
+def test_image_filter_and_prettify(unified):
+    imgs = unified.select(F.explode("variants").alias("v")).select(
+        F.explode("v.images").alias("i")
+    )
+    rows = imgs.collect()
+    assert rows, "no images survived the filter"
+    # documents/videos are filtered out (P6); subtype prettified (F5)
+    assert all(r.i.url.endswith(".jpg") for r in rows)
+    front = [r for r in rows if r.i.subtype == "item_picture_front"]
+    assert front and front[0].i.description == "Item Picture Front"
+
+
+def test_categories_unpivot(unified):
+    cats = unified.select("product_id", F.explode("categories").alias("c"))
+    levels = {r.c.level for r in cats.collect()}
+    assert levels == {1, 2, 3}
+    # trailing-space category names are preserved as-is (feed fidelity)
+    trailing = cats.filter(F.col("c.name").endswith(" ")).count()
+    assert trailing > 0
+
+
+def test_technique_decode_drops_unknown(unified):
+    techs = (
+        unified.select(F.explode("print_positions").alias("p"))
+        .select(F.explode("p.techniques").alias("t"))
+        .distinct()
+        .collect()
+    )
+    names = {r.t for r in techs}
+    known = {t[1] for t in silver.TECHNIQUE_DECODE}
+    assert names <= known and names  # decoded names only; XX dropped
+
+
+def test_print_options_product_agnostic(unified):
+    # every product carries the same full technique price list (J4)
+    counts = unified.select(F.size("print_options").alias("n")).distinct().collect()
+    assert len(counts) == 1
+    n = counts[0].n
+    # 9 decodable techniques, minus the one with no pricelist rows ("SB"
+    # is in decode but TECHNIQUES[:-1] includes it; "XX" has prices but
+    # no decode) → assert > 0 and tiers sorted ascending
+    assert n > 0
+    opt = unified.select(F.explode("print_options").alias("o")).select("o.*").limit(1).collect()[0]
+    qtys = [p.min_quantity for p in opt.prices]
+    assert qtys == sorted(qtys) and qtys[0] == 1
+
+
+def test_base_price_is_first_variant_first_price(unified):
+    row = unified.filter(F.col("base_price").isNotNull()).select(
+        "base_price", F.element_at(F.element_at("variants", 1)["prices"], 1)["amount"].alias("p0")
+    ).limit(5).collect()
+    assert row and all(r.base_price == r.p0 for r in row)
+
+
+def test_weight_fallback_and_carton_parse(unified, feeds):
+    raw = {r.master_code: r for r in feeds["mo_products"].collect()}
+    got = {
+        r.supplier_product_code: r
+        for r in unified.select("supplier_product_code", "weight", "carton_quantity").collect()
+    }
+    for code, r in raw.items():
+        exp_weight = float(r.gross_weight or r.net_weight)
+        assert got[code].weight.value == pytest.approx(exp_weight)
+        exp_carton = int(r.outer_carton_quantity.replace(".", ""))
+        assert got[code].carton_quantity == exp_carton
+
+
+def test_printable_bool(unified, feeds):
+    raw = {r.master_code: r.printable for r in feeds["mo_products"].collect()}
+    for r in unified.select("supplier_product_code", "is_printable").collect():
+        assert r.is_printable == (raw[r.supplier_product_code].lower() == "yes")
+
+
+def test_registry_sync(spark, feeds, unified):
+    out = registry.run_sync(spark, {"midocean": feeds})
+    assert out.count() == unified.count()
+    with pytest.raises(KeyError, match="no supplier registered"):
+        registry.get_supplier("nope")
+
+
+def test_corrupt_quarantine(spark, feeds):
+    corrupt = spark.createDataFrame(
+        [{"master_code": None, "product_name": "broken", "timestamp": "t"}],
+        schemas.MO_PRODUCTS,
+    )
+    both = feeds["mo_products"].unionByName(corrupt)
+    good, bad = with_corrupt_quarantine(both, required=("master_code", "product_name"))
+    assert bad.count() == 1 and good.count() == feeds["mo_products"].count()
+
+
+def test_jsonc_reader(spark, tmp_path):
+    doc = [
+        "// supplier feed (comment line)",
+        "[",
+        '  {"sku": "A-1", "variant_id": "1", "price": "3,63", "valid_until": "2026-01-31", "currency": "GBP",},',
+        '  {"sku": "B-2", "variant_id": "2", "price": "10,00", "valid_until": "2026-01-31", "currency": "GBP"},',
+        "]",
+    ]
+    p = tmp_path / "feed.jsonc"
+    p.write_text("\n".join(doc))
+    df = read_jsonc(spark, str(p), schemas.MO_PRICELIST)
+    rows = {r.sku: r.price for r in df.collect()}
+    assert rows == {"A-1": "3,63", "B-2": "10,00"}
+
+
+def test_gold_upsert_delete_retention(spark, unified, tmp_path):
+    flat = unified.select("product_id", "supplier_id", "status", "feed_timestamp")
+    updated = flat.withColumn("status", F.lit("discontinued"))
+    merged = gold.apply_upsert(flat, updated.limit(10), keys=["product_id"], order_col="feed_timestamp")
+    assert merged.count() == flat.count()
+    assert merged.filter(F.col("status") == "discontinued").count() >= 10
+
+    fewer = gold.delete_by_ids(flat, "product_id", ["midocean_PR1000"])
+    assert fewer.count() == flat.count() - 1
+
+    kept = gold.cleanup_old(
+        flat.withColumn("updated_at", F.lit("2020-01-01").cast("timestamp_ntz")),
+        "supplier_id", "midocean", "updated_at", "2021-01-01",
+    )
+    assert kept.count() == 0  # all rows older than cutoff for this supplier
+
+    gold.backup(flat, str(tmp_path / "backup.parquet"))
+    assert spark.read.parquet(str(tmp_path / "backup.parquet")).count() == flat.count()
+
+    stats = gold.collection_stats(flat, ["supplier_id"]).collect()
+    assert stats[0]["count"] == flat.count()
