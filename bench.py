@@ -35,6 +35,16 @@ def main() -> None:
     spark = get_spark(app_name="pim-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM/codegen/scan path so the first timed query isn't
+    # charged for session startup
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        try:
+            from pim_etl_spark.sources import load_table
+
+            load_table(spark, SF_DIR, t).count()
+        except Exception:
+            pass
+
     queries = get_queries()
     timings: dict[str, float] = {}
     total = 0.0

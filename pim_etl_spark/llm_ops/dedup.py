@@ -92,22 +92,27 @@ N_HASHES = 32
 N_BANDS = 8  # 4 rows per band → catches jaccard ≳ 0.5 pairs
 
 
+def _shingles(c, k: int = 3):
+    toks = _tokens(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature over 3-token shingles.
 
-    xxhash64(shingle, seed_i) min-reduced per seed — all JVM-side
-    (explode → groupBy(doc_id) with min aggregations on hash columns).
+    explode(shingles) → partial min-agg per seed, map-side combined
+    before the doc_id shuffle, so only (doc_id, 32 longs) rows cross
+    the exchange — never the shingle text. (A fully per-row array_min
+    formulation was tried and is ~40× slower: ProjectCollapse inlines
+    the whole shingle expression tree into every signature column.)
     Deterministic: xxhash64 is a fixed algorithm, seeds are literal.
     """
-    shingled = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(_tokens(F.col("text"))) - F.lit(2)),
-                lambda i: F.concat_ws(" ", F.slice(_tokens(F.col("text")), i, 3)),
-            )
-        ).alias("shingle"),
-    ).distinct()
+    shingled = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
     aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     return shingled.groupBy("doc_id").agg(*aggs)
 
@@ -181,29 +186,38 @@ SIMHASH_BITS = 64
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, per-bit majority vote.
 
-    Pure column expressions: bit votes are computed with bitwise ops
-    over the token hash array — no Python in the loop.
+    Single-pass per row: one ``aggregate`` folds the token hashes into a
+    64-slot vote array (zip_with accumulator), then the votes pack into
+    one long. No shuffle, no repeated traversal per bit.
     """
+    bit_idx = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
     toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
-    hashes = F.transform(F.col("tok"), lambda t: F.xxhash64(t))
-    # for each bit b: count tokens with bit set; simhash bit = majority
-    bit_exprs = []
-    for b in range(SIMHASH_BITS):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        bit_exprs.append(
-            F.when(votes * 2 >= F.size(F.col("tok")), F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{b}")
-        )
-    with_bits = toks.select("doc_id", "tok", *bit_exprs)
-    # shiftleft wraps at bit 63 like Java <<, avoiding 1<<63 overflow
-    packed = sum(
-        [F.shiftleft(F.col(f"b{b}").cast("long"), b) for b in range(SIMHASH_BITS)],
-        F.lit(0).cast("long"),
+    votes = F.aggregate(
+        F.transform(F.col("tok"), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a + F.getbit(h, b).cast("int"),
+        ),
     )
-    return with_bits.select("doc_id", packed.alias("simhash"))
+    with_votes = toks.withColumn("votes", votes)
+    # majority vote per bit → packed long; bit 63's weight is MIN_LONG
+    # (two's complement), sidestepping the 1<<63 literal overflow
+    pow2 = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS - 1)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            F.col("votes"),
+            pow2,
+            lambda v, p: F.when(v * 2 >= F.size(F.col("tok")), p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return with_votes.select("doc_id", packed.alias("simhash"))
 
 
 @query("simhash_buckets")  # rows-only: xxhash64 is engine-specific

@@ -1,0 +1,91 @@
+"""Behavioral tests for the LLM-pipeline operators: planted
+near-duplicates must be found, ANN must agree with brute force, and
+the multimodal stub must expose real plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pim_etl_spark.llm_ops.dedup import lsh_candidate_pairs, minhash_signatures, simhash
+from pim_etl_spark.llm_ops.multimodal import decode_media, documents_as_media, fake_decode
+from pim_etl_spark.llm_ops.similarity import TOP_K
+from pim_etl_spark.sources import load_table
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge join "
+    "streams sorted rows into the hash table and the optimizer prunes "
+    "partitions before the scan starts reading column chunks from disk"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # doc 1 == doc 0 with one word changed (near-dup); doc 2 unrelated
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE.replace("lazy", "sleepy"), "en"),
+        (2, "completely different text about nothing in particular at all " * 4, "en"),
+        (3, BASE, "en"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_minhash_finds_planted_neardups(planted):
+    sigs = minhash_signatures(planted)
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs  # near-dup caught
+    assert (0, 3) in pairs  # exact dup caught
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated not paired
+
+
+def test_simhash_identical_docs_equal(planted):
+    vals = {r.doc_id: r.simhash for r in simhash(planted).collect()}
+    assert vals[0] == vals[3]
+    # near-dup within small hamming distance; unrelated far
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(vals[0], vals[1]) <= 8
+    assert hamming(vals[0], vals[2]) > 8
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+
+    qs = get_queries()
+    exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
+    approx = [r.vec_id for r in qs["ann_lsh_topk"](spark, sf_dir).collect()]
+    # this corpus is near-random (max cosine ≈0.33) so LSH locality is
+    # weak by construction; require overlap well above the random
+    # baseline (TOP_K²/N ≈ 0.2 for N=500)
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"ANN recall too low: {overlap}/{TOP_K}"
+
+
+def test_media_decode_requires_decoder(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError, match="no media codec"):
+        decode_media(media)
+
+
+def test_media_decode_stub_dimensions(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(20)
+    decoded = decode_media(media, decoder=fake_decode).collect()
+    assert decoded
+    for r in decoded:
+        assert 1 <= r.width <= 640 and 1 <= r.height <= 480
+        assert r.media_type in {"image", "audio", "video"}
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, planted):
+    from pim_etl_spark.llm_ops.dedup import _norm_text
+
+    groups = (
+        planted.groupBy(F.md5(_norm_text(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dup_group = [g for g in groups if g.n == 2]
+    assert len(dup_group) == 1 and dup_group[0].keeper == 0
