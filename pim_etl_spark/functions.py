@@ -111,9 +111,13 @@ def dims_from_string(c: Column | str) -> Column:
     that only ship the combined form.
     """
     c = F.col(c) if isinstance(c, str) else c
-    norm = F.upper(F.regexp_replace(c, r"\s+", " "))
-    num = lambda i: parse_eu_decimal(F.regexp_extract(norm, r"^([\d.,]+)\s*X\s*([\d.,]+)\s*X\s*([\d.,]+)", i))  # noqa: E731
-    unit = F.lower(F.regexp_extract(norm, r"([A-Z]+)\s*$", 1))
+    norm = F.upper(F.regexp_replace(c, r"\s+", ""))
+    # leading numeric XxYxZ (or XxY) prefix, split on X; missing parts → null
+    parts = F.split(F.regexp_extract(norm, r"^([\d.,]+(?:X[\d.,]+)*)", 1), "X")
+    num = lambda i: parse_eu_decimal(  # noqa: E731 — '' → null, never an ANSI cast error
+        F.nullif(F.try_element_at(parts, F.lit(i)), F.lit(""))
+    )
+    unit = F.lower(F.regexp_extract(norm, r"([A-Z]+)$", 1))
     return F.struct(
         num(1).alias("length"),
         num(2).alias("width"),

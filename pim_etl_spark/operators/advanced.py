@@ -1,0 +1,275 @@
+"""Second-wave operator coverage: array predicates (P10), pivot,
+cube, as-of resolution (J6), map projections (§7.4 risk 6), sliding
+windows (§2.8), positional explode, permissive casts (N5), and
+statistics aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "exists_array_predicate",
+    oracle="""
+    SELECT l_orderkey, len(qs) AS n_items
+    FROM (SELECT l_orderkey, list(l_quantity) AS qs FROM lineitem GROUP BY l_orderkey)
+    WHERE len(list_filter(qs, q -> q >= 49)) > 0
+    ORDER BY l_orderkey
+    """,
+)
+def exists_array_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate inside an array (SURVEY P10: find products where
+    ``categories.name == X`` — an exists() over an array of structs)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_quantity").alias("qs"))
+        .filter(F.exists(F.col("qs"), lambda q: q >= 49))
+        .select("l_orderkey", F.size("qs").alias("n_items"))
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (keeps the plan to a
+    single aggregation pass — no second scan to discover pivot values,
+    which matters when the fact table is 100 TB)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("priority")
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 note): 2^n grouping combos in
+    one pass via Catalyst's Expand."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "asof_last_event_before_cutoff",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def asof_last_event_before_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of resolution (SURVEY J6): latest row per key before a fixed
+    point in time — the price-validity / stock-arrival pattern. The
+    filter prunes before the window, and WindowGroupLimit keeps only
+    one candidate per key ahead of the shuffle."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "map_build_and_project",
+    oracle="""
+    -- the oracle computes the projections directly; the Spark side
+    -- builds a MapType column and projects element_at (SURVEY §7.4
+    -- risk 6: maps are exposed via scalar projections for hashing)
+    SELECT source,
+           count(*) FILTER (WHERE lang = 'en') AS n_en,
+           count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def map_build_and_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build lang→count maps per source (F15 map_from_entries shape,
+    the multilingual-map model of unified.jsonc:25-33), then project
+    scalar lookups out of the map."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    maps = per_lang.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("lang_counts")
+    )
+    return maps.select(
+        "source",
+        F.coalesce(F.element_at(F.col("lang_counts"), "en"), F.lit(0)).alias("n_en"),
+        F.coalesce(F.element_at(F.col("lang_counts"), "fr"), F.lit(0)).alias("n_fr"),
+        F.size("lang_counts").cast("long").alias("n_langs"),
+    ).orderBy("source")
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    -- 1-hour windows sliding every 30 minutes: each event lands in 2
+    SELECT ws AS window_start, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT unnest([
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+             ]) AS ws, value
+      FROM events
+    )
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows in batch form (SURVEY §2.8):
+    ``window(ts, '1 hour', '30 minutes')`` — each event contributes to
+    two overlapping windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    SELECT pos, count(*) AS n, min(token) AS first_token
+    FROM (
+      SELECT unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
+      FROM (SELECT string_split(p_name, ' ') AS toks FROM part)
+    )
+    GROUP BY pos ORDER BY pos
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF-equivalent surface, SURVEY §2.9):
+    token position statistics via posexplode."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(F.posexplode(F.split(F.col("p_name"), " ")).alias("pos0", "token"))
+        .select((F.col("pos0") + 1).cast("long").alias("pos"), "token")
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("token").alias("first_token"))
+        .orderBy("pos")
+    )
+
+
+@query(
+    "try_cast_permissive",
+    oracle="""
+    -- mixed numeric/garbage strings: TRY_CAST nulls the garbage
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum(CASE WHEN TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS n_bad,
+           sum(TRY_CAST(mixed AS BIGINT)) AS total_parsed
+    FROM (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
+                  ELSE CAST(o_orderkey AS VARCHAR) END AS mixed
+      FROM orders
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def try_cast_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive parsing with error quarantine accounting (SURVEY N5:
+    skip bad record, count error — etl/base.py:121-133) as try_cast +
+    null-side accounting; no row-at-a-time control flow."""
+    orders = load_table(spark, sf_dir, "orders")
+    mixed = F.when(F.col("o_orderkey") % 5 == 0, F.lit("N/A")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    parsed = mixed.try_cast("bigint")
+    return (
+        orders.select("o_orderstatus", parsed.alias("parsed"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0)).alias("n_bad"),
+            F.sum("parsed").alias("total_parsed"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(quantile_cont(l_discount, 0.5), 6) AS median_discount
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / correlation / interpolated
+    median (both engines use linear-interpolation quantiles)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.percentile("l_discount", 0.5), 6).alias("median_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("approx_distinct_counts")  # rows-only: HLL sketches differ per engine
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the catalog-stats scale path —
+    sketch implementations differ across engines so this is checked
+    rows-only; the exact twin is in catalog_stats_by_supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -54,14 +54,18 @@ def run_sync(
     feeds_by_supplier: dict[str, dict[str, DataFrame]],
     supplier_id: str | None = None,
 ) -> DataFrame:
-    """Full sync for one supplier or all (etl/orchestrator.py:39-80):
-    transform each supplier's feeds and union the unified outputs."""
-    targets = [supplier_id] if supplier_id else list_suppliers()
+    """Full sync for one supplier or all configured (etl/orchestrator.py:39-80):
+    transform each supplier's landed feeds and union the unified
+    outputs. "All" means all suppliers with feeds provided, mirroring
+    the reference's configured-supplier loop."""
+    targets = [supplier_id] if supplier_id else sorted(feeds_by_supplier)
     out: DataFrame | None = None
     for sid in targets:
         spec = get_supplier(sid)
         df = spec.transform(feeds_by_supplier[sid], spark)
-        out = df if out is None else out.unionByName(df)
+        # suppliers emit different unified-column subsets; missing
+        # columns null-fill (the pydantic Optional-field semantics)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     assert out is not None, "no suppliers registered"
     return out
 
@@ -95,3 +99,7 @@ def _register_midocean() -> None:
 
 
 _register_midocean()
+
+# additional supplier dialects register themselves on import (safe
+# circular import: suppliers.py only needs the symbols defined above)
+from pim_etl_spark.pipeline import suppliers  # noqa: E402,F401

@@ -1,0 +1,282 @@
+"""Additional supplier transforms (SURVEY §2.9 registry breadth).
+
+The reference implements one supplier (MidOcean) and documents eight
+more as annotated feed shapes (sample data/ + flat-structure/ +
+unified.jsonc field mappings). Three representative dialects are built
+here, each exercising a distinct operator family the MidOcean path
+doesn't:
+
+- **Laltex**: "£1.54" money strings (F18) and MinQuantity/MaxQuantity
+  string bands with "N/A" open ends → typed tier ranges (J5 shape).
+  Shapes: flat-structure/laltex.json:12-73.
+- **XD**: wide Qty1..Qty6 / ItemPriceNet_Qty1..6 price columns →
+  unpivoted tier rows (N6 stack), comma-separated image list (F16).
+  Shapes: sample data/XD Sample Data.jsonc:68,104-124.
+- **Keramikos**: ProductSpecifications key/value rows → attribute map
+  (N7 map_from_entries); (QuantityFrom, NumberOfColours, UnitPrice)
+  long-form print grid. Shapes: flat-structure/keramikos.json:7-55.
+
+Each produces the same unified-product column family as the MidOcean
+silver transform, so gold-layer ops compose across suppliers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from pim_etl_spark import functions as pf
+from pim_etl_spark.pipeline.registry import SupplierSpec, register_supplier
+
+
+def _s(name: str) -> StructField:
+    return StructField(name, StringType(), True)
+
+
+# ---------------------------------------------------------------------------
+# Laltex
+# ---------------------------------------------------------------------------
+
+LALTEX_PRODUCTS = StructType(
+    [
+        _s("ProductCode"),
+        _s("ProductName"),
+        _s("Description"),
+        _s("Brand"),
+        _s("CountryOfOrigin"),
+        _s("Price"),  # "£1.54"
+        _s("CartonQty"),
+        _s("Weight"),  # "0.12 kg"
+    ]
+)
+
+LALTEX_PRICEBANDS = StructType(
+    [_s("ProductCode"), _s("MinQuantity"), _s("MaxQuantity"), _s("UnitPrice")]
+)
+
+
+def transform_laltex(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """£-money parse + N/A-banded quantity tiers → unified products."""
+    products = feeds["laltex_products"]
+    bands = feeds["laltex_pricebands"].select(
+        "ProductCode",
+        pf.parse_thousands_int("MinQuantity").cast("int").alias("min_quantity"),
+        # "N/A" marks the open top band → null max (J5 open range)
+        F.when(F.upper(F.col("MaxQuantity")) == "N/A", None)
+        .otherwise(pf.parse_thousands_int("MaxQuantity").cast("int"))
+        .alias("max_quantity"),
+        pf.parse_money("UnitPrice").alias("amount"),
+    )
+    tier = F.struct(
+        F.col("amount"),
+        F.lit("GBP").alias("currency"),
+        F.lit("volume").alias("price_type"),
+        F.col("min_quantity"),
+        F.col("max_quantity"),
+        F.lit(None).cast("string").alias("valid_until"),
+    )
+    cmp = lambda l, r: F.when(l["min_quantity"] < r["min_quantity"], -1).when(  # noqa: E731
+        l["min_quantity"] > r["min_quantity"], 1
+    ).otherwise(0)
+    tiers = bands.groupBy("ProductCode").agg(
+        F.array_sort(F.collect_list(tier), cmp).alias("prices")
+    )
+    return (
+        products.join(tiers, "ProductCode", "left")
+        .select(
+            pf.synth_product_id("laltex", F.col("ProductCode")).alias("product_id"),
+            F.lit("laltex").alias("supplier_id"),
+            F.lit("Laltex").alias("supplier_name"),
+            F.col("ProductCode").alias("supplier_product_code"),
+            F.col("ProductName").alias("name"),
+            F.col("Description").alias("short_description"),
+            F.col("Brand").alias("brand"),
+            F.col("CountryOfOrigin").alias("country_of_origin"),
+            F.lit("active").alias("status"),
+            pf.parse_money("Price").alias("base_price"),
+            F.coalesce(F.col("prices"), F.array().cast(tiers.schema["prices"].dataType)).alias(
+                "price_tiers"
+            ),
+            pf.parse_thousands_int("CartonQty").cast("int").alias("carton_quantity"),
+            F.regexp_extract(F.col("Weight"), r"([\d.]+)", 1).cast("double").alias("weight_value"),
+            F.regexp_extract(F.col("Weight"), r"[\d.]+\s*(\w+)", 1).alias("weight_unit"),
+        )
+    )
+
+
+def resolve_tier_price(unified_laltex: DataFrame, quantity: int) -> DataFrame:
+    """Price-at-quantity resolution over banded tiers (SURVEY J5):
+    pick the tier whose [min, max] contains q — array filter, no join."""
+    q = F.lit(quantity)
+    applicable = F.filter(
+        F.col("price_tiers"),
+        lambda t: (t["min_quantity"] <= q)
+        & (t["max_quantity"].isNull() | (q <= t["max_quantity"])),
+    )
+    return unified_laltex.select(
+        "product_id",
+        F.lit(quantity).alias("quantity"),
+        F.try_element_at(applicable, F.lit(-1))["amount"].alias("unit_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XD Connects
+# ---------------------------------------------------------------------------
+
+XD_PRODUCTS = StructType(
+    [
+        _s("ItemCode"),
+        _s("ItemName"),
+        _s("LongDescription"),
+        _s("BrandName"),
+        _s("AllImages"),  # comma-separated URL list
+        _s("ItemDataLastModifiedDateTime"),
+        *[_s(f"Qty{i}") for i in range(1, 7)],
+        *[_s(f"ItemPriceNet_Qty{i}") for i in range(1, 7)],
+    ]
+)
+
+
+def transform_xd(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Wide Qty1..6 price columns → long tier rows (N6 unpivot) and a
+    comma-split image array (F16)."""
+    xd = feeds["xd_products"]
+    stack_expr = "stack(6, " + ", ".join(
+        f"Qty{i}, ItemPriceNet_Qty{i}" for i in range(1, 7)
+    ) + ") AS (qty_str, price_str)"
+    tiers_long = (
+        xd.select("ItemCode", F.expr(stack_expr))
+        .filter(F.col("qty_str").isNotNull() & (F.col("qty_str") != ""))
+        .select(
+            "ItemCode",
+            pf.parse_thousands_int("qty_str").cast("int").alias("min_quantity"),
+            pf.parse_eu_decimal("price_str").alias("amount"),
+        )
+    )
+    tier = F.struct(
+        F.col("amount"),
+        F.lit("EUR").alias("currency"),
+        F.lit("volume").alias("price_type"),
+        F.col("min_quantity"),
+        F.lit(None).cast("int").alias("max_quantity"),
+        F.lit(None).cast("string").alias("valid_until"),
+    )
+    cmp = lambda l, r: F.when(l["min_quantity"] < r["min_quantity"], -1).when(  # noqa: E731
+        l["min_quantity"] > r["min_quantity"], 1
+    ).otherwise(0)
+    tiers = tiers_long.groupBy("ItemCode").agg(F.array_sort(F.collect_list(tier), cmp).alias("price_tiers"))
+    return (
+        xd.join(tiers, "ItemCode", "left")
+        .select(
+            pf.synth_product_id("xd", F.col("ItemCode")).alias("product_id"),
+            F.lit("xd").alias("supplier_id"),
+            F.lit("XD Connects").alias("supplier_name"),
+            F.col("ItemCode").alias("supplier_product_code"),
+            F.col("ItemName").alias("name"),
+            F.col("LongDescription").alias("long_description"),
+            F.col("BrandName").alias("brand"),
+            F.lit("active").alias("status"),
+            F.split(F.col("AllImages"), r",\s*").alias("image_urls"),
+            F.col("price_tiers"),
+            F.try_element_at(F.col("price_tiers"), F.lit(1))["amount"].alias("base_price"),
+            F.to_timestamp(F.col("ItemDataLastModifiedDateTime")).alias("modified_at"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keramikos
+# ---------------------------------------------------------------------------
+
+SPEC_ROW = StructType([_s("SpecificationText"), _s("SpecificationValue")])
+
+KERAMIKOS_PRODUCTS = StructType(
+    [
+        _s("Code"),
+        _s("Name"),
+        _s("Material"),
+        _s("DimensionsText"),  # "185 x 70mm"
+        StructField("ProductSpecifications", ArrayType(SPEC_ROW), True),
+    ]
+)
+
+KERAMIKOS_PRINTGRID = StructType(
+    [_s("Code"), _s("QuantityFrom"), _s("NumberOfColours"), _s("UnitPrice")]
+)
+
+
+def transform_keramikos(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Spec rows → attribute map (N7), dimension-string parse (F17),
+    (qty, colours) print grid → nested tiers."""
+    km = feeds["keramikos_products"]
+    grid = feeds["keramikos_printgrid"].select(
+        "Code",
+        pf.parse_thousands_int("QuantityFrom").cast("int").alias("min_quantity"),
+        F.col("NumberOfColours").cast("int").alias("n_colours"),
+        pf.parse_eu_decimal("UnitPrice").alias("amount"),
+    )
+    cell = F.struct(F.col("min_quantity"), F.col("n_colours"), F.col("amount"))
+    cmp = lambda l, r: (  # noqa: E731 — (qty, colours) lexicographic
+        F.when(l["min_quantity"] < r["min_quantity"], -1)
+        .when(l["min_quantity"] > r["min_quantity"], 1)
+        .when(l["n_colours"] < r["n_colours"], -1)
+        .when(l["n_colours"] > r["n_colours"], 1)
+        .otherwise(0)
+    )
+    grids = grid.groupBy("Code").agg(F.array_sort(F.collect_list(cell), cmp).alias("print_grid"))
+    spec_map = F.map_from_entries(
+        F.transform(
+            F.col("ProductSpecifications"),
+            lambda s: F.struct(s["SpecificationText"], s["SpecificationValue"]),
+        )
+    )
+    dims = pf.dims_from_string(
+        F.regexp_replace(F.col("DimensionsText"), r"(?i)\s*x\s*", "X")
+    )
+    return (
+        km.join(grids, "Code", "left")
+        .select(
+            pf.synth_product_id("keramikos", F.col("Code")).alias("product_id"),
+            F.lit("keramikos").alias("supplier_id"),
+            F.lit("Keramikos").alias("supplier_name"),
+            F.col("Code").alias("supplier_product_code"),
+            F.col("Name").alias("name"),
+            F.col("Material").alias("material"),
+            F.lit("active").alias("status"),
+            spec_map.alias("extra_data"),
+            dims.alias("dimensions"),
+            F.col("print_grid"),
+        )
+    )
+
+
+def _register_all() -> None:
+    register_supplier(
+        SupplierSpec(
+            supplier_id="laltex",
+            display_name="Laltex",
+            feed_schemas={"laltex_products": LALTEX_PRODUCTS, "laltex_pricebands": LALTEX_PRICEBANDS},
+            transform=transform_laltex,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="xd",
+            display_name="XD Connects",
+            feed_schemas={"xd_products": XD_PRODUCTS},
+            transform=transform_xd,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="keramikos",
+            display_name="Keramikos",
+            feed_schemas={"keramikos_products": KERAMIKOS_PRODUCTS, "keramikos_printgrid": KERAMIKOS_PRINTGRID},
+            transform=transform_keramikos,
+        )
+    )
+
+
+_register_all()

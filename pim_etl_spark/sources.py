@@ -58,8 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos → microsecond timestamp_ntz (truncating, like DuckDB's
         # TIMESTAMP_NS::TIMESTAMP cast), with session tz pinned to UTC
         # the TimestampType→NTZ cast is deterministic.
+        # integer division — double division loses µs precision at
+        # 1e18-scale nanos (the mantissa can't hold 19 digits)
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

@@ -49,9 +49,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Watermarks require TimestampType (not NTZ); with the session tz
     # pinned to UTC the final NTZ cast in the sink query is lossless.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

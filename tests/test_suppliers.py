@@ -1,0 +1,105 @@
+"""Cross-supplier transform tests (Laltex / XD / Keramikos dialects)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pim_etl_spark.pipeline import suppliers
+from pim_etl_spark.pipeline.registry import get_supplier, list_suppliers
+
+
+@pytest.fixture(scope="module")
+def laltex_feeds(spark):
+    products = spark.createDataFrame(
+        [
+            ("LT100", "Mug", "A mug", "BrandL", "GB", "£2.30", "48", "0.35 kg"),
+            ("LT200", "Pen", "A pen", "BrandL", "CN", "£0.45", "1.000", "0.01 kg"),
+        ],
+        suppliers.LALTEX_PRODUCTS,
+    )
+    bands = spark.createDataFrame(
+        [
+            ("LT100", "1", "49", "£2.30"),
+            ("LT100", "50", "249", "£1.98"),
+            ("LT100", "250", "N/A", "£1.54"),
+            ("LT200", "1", "N/A", "£0.45"),
+        ],
+        suppliers.LALTEX_PRICEBANDS,
+    )
+    return {"laltex_products": products, "laltex_pricebands": bands}
+
+
+def test_laltex_money_and_bands(spark, laltex_feeds):
+    out = suppliers.transform_laltex(laltex_feeds, spark)
+    rows = {r.supplier_product_code: r for r in out.collect()}
+    assert rows["LT100"].base_price == pytest.approx(2.30)
+    assert rows["LT200"].carton_quantity == 1000  # thousands-dotted
+    tiers = rows["LT100"].price_tiers
+    assert [t.min_quantity for t in tiers] == [1, 50, 250]
+    assert tiers[-1].max_quantity is None  # "N/A" open band
+    assert tiers[1].amount == pytest.approx(1.98)
+    assert rows["LT100"].weight_value == pytest.approx(0.35)
+    assert rows["LT100"].weight_unit == "kg"
+
+
+def test_laltex_tier_resolution(spark, laltex_feeds):
+    out = suppliers.transform_laltex(laltex_feeds, spark)
+    at_100 = {r.product_id: r.unit_price for r in suppliers.resolve_tier_price(out, 100).collect()}
+    assert at_100["laltex_LT100"] == pytest.approx(1.98)
+    at_1000 = {r.product_id: r.unit_price for r in suppliers.resolve_tier_price(out, 1000).collect()}
+    assert at_1000["laltex_LT100"] == pytest.approx(1.54)  # open top band
+
+
+def test_xd_unpivot(spark):
+    row = {
+        "ItemCode": "XD1", "ItemName": "Bottle", "LongDescription": "desc",
+        "BrandName": "XDB", "AllImages": "https://a/1.jpg, https://a/2.jpg,https://a/3.jpg",
+        "ItemDataLastModifiedDateTime": "2025-02-03 10:00:00",
+        "Qty1": "50", "ItemPriceNet_Qty1": "4,90",
+        "Qty2": "100", "ItemPriceNet_Qty2": "4,40",
+        "Qty3": "250", "ItemPriceNet_Qty3": "3,90",
+        "Qty4": None, "ItemPriceNet_Qty4": None,
+        "Qty5": None, "ItemPriceNet_Qty5": None,
+        "Qty6": None, "ItemPriceNet_Qty6": None,
+    }
+    feeds = {"xd_products": spark.createDataFrame([row], suppliers.XD_PRODUCTS)}
+    out = suppliers.transform_xd(feeds, spark).collect()[0]
+    assert [t.min_quantity for t in out.price_tiers] == [50, 100, 250]  # empty cols dropped
+    assert out.base_price == pytest.approx(4.90)
+    assert out.image_urls == ["https://a/1.jpg", "https://a/2.jpg", "https://a/3.jpg"]
+    assert str(out.modified_at).startswith("2025-02-03 10:00")
+
+
+def test_keramikos_spec_map_and_dims(spark):
+    products = spark.createDataFrame(
+        [
+            (
+                "KM9",
+                "Ceramic mug",
+                "Ceramic",
+                "185 x 70mm",
+                [("Capacity", "300ml"), ("Dishwasher safe", "Yes")],
+            )
+        ],
+        suppliers.KERAMIKOS_PRODUCTS,
+    )
+    grid = spark.createDataFrame(
+        [("KM9", "100", "1", "0,80"), ("KM9", "100", "2", "1,10"), ("KM9", "500", "1", "0,60")],
+        suppliers.KERAMIKOS_PRINTGRID,
+    )
+    out = suppliers.transform_keramikos(
+        {"keramikos_products": products, "keramikos_printgrid": grid}, spark
+    ).collect()[0]
+    assert out.extra_data == {"Capacity": "300ml", "Dishwasher safe": "Yes"}
+    assert out.dimensions.length == pytest.approx(185.0)
+    assert out.dimensions.width == pytest.approx(70.0)
+    assert out.dimensions.height is None  # 2-component dimension string
+    assert out.dimensions.unit == "mm"
+    assert [(c.min_quantity, c.n_colours) for c in out.print_grid] == [(100, 1), (100, 2), (500, 1)]
+
+
+def test_all_suppliers_registered():
+    assert set(list_suppliers()) >= {"midocean", "laltex", "xd", "keramikos"}
+    assert get_supplier("xd").display_name == "XD Connects"
