@@ -81,6 +81,45 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    -- embedding-cosine near-dup kernel over adjacent id pairs (the
+    -- verification step that runs inside LSH buckets at scale)
+    WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))),
+             4) AS cosine
+    FROM dv a JOIN dv b ON b.vec_id = a.vec_id + 1
+    ORDER BY vec_a
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring (SURVEY §2.10): exact cosine
+    between candidate pairs — here adjacent ids, at scale the pairs
+    emitted by an LSH bucket join. JVM-side zip_with arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.select((F.col("vec_id") - 1).alias("join_id"), F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("a.vec_id") == F.col("join_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("vec_b"),
+            F.round(cosine(F.col("a.e"), F.col("eb")), 4).alias("cosine"),
+        )
+        .orderBy("vec_a")
+    )
+
+
 N_PLANES = 16
 _PLANE_SEED = 1337
 

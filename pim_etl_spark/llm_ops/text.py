@@ -103,6 +103,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_token_counts",
+    oracle="""
+    -- BPE-ish pre-tokenization: word / number / punctuation pieces
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS total_pieces,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))), 4) AS avg_pieces,
+           sum(len(text) - len(replace(text, ' ', ''))) AS total_spaces
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (SURVEY §2.10: whitespace + a
+    BPE-ish regex): pre-tokenizer pieces (letter runs / digit runs /
+    single punctuation) counted per doc — the cost model for LLM
+    training-data budgeting, computed with regexp_extract_all in the
+    scan, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    piece_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit(piece_re), 0))
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(pieces).alias("total_pieces"),
+            F.round(F.avg(pieces), 4).alias("avg_pieces"),
+            F.sum(spaces).alias("total_spaces"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "lang_id_heuristic",
     oracle="""
     WITH feat AS (

@@ -1,0 +1,160 @@
+"""Pipeline orchestrator CLI (SURVEY §3.1/§3.3).
+
+Mirrors the reference's entry point (etl/orchestrator.py:314-395):
+
+    python -m pim_etl_spark.orchestrator --action sync [--supplier X]
+        --feeds-dir DIR --gold PATH
+    python -m pim_etl_spark.orchestrator --action incremental --since DATE ...
+    python -m pim_etl_spark.orchestrator --action status --gold PATH
+    python -m pim_etl_spark.orchestrator --action validate --feeds-dir DIR
+
+Feeds are landed files under ``<feeds-dir>/<supplier>/<feed>.parquet``
+(or ``.json``/``.jsonc``). ``sync`` transforms and upserts into the
+gold table partitioned by supplier; ``status`` runs the catalog-stats
+aggregations (A1–A3); ``validate`` checks feed presence/readability —
+a metadata probe, NOT the reference's full-extract connection check
+(etl/base.py:82-93, an O(dataset) validation replicated in intent
+only). Results print as an ETLResult-style summary (etl/base.py:22-44).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.pipeline import registry
+from pim_etl_spark.pipeline.bronze import read_feed
+from pim_etl_spark.pipeline.gold import apply_upsert
+
+
+def load_supplier_feeds(spark: SparkSession, feeds_dir: str, supplier_id: str) -> dict[str, DataFrame]:
+    spec = registry.get_supplier(supplier_id)
+    feeds = {}
+    base = os.path.join(feeds_dir, supplier_id)
+    for feed_name, schema in spec.feed_schemas.items():
+        for ext in (".parquet", ".json", ".jsonc"):
+            path = os.path.join(base, feed_name + ext)
+            if os.path.exists(path):
+                feeds[feed_name] = read_feed(spark, path, schema)
+                break
+        else:
+            raise FileNotFoundError(f"feed {feed_name} for {supplier_id} not found under {base}")
+    return feeds
+
+
+def run_sync(
+    spark: SparkSession,
+    feeds_dir: str,
+    gold_path: str,
+    supplier_id: str | None = None,
+    since: str | None = None,
+) -> dict:
+    """Full or incremental sync → upsert into gold (ReplaceOne
+    semantics via window dedup), ETLResult-style summary out."""
+    t0 = time.time()
+    targets = [supplier_id] if supplier_id else [
+        s for s in registry.list_suppliers() if os.path.isdir(os.path.join(feeds_dir, s))
+    ]
+    feeds_by_supplier = {s: load_supplier_feeds(spark, feeds_dir, s) for s in targets}
+    unified = registry.run_sync(spark, feeds_by_supplier)
+    unified = unified.withColumn("last_sync", F.current_timestamp())
+    if since:
+        # incremental: only products whose feed timestamp moved past
+        # the cutoff (etl/orchestrator.py:354-359 --since semantics)
+        ts = F.coalesce(
+            F.to_timestamp(F.col("feed_timestamp")),
+            F.col("modified_at") if "modified_at" in unified.columns else F.lit(None).cast("timestamp"),
+        )
+        unified = unified.filter(ts >= F.lit(since).cast("timestamp"))
+
+    try:
+        existing = spark.read.parquet(gold_path).localCheckpoint(eager=True)
+        merged = apply_upsert(existing, unified, keys=["product_id"], order_col="last_sync")
+    except Exception:
+        merged = unified
+    n_before = merged.count()
+    merged.write.mode("overwrite").partitionBy("supplier_id").parquet(gold_path)
+    per_supplier = {
+        r["supplier_id"]: r["n"]
+        for r in spark.read.parquet(gold_path).groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "status": "success",
+        "action": "incremental" if since else "sync",
+        "suppliers": targets,
+        "products_in_gold": n_before,
+        "per_supplier": per_supplier,
+        "duration_sec": round(time.time() - t0, 2),
+    }
+
+
+def run_status(spark: SparkSession, gold_path: str) -> dict:
+    """Catalog stats (SURVEY A1–A3, etl/loaders/mongodb_loader.py:271-299)."""
+    gold = spark.read.parquet(gold_path)
+    by_supplier = {
+        r["supplier_id"]: r["n"]
+        for r in gold.groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_status = {
+        r["status"]: r["n"] for r in gold.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "total_products": gold.count(),
+        "by_supplier": by_supplier,
+        "by_status": by_status,
+    }
+
+
+def run_validate(spark: SparkSession, feeds_dir: str) -> dict:
+    """Connection/feed validation (etl/orchestrator.py:125-142): every
+    registered supplier with a landed directory must expose all feeds."""
+    results = {}
+    for sid in registry.list_suppliers():
+        base = os.path.join(feeds_dir, sid)
+        if not os.path.isdir(base):
+            results[sid] = "not-landed"
+            continue
+        try:
+            feeds = load_supplier_feeds(spark, feeds_dir, sid)
+            # metadata-only probe: schema resolves, file is readable
+            for df in feeds.values():
+                _ = df.schema
+            results[sid] = "ok"
+        except Exception as exc:
+            results[sid] = f"error: {exc}"
+    return {"validation": results}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="PIM ETL orchestrator (PySpark)")
+    parser.add_argument("--action", choices=["sync", "incremental", "status", "validate"], default="sync")
+    parser.add_argument("--supplier", default=None)
+    parser.add_argument("--feeds-dir", default="feeds")
+    parser.add_argument("--gold", default="gold/products.parquet")
+    parser.add_argument("--since", default=None, help="YYYY-MM-DD cutoff for incremental")
+    args = parser.parse_args(argv)
+
+    from pim_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pim-etl-{args.action}")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.action in ("sync", "incremental"):
+        out = run_sync(
+            spark, args.feeds_dir, args.gold, args.supplier,
+            since=args.since if args.action == "incremental" else None,
+        )
+    elif args.action == "status":
+        out = run_status(spark, args.gold)
+    else:
+        out = run_validate(spark, args.feeds_dir)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operators (SURVEY §2.8).
+
+The reference's stock feed carries per-SKU quantity snapshots with a
+``modified_at`` stamp (sample data stock endpoint; FIXTURES.md §B6) and
+its incremental path is stubbed. Here the real thing:
+
+- ``latest_per_key_stream``: keep-latest-per-key across micro-batches
+  with ``applyInPandasWithState`` — bounded state (one row per key),
+  update-mode emission of keys that changed in the batch. This is the
+  MongoDB-upsert semantics as a continuous operator.
+- ``sessionized_events_stream``: native ``session_window`` aggregation
+  with a watermark (30-min gap), the streaming twin of the batch
+  gaps-and-islands query.
+
+State size at 100 TB: one (key → latest row) entry per live SKU, not
+per event — the state store scales with catalog size, not stream
+volume; the watermark bounds session state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STOCK_STATE_SCHEMA = StructType(
+    [
+        StructField("modified_at", TimestampType(), True),
+        StructField("qty", LongType(), True),
+    ]
+)
+
+STOCK_OUT_SCHEMA = StructType(
+    [
+        StructField("sku", StringType(), True),
+        StructField("qty", LongType(), True),
+        StructField("modified_at", TimestampType(), True),
+    ]
+)
+
+
+def _latest_stock_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into (latest modified_at, qty) per SKU and
+    emit the key's current latest row when it changes."""
+    best_ts, best_qty = state.get if state.exists else (None, None)
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        idx = pdf["modified_at"].idxmax()
+        ts = pdf.loc[idx, "modified_at"]
+        if best_ts is None or ts > best_ts:
+            best_ts, best_qty = ts, int(pdf.loc[idx, "qty"])
+            changed = True
+    if changed:
+        state.update((best_ts, best_qty))
+        yield pd.DataFrame({"sku": [key[0]], "qty": [best_qty], "modified_at": [best_ts]})
+
+
+def latest_per_key_stream(stock_stream: DataFrame) -> DataFrame:
+    """Continuous keep-latest-per-SKU (upsert-as-a-stream).
+
+    Input columns: sku string, qty long, modified_at timestamp.
+    """
+    return stock_stream.groupBy("sku").applyInPandasWithState(
+        _latest_stock_fn,
+        outputStructType=STOCK_OUT_SCHEMA,
+        stateStructType=STOCK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionized_events_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
+    """Native session windows over the event stream: sessions close
+    after ``gap`` of inactivity; state is dropped past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

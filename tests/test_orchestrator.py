@@ -1,0 +1,48 @@
+"""Orchestrator CLI flow tests: land feeds → sync → status → validate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pim_etl_spark.orchestrator import load_supplier_feeds, run_status, run_sync, run_validate
+from pim_etl_spark.pipeline import fixtures
+
+
+@pytest.fixture(scope="module")
+def landed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("feeds")
+    modir = root / "midocean"
+    modir.mkdir()
+    for name, df in fixtures.feed_frames(spark, n_masters=12).items():
+        df.write.mode("overwrite").parquet(str(modir / f"{name}.parquet"))
+    return str(root)
+
+
+def test_sync_and_status(spark, landed, tmp_path):
+    gold = str(tmp_path / "gold.parquet")
+    result = run_sync(spark, landed, gold, supplier_id="midocean")
+    assert result["status"] == "success"
+    assert result["products_in_gold"] == 12
+    assert result["per_supplier"] == {"midocean": 12}
+
+    status = run_status(spark, gold)
+    assert status["total_products"] == 12
+    assert status["by_supplier"] == {"midocean": 12}
+    assert set(status["by_status"]) <= {"active", "discontinued"}
+
+    # re-sync is idempotent under upsert (ReplaceOne semantics)
+    result2 = run_sync(spark, landed, gold, supplier_id="midocean")
+    assert result2["products_in_gold"] == 12
+
+
+def test_validate(spark, landed):
+    out = run_validate(spark, landed)["validation"]
+    assert out["midocean"] == "ok"
+    assert out["laltex"] == "not-landed"
+
+
+def test_missing_feed_errors(spark, tmp_path):
+    bad = tmp_path / "feeds" / "midocean"
+    bad.mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="mo_products"):
+        load_supplier_feeds(spark, str(tmp_path / "feeds"), "midocean")
