@@ -46,6 +46,38 @@ def read_feed(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def flatten_printprice_document(nested: DataFrame) -> DataFrame:
+    """Triple-nested print-pricelist flatten (SURVEY N3): the feed's
+    ``techniques[] → var_costs[] → scales[]`` document becomes one row
+    per (technique, range, scale) — the MO_PRINTPRICES shape — via
+    chained explodes (reference flattens with three nested loops,
+    etl/transformers/midocean_transformer.py:444-460).
+
+    Expected input schema (one row per feed document):
+      techniques: array<struct<technique_id, description, pricing_type,
+        setup, setup_repeat, next_colour_cost_indicator,
+        var_costs: array<struct<range_id, area_from, area_to,
+          scales: array<struct<minimum_quantity, price, next_price>>>>>>
+    """
+    t = nested.select(F.explode("techniques").alias("t"))
+    v = t.select("t", F.explode("t.var_costs").alias("v"))
+    s = v.select("t", "v", F.explode("v.scales").alias("s"))
+    return s.select(
+        F.col("t.technique_id").alias("technique_id"),
+        F.col("t.description").alias("description"),
+        F.col("t.pricing_type").alias("pricing_type"),
+        F.col("t.setup").alias("setup"),
+        F.col("t.setup_repeat").alias("setup_repeat"),
+        F.col("t.next_colour_cost_indicator").alias("next_colour_cost_indicator"),
+        F.col("v.range_id").alias("range_id"),
+        F.col("v.area_from").alias("area_from"),
+        F.col("v.area_to").alias("area_to"),
+        F.col("s.minimum_quantity").alias("minimum_quantity"),
+        F.col("s.price").alias("price"),
+        F.col("s.next_price").alias("next_price"),
+    )
+
+
 def with_corrupt_quarantine(
     df: DataFrame, required: tuple[str, ...]
 ) -> tuple[DataFrame, DataFrame]:

@@ -186,3 +186,93 @@ def test_gold_upsert_delete_retention(spark, unified, tmp_path):
 
     stats = gold.collection_stats(flat, ["supplier_id"]).collect()
     assert stats[0]["count"] == flat.count()
+
+
+def test_triple_nested_flatten(spark):
+    """N3: techniques[] -> var_costs[] -> scales[] chained explode
+    yields the flat printprice shape, round-trippable into the silver
+    parser."""
+    from pim_etl_spark.pipeline.bronze import flatten_printprice_document
+
+    doc = json.dumps(
+        {
+            "techniques": [
+                {
+                    "technique_id": "L1",
+                    "description": "Laser",
+                    "pricing_type": "AreaRange",
+                    "setup": "16,00",
+                    "setup_repeat": "8,00",
+                    "next_colour_cost_indicator": "false",
+                    "var_costs": [
+                        {
+                            "range_id": "A",
+                            "area_from": "0",
+                            "area_to": "25",
+                            "scales": [
+                                {"minimum_quantity": "1", "price": "1,79", "next_price": ""},
+                                {"minimum_quantity": "1.000", "price": "0,99", "next_price": ""},
+                            ],
+                        },
+                        {
+                            "range_id": "B",
+                            "area_from": "25",
+                            "area_to": "999.999",
+                            "scales": [
+                                {"minimum_quantity": "1", "price": "2,49", "next_price": ""}
+                            ],
+                        },
+                    ],
+                }
+            ]
+        }
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    s = lambda n: StructField(n, StringType(), True)  # noqa: E731
+    nested_schema = StructType(
+        [
+            StructField(
+                "techniques",
+                ArrayType(
+                    StructType(
+                        [
+                            s("technique_id"), s("description"), s("pricing_type"),
+                            s("setup"), s("setup_repeat"), s("next_colour_cost_indicator"),
+                            StructField(
+                                "var_costs",
+                                ArrayType(
+                                    StructType(
+                                        [
+                                            s("range_id"), s("area_from"), s("area_to"),
+                                            StructField(
+                                                "scales",
+                                                ArrayType(
+                                                    StructType(
+                                                        [s("minimum_quantity"), s("price"), s("next_price")]
+                                                    )
+                                                ),
+                                            ),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    nested = spark.createDataFrame([(doc,)], "value string").select(
+        F.from_json("value", nested_schema).alias("d")
+    ).select("d.*")
+    flat = flatten_printprice_document(nested)
+    rows = flat.collect()
+    assert len(rows) == 3  # 2 scales in range A + 1 in range B
+    parsed = silver.parse_printprices(flat).collect()
+    by_qty = {(r.range_id, r.min_quantity): r.amount for r in parsed}
+    assert by_qty[("A", 1)] == pytest.approx(1.79)
+    assert by_qty[("A", 1000)] == pytest.approx(0.99)  # "1.000" thousands-dot
+    assert by_qty[("B", 1)] == pytest.approx(2.49)
+    assert {r.setup_cost for r in parsed} == {16.0}

@@ -1,0 +1,78 @@
+"""Scale-oriented features: bucketed gold tables, SQL-over-views API,
+partitioned writes, and plan-shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pim_etl_spark.sources import register_views
+
+
+def test_sql_api_over_views(spark, sf_dir):
+    """spark.sql over registered views — the SQL half of the API
+    surface (SURVEY §1.1: every catalog query is equally expressible
+    via spark.sql)."""
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT o_orderstatus AS status, count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+        """
+    ).collect()
+    assert [r.status for r in out] == ["F", "O", "P"]
+    joined = spark.sql(
+        """
+        SELECT r_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
+    assert joined.count() == 5
+
+
+def test_bucketed_gold_upsert_avoids_exchange(spark, sf_dir, tmp_path):
+    """Bucket the gold table by the upsert key (SURVEY §4: shuffle-free
+    repeat syncs): scanning a bucketed table for a window over the
+    bucket key needs no Exchange."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS gold_orders_bucketed")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(tmp_path / "gold_orders"))  # external table
+        .saveAsTable("gold_orders_bucketed")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc())
+    deduped = (
+        spark.table("gold_orders_bucketed")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(o_custkey" not in plan, (
+        "bucketed scan should feed the window without a shuffle:\n" + plan[:2000]
+    )
+    assert deduped.count() > 0
+
+
+def test_partitioned_gold_prunes(spark, tmp_path):
+    """Supplier-partitioned gold: a supplier filter prunes partitions
+    at planning time (SURVEY §4 partition pruning)."""
+    df = spark.createDataFrame(
+        [("p1", "midocean", 1.0), ("p2", "laltex", 2.0)],
+        "product_id string, supplier_id string, base_price double",
+    )
+    path = str(tmp_path / "gold")
+    df.write.mode("overwrite").partitionBy("supplier_id").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("supplier_id") == "midocean")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert scan.count() == 1
+    assert "PartitionFilters: [isnotnull(supplier_id" in plan or "supplier_id=midocean" in plan.replace(
+        "#", ""
+    ), plan[:1500]
