@@ -93,12 +93,23 @@ N_BANDS = 8  # 4 rows per band → catches jaccard ≳ 0.5 pairs
 
 
 def _shingles(c, k: int = 3):
+    """3-token shingles via shifted-array zip: tok[i] ⊕ tok[i+1] ⊕
+    tok[i+2]. Built from THREE whole-array slices, not a slice per
+    position — a per-index ``slice(toks, i, k)`` lambda makes Catalyst
+    (ProjectCollapse) re-evaluate the token-split expression for every
+    shingle, turning the build O(tokens²) per document."""
+    assert k == 3, "shifted-zip shingling is specialized to k=3"
     toks = _tokens(c)
+    n = F.size(toks)
+    z = F.arrays_zip(
+        toks.alias("t0"),
+        F.slice(toks, 2, n).alias("t1"),
+        F.slice(toks, 3, n).alias("t2"),
+    )
+    full = F.filter(z, lambda x: x["t2"].isNotNull())
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+        F.when(n < k, F.array(F.concat_ws(" ", toks)))  # short doc → one shingle
+        .otherwise(F.transform(full, lambda x: F.concat_ws(" ", x["t0"], x["t1"], x["t2"])))
     )
 
 
