@@ -77,8 +77,20 @@ def run_sync(
         merged = apply_upsert(existing, unified, keys=["product_id"], order_col="last_sync")
     except Exception:
         merged = unified
-    n_before = merged.count()
+
+    # ETLResult counters (SURVEY A4, etl/base.py:236-237) measured
+    # inside the write job itself via Observation — no second scan
+    from pyspark.sql import Observation
+
+    obs = Observation("etl_metrics")
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
+    )
     merged.write.mode("overwrite").partitionBy("supplier_id").parquet(gold_path)
+    metrics = obs.get
+    n_before = metrics["processed"]
     per_supplier = {
         r["supplier_id"]: r["n"]
         for r in spark.read.parquet(gold_path).groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -88,6 +100,7 @@ def run_sync(
         "action": "incremental" if since else "sync",
         "suppliers": targets,
         "products_in_gold": n_before,
+        "error_count": int(metrics["null_keys"] or 0),
         "per_supplier": per_supplier,
         "duration_sec": round(time.time() - t0, 2),
     }
