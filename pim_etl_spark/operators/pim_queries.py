@@ -44,6 +44,27 @@ def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("product_id")
 
 
+@query("pim_multi_supplier_sync")  # rows-only: feed fixtures are engine-side
+def pim_multi_supplier_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-registry sync (SURVEY §3.1 / U2): all four supplier
+    dialects transform and union into one gold-shaped output — the
+    multi-supplier merge the reference's orchestrator loops
+    (etl/orchestrator.py:43-80), with hetero-schema null-filling."""
+    from pim_etl_spark.pipeline import fixtures, registry
+
+    feeds = fixtures.all_supplier_feeds(spark, n_masters=20)
+    unified = registry.run_sync(spark, feeds)
+    return (
+        unified.groupBy("supplier_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.count("base_price").alias("n_with_base_price"),
+            F.round(F.sum(F.coalesce(F.col("base_price"), F.lit(0.0))), 2).alias("base_price_total"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
 @query(
     "master_projection_synthesis",
     oracle="""

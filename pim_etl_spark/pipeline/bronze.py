@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, StructField, StructType
 
 
 def read_jsonc(spark: SparkSession, path: str, schema: StructType, element_array: bool = True) -> DataFrame:
@@ -76,6 +76,29 @@ def flatten_printprice_document(nested: DataFrame) -> DataFrame:
         F.col("s.price").alias("price"),
         F.col("s.next_price").alias("next_price"),
     )
+
+
+def read_json_lines_permissive(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Line-delimited JSON with PERMISSIVE corrupt-record capture
+    (SURVEY §4: per-record error quarantine as a reader feature):
+    malformed lines land in ``_corrupt_record`` instead of failing the
+    batch; split downstream with ``with_corrupt_quarantine`` semantics.
+    """
+    from pyspark.sql.types import StringType as _S
+
+    schema_with_corrupt = StructType(
+        [*schema.fields, StructField("_corrupt_record", _S(), True)]
+    )
+    df = (
+        spark.read.schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark refuses corrupt-column-only queries on the raw scan
+    # (SPARK-23824-style restriction) — cache the parsed batch; at
+    # 100 TB land the parsed output to bronze parquet instead.
+    return df.cache()
 
 
 def with_corrupt_quarantine(

@@ -202,9 +202,87 @@ FEED_SCHEMAS = {
 }
 
 
+def build_other_supplier_rows():
+    """Small deterministic feeds for the Laltex / XD / Keramikos
+    dialects (FIXTURES.md §B8 breadth rows)."""
+    laltex_products = [
+        (f"LT{100 + i}", f"Laltex item {i}", f"desc {i}", "BrandL",
+         ["GB", "CN"][i % 2], f"£{1 + i * 0.25:.2f}", str(10 * (i + 1)), f"{0.1 * (i + 1):.2f} kg")
+        for i in range(6)
+    ]
+    laltex_bands = []
+    for i in range(6):
+        code = f"LT{100 + i}"
+        laltex_bands += [
+            (code, "1", "49", f"£{2 + i * 0.25:.2f}"),
+            (code, "50", "249", f"£{1.5 + i * 0.25:.2f}"),
+            (code, "250", "N/A", f"£{1 + i * 0.25:.2f}"),
+        ]
+    xd_products = []
+    for i in range(6):
+        row = {
+            "ItemCode": f"XD{200 + i}", "ItemName": f"XD item {i}",
+            "LongDescription": f"xd desc {i}", "BrandName": "XDB",
+            "AllImages": ", ".join(f"https://x/{i}/{j}.jpg" for j in range(3)),
+            "ItemDataLastModifiedDateTime": f"2025-02-{1 + i:02d} 10:00:00",
+        }
+        qtys = [50, 100, 250, 500, 1000, 2500]
+        for j in range(6):
+            filled = j < 3 + i % 4
+            row[f"Qty{j + 1}"] = str(qtys[j]) if filled else None
+            row[f"ItemPriceNet_Qty{j + 1}"] = f"{5 - j * 0.5:.2f}".replace(".", ",") if filled else None
+        xd_products.append(row)
+    keramikos_products = [
+        (f"KM{300 + i}", f"Ceramic {i}", "Ceramic", f"{180 + i} x {60 + i}mm",
+         [("Capacity", f"{250 + 50 * i}ml"), ("Dishwasher safe", ["Yes", "No"][i % 2])])
+        for i in range(5)
+    ]
+    keramikos_grid = []
+    for i in range(5):
+        code = f"KM{300 + i}"
+        for q in ("100", "500"):
+            for c in ("1", "2"):
+                keramikos_grid.append((code, q, c, f"{1 + int(q) / 1000 + int(c) * 0.3:.2f}".replace(".", ",")))
+    return {
+        "laltex": {"laltex_products": laltex_products, "laltex_pricebands": laltex_bands},
+        "xd": {"xd_products": xd_products},
+        "keramikos": {"keramikos_products": keramikos_products, "keramikos_printgrid": keramikos_grid},
+    }
+
+
+def all_supplier_feeds(spark: SparkSession, n_masters: int = 40) -> dict[str, dict[str, DataFrame]]:
+    """Feeds for every registered supplier (midocean + dialects)."""
+    from pim_etl_spark.pipeline import suppliers as sup
+
+    schemas_by_supplier = {
+        "laltex": {"laltex_products": sup.LALTEX_PRODUCTS, "laltex_pricebands": sup.LALTEX_PRICEBANDS},
+        "xd": {"xd_products": sup.XD_PRODUCTS},
+        "keramikos": {
+            "keramikos_products": sup.KERAMIKOS_PRODUCTS,
+            "keramikos_printgrid": sup.KERAMIKOS_PRINTGRID,
+        },
+    }
+    out = {"midocean": feed_frames(spark, n_masters)}
+    rows = build_other_supplier_rows()
+    for sid, feed_rows in rows.items():
+        out[sid] = {
+            name: spark.createDataFrame(data, schemas_by_supplier[sid][name])
+            for name, data in feed_rows.items()
+        }
+    return out
+
+
+_FRAME_CACHE: dict[tuple[int, int], dict[str, DataFrame]] = {}
+
+
 def feed_frames(spark: SparkSession, n_masters: int = 40) -> dict[str, DataFrame]:
-    rows = build_feed_rows(n_masters)
-    return {name: spark.createDataFrame(rows[name], FEED_SCHEMAS[name]) for name in rows}
+    key = (id(spark), n_masters)
+    if key not in _FRAME_CACHE:
+        rows = build_feed_rows(n_masters)
+        _FRAME_CACHE[key] = {
+            name: spark.createDataFrame(rows[name], FEED_SCHEMAS[name]) for name in rows
+        }
+    return _FRAME_CACHE[key]
 
 
 def write_feeds(spark: SparkSession, out_dir: str, n_masters: int = 40) -> dict[str, str]:

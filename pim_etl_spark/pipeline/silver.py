@@ -200,6 +200,58 @@ def build_print_options(printprices: DataFrame, decode: DataFrame) -> DataFrame:
     )
 
 
+def parse_stock(stock_raw: DataFrame) -> DataFrame:
+    """Stock feed → typed per-SKU stock rows (SURVEY S9 — the
+    reference declares the stock source but its generator is dead
+    code, etl/extractors/midocean_extractor.py:59-63; the feed shape
+    exists and is built here for real)."""
+    return stock_raw.select(
+        "sku",
+        F.col("qty").alias("quantity"),
+        pf.parse_feed_date("first_arrival_date").alias("first_arrival_date"),
+        F.col("first_arrival_qty"),
+        pf.parse_feed_date("next_arrival_date").alias("next_arrival_date"),
+        F.col("next_arrival_qty"),
+        F.to_timestamp(F.col("modified_at")).alias("stock_modified_at"),
+    )
+
+
+def attach_stock(unified: DataFrame, stock: DataFrame) -> DataFrame:
+    """Attach per-SKU StockInfo to each variant (the unified schema's
+    stock struct, schemas/unified_product_schema.py StockInfo):
+    explode variants → broadcast join stock on sku → re-nest.
+
+    One shuffle on product_id for the re-nest; stock is broadcast.
+    """
+    exploded = unified.select("product_id", F.explode("variants").alias("v"))
+    joined = exploded.join(F.broadcast(stock), exploded["v.sku"] == stock["sku"], "left")
+    with_stock = joined.select(
+        "product_id",
+        F.col("v").withField(
+            "stock",
+            F.when(
+                F.col("quantity").isNull(), F.lit(None)
+            ).otherwise(
+                F.struct(
+                    F.col("quantity"),
+                    F.col("first_arrival_date"),
+                    F.col("first_arrival_qty"),
+                    F.col("next_arrival_date"),
+                    F.col("next_arrival_qty"),
+                )
+            ),
+        ).alias("v"),
+    )
+    renested = with_stock.groupBy("product_id").agg(
+        F.array_sort(F.collect_list("v")).alias("variants_with_stock")
+    )
+    return (
+        unified.join(renested, "product_id", "left")
+        .drop("variants")
+        .withColumnRenamed("variants_with_stock", "variants")
+    )
+
+
 def transform_products(
     products_raw: DataFrame,
     pricelist_raw: DataFrame,
@@ -271,6 +323,9 @@ def transform_products(
         F.lit(SUPPLIER_NAME).alias("supplier_name"),
         F.col("master_code").alias("supplier_product_code"),
         F.col("product_name").alias("name"),
+        # multilingual name map (unified.jsonc:25-33 {lang: string}
+        # model; the feed is single-language so one entry seeds it)
+        F.create_map(F.lit("en"), F.col("product_name")).alias("names"),
         F.col("short_description"),
         F.col("long_description"),
         F.col("brand"),

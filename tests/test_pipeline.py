@@ -276,3 +276,42 @@ def test_triple_nested_flatten(spark):
     assert by_qty[("A", 1000)] == pytest.approx(0.99)  # "1.000" thousands-dot
     assert by_qty[("B", 1)] == pytest.approx(2.49)
     assert {r.setup_cost for r in parsed} == {16.0}
+
+
+def test_stock_attach(spark, feeds, unified):
+    stock = silver.parse_stock(feeds["mo_stock"])
+    with_stock = silver.attach_stock(unified, stock)
+    assert with_stock.count() == unified.count()
+    v = with_stock.select(F.explode("variants").alias("v")).select("v.sku", "v.stock")
+    rows = {r.sku: r.stock for r in v.collect()}
+    raw = {r.sku: r for r in feeds["mo_stock"].collect()}
+    hits = 0
+    for sku, st in rows.items():
+        assert st is not None, f"stock missing for {sku}"
+        assert st.quantity == raw[sku].qty
+        if raw[sku].first_arrival_date:
+            assert str(st.first_arrival_date) == raw[sku].first_arrival_date
+            hits += 1
+    assert hits > 0
+
+
+def test_multilingual_names(unified):
+    r = unified.select("name", "names").limit(3).collect()
+    for row in r:
+        assert row.names == {"en": row.name}
+
+
+def test_permissive_json_corrupt_capture(spark, tmp_path):
+    from pim_etl_spark.pipeline.bronze import read_json_lines_permissive
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"sku": "A-1", "variant_id": "1", "price": "3,63", "valid_until": "2026-01-31", "currency": "GBP"}\n'
+        "this line is not json at all\n"
+        '{"sku": "B-2", "variant_id": "2", "price": "1,00", "valid_until": "2026-01-31", "currency": "GBP"}\n'
+    )
+    df = read_json_lines_permissive(spark, str(p), schemas.MO_PRICELIST)
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "not json" in bad.collect()[0]._corrupt_record
