@@ -70,18 +70,32 @@ def hourly_windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataF
     )
 
 
-def run_stream_to_memory(spark: SparkSession, df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    spark: SparkSession, df: DataFrame, mode: str = "complete", state_partitions: int = 16
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; returns the materialized result table."""
+    a memory sink; returns the materialized result table.
+
+    The stateful shuffle width is pinned for the run: a default-config
+    session would spin up 200 state-store partitions, which dominates
+    wall-clock for bounded replays. (Streaming state partitioning is
+    fixed per query at checkpoint creation — on a real cluster size it
+    to the live key cardinality.)
+    """
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 
