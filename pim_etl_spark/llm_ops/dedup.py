@@ -231,6 +231,58 @@ def simhash(docs: DataFrame) -> DataFrame:
     return with_votes.select("doc_id", packed.alias("simhash"))
 
 
+def dedup_corpus(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
+    """Corpus-level dedup: drop exact duplicates (normalized-hash
+    groupBy, keep min doc_id) then near-duplicates (MinHash-LSH
+    candidates verified by Jaccard; the higher doc_id of each
+    confirmed pair is dropped — greedy, deterministic).
+
+    Returns the surviving documents. At 100 TB both stages shuffle
+    only ids+hashes; the text never leaves the scan except inside
+    LSH buckets.
+    """
+    keeper = (
+        docs.groupBy(F.md5(_norm_text(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = docs.join(keeper, "doc_id", "left_semi")
+    sigs = minhash_signatures(exact_kept)
+    pairs = lsh_candidate_pairs(sigs)
+    toks = exact_kept.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    confirmed = (
+        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
+        .filter(
+            F.size(F.array_intersect("tok_a", "tok_b"))
+            >= F.lit(jaccard_threshold) * F.size(F.array_union("tok_a", "tok_b"))
+        )
+        .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: keep the lower id
+        .distinct()
+    )
+    return exact_kept.join(confirmed, "doc_id", "left_anti")
+
+
+def filter_quality(
+    docs: DataFrame,
+    min_stopword_ratio: float = 0.0,
+    min_distinct_ratio: float = 0.2,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Quality gate for a training corpus: minimum length, bounded
+    repetition (distinct-token ratio), optional fluency floor
+    (stopword ratio). Pure scan-side predicates."""
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(tok)
+    stop_ratio = F.size(F.filter(tok, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"))).cast("double") / n
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n
+    return docs.filter(
+        (n >= min_tokens)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (stop_ratio >= min_stopword_ratio)
+    )
+
+
 @query("simhash_buckets")  # rows-only: xxhash64 is engine-specific
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup blocking: docs sharing the top-16-bit prefix.

@@ -120,6 +120,70 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 10
+N_PROBES = 3
+
+
+@query("ann_ivf_topk")  # rows-only: centroid choice is engine-side
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (SURVEY §2.10 scale path #2):
+    partition the corpus into centroid cells, probe only the cells
+    nearest the query, exact-rescore inside them.
+
+    Centroids are a deterministic sample (every ⌈N/10⌉-th vec_id) —
+    at real scale they come from k-means; the *query shape* is the
+    point: cell assignment is a broadcast-argmin computed once and
+    stored with the table, so a search touches ~N_PROBES/N_CENTROIDS
+    of the data. Recall vs brute force asserted in tests/test_llm_ops.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(n // N_CENTROIDS, 1)
+    centroids = (
+        emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") < step * N_CENTROIDS))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), _as_double(F.col("embedding")).alias("cv"))
+    )
+    cell_list = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "cv")).alias("cells")
+    )
+
+    def best_cells(vec: Column, k: int) -> Column:
+        scored = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(F.round(cosine(vec, c["cv"]), 6).alias("sim"), c["cell"].alias("cell")),
+        )
+        ordered = F.reverse(F.array_sort(scored))  # by (sim, cell) desc
+        return F.slice(F.transform(ordered, lambda s: s["cell"]), 1, k)
+
+    assigned = (
+        emb.crossJoin(F.broadcast(cell_list))
+        .withColumn("cell", best_cells(_as_double(F.col("embedding")), 1)[0])
+        .drop("cells")
+    )
+    qrow = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cell_list))
+        .select(
+            _as_double(F.col("embedding")).alias("qv"),
+            best_cells(_as_double(F.col("embedding")), N_PROBES).alias("probe_cells"),
+        )
+    )
+    candidates = (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qrow))
+        .filter(F.array_contains(F.col("probe_cells"), F.col("cell")))
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 N_PLANES = 16
 _PLANE_SEED = 1337
 

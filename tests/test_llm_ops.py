@@ -89,3 +89,38 @@ def test_exact_dedup_keeps_min_doc_id(spark, planted):
     )
     dup_group = [g for g in groups if g.n == 2]
     assert len(dup_group) == 1 and dup_group[0].keeper == 0
+
+
+def test_dedup_corpus_drops_planted_dups(spark, planted):
+    from pim_etl_spark.llm_ops.dedup import dedup_corpus
+
+    survivors = {r.doc_id for r in dedup_corpus(planted, jaccard_threshold=0.8).collect()}
+    assert 0 in survivors          # keeper of the exact-dup group
+    assert 3 not in survivors      # exact dup of 0 dropped
+    assert 1 not in survivors      # near-dup (1 word changed) dropped
+    assert 2 in survivors          # unrelated doc kept
+
+
+def test_filter_quality(spark):
+    from pim_etl_spark.llm_ops.dedup import filter_quality
+
+    rows = [
+        (0, "the cat sat on the mat and the dog slept", "en"),   # fine
+        (1, "spam spam spam spam spam spam spam spam", "en"),    # repetitive
+        (2, "too short", "en"),                                  # short
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in filter_quality(docs, min_distinct_ratio=0.3).collect()}
+    assert kept == {0}
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+
+    qs = get_queries()
+    exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in qs["ann_ivf_topk"](spark, sf_dir).collect()]
+    # near-random corpus: requires overlap clearly above the ~0.2
+    # random baseline; probing 3/10 cells bounds achievable recall
+    overlap = len(set(exact) & set(ivf))
+    assert overlap >= 2, f"IVF recall too low: {overlap}/{TOP_K}"
