@@ -272,11 +272,11 @@ def all_supplier_feeds(spark: SparkSession, n_masters: int = 40) -> dict[str, di
     return out
 
 
-_FRAME_CACHE: dict[tuple[int, int], dict[str, DataFrame]] = {}
+_FRAME_CACHE: dict[tuple[str, int], dict[str, DataFrame]] = {}
 
 
 def feed_frames(spark: SparkSession, n_masters: int = 40) -> dict[str, DataFrame]:
-    key = (id(spark), n_masters)
+    key = (spark.sparkContext.applicationId, n_masters)
     if key not in _FRAME_CACHE:
         rows = build_feed_rows(n_masters)
         _FRAME_CACHE[key] = {

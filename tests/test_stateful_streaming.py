@@ -79,3 +79,60 @@ def test_session_window_stream_matches_batch_sessions(spark, sf_dir):
         if (r.n_events, r.session_value) in batch_by_user.get(r.user_id, []):
             matched += 1
     assert matched >= len(streamed) * 0.95
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late data beyond the watermark is dropped (SURVEY §2.8): with a
+    checkpoint carrying the watermark across runs, a row far older
+    than the persisted watermark never reaches its window, so when the
+    windows finally close only on-time rows are counted."""
+    feed = tmp_path / "ev"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(feed))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two on-time rows on June 10 → watermark persists ~12:00
+    spark.createDataFrame(
+        [(1, dt.datetime(2025, 6, 10, 12, 0), 1.0), (2, dt.datetime(2025, 6, 10, 13, 0), 2.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    run_once()
+
+    # run 2: one row from June 1 — 9 days behind the watermark → dropped
+    spark.createDataFrame([(3, dt.datetime(2025, 6, 1, 0, 0), 9.9)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    run_once()
+
+    # run 3: a June 11 row advances the watermark past the June 10
+    # windows, forcing them to close and emit
+    spark.createDataFrame([(4, dt.datetime(2025, 6, 11, 0, 0), 1.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    run_once()
+
+    out = spark.read.parquet(sink).collect()
+    windows = {str(r.ws): r.n for r in out}
+    assert any("2025-06-10 12:00" in w for w in windows), windows
+    assert any("2025-06-10 13:00" in w for w in windows), windows
+    # the late June 1 row must NOT have produced a window
+    assert not any("2025-06-01" in w for w in windows), windows
