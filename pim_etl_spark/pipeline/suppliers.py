@@ -252,6 +252,140 @@ def transform_keramikos(feeds: dict[str, DataFrame], spark: SparkSession) -> Dat
     )
 
 
+# ---------------------------------------------------------------------------
+# PFConcept — print prices in column NAMES (PrintPriceNet_<qty>)
+# ---------------------------------------------------------------------------
+
+PFC_QTY_COLUMNS = (25, 50, 100, 250, 1000, 10000)
+
+PFC_PRODUCTS = StructType(
+    [
+        _s("ItemNumber"),
+        _s("ItemName"),
+        _s("CategoryName"),
+        _s("NetWeight"),  # "0,138" EU decimal
+        *[_s(f"PrintPriceNet_{q}") for q in PFC_QTY_COLUMNS],
+    ]
+)
+
+
+def transform_pfconcept(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Qty-in-column-name unpivot (SURVEY N6 second flavor — the PFC
+    PrintPriceNet_1..10000 shape): the tier quantity lives in the
+    COLUMN NAME, so the stack literal carries it as a constant."""
+    pfc = feeds["pfc_products"]
+    stack_expr = (
+        f"stack({len(PFC_QTY_COLUMNS)}, "
+        + ", ".join(f"{q}, PrintPriceNet_{q}" for q in PFC_QTY_COLUMNS)
+        + ") AS (min_quantity, price_str)"
+    )
+    tiers_long = (
+        pfc.select("ItemNumber", F.expr(stack_expr))
+        .filter(F.col("price_str").isNotNull() & (F.col("price_str") != ""))
+        .select(
+            "ItemNumber",
+            F.col("min_quantity").cast("int").alias("min_quantity"),
+            pf.parse_eu_decimal("price_str").alias("amount"),
+        )
+    )
+    tier = F.struct(
+        F.col("amount"),
+        F.lit("EUR").alias("currency"),
+        F.lit("print").alias("price_type"),
+        F.col("min_quantity"),
+        F.lit(None).cast("int").alias("max_quantity"),
+        F.lit(None).cast("string").alias("valid_until"),
+    )
+    cmp = lambda l, r: F.when(l["min_quantity"] < r["min_quantity"], -1).when(  # noqa: E731
+        l["min_quantity"] > r["min_quantity"], 1
+    ).otherwise(0)
+    tiers = tiers_long.groupBy("ItemNumber").agg(
+        F.array_sort(F.collect_list(tier), cmp).alias("print_price_tiers")
+    )
+    return pfc.join(tiers, "ItemNumber", "left").select(
+        pf.synth_product_id("pfconcept", F.col("ItemNumber")).alias("product_id"),
+        F.lit("pfconcept").alias("supplier_id"),
+        F.lit("PF Concept").alias("supplier_name"),
+        F.col("ItemNumber").alias("supplier_product_code"),
+        F.col("ItemName").alias("name"),
+        F.lit("active").alias("status"),
+        F.array(F.struct(F.col("CategoryName").alias("name"), F.lit(1).alias("level"))).alias(
+            "categories"
+        ),
+        pf.parse_eu_decimal("NetWeight").alias("weight_value"),
+        F.lit("kg").alias("weight_unit"),
+        F.col("print_price_tiers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sanmar — flat SKU rows rolled UP into nested products
+# ---------------------------------------------------------------------------
+
+SANMAR_SKUS = StructType(
+    [
+        _s("StyleNumber"),
+        _s("StyleName"),
+        _s("Brand"),
+        _s("ColorName"),
+        _s("SizeName"),
+        _s("SkuID"),
+        _s("PiecePrice"),  # "4.59" plain decimal
+        _s("CaseQty"),
+    ]
+)
+
+SIZE_ORDER = ["XS", "S", "M", "L", "XL", "2XL", "3XL"]
+
+
+def transform_sanmar(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Flat→nested rollup (the inverse of the MidOcean explode): the
+    apparel feed is one row per (style, color, size) SKU; products are
+    reconstructed by grouping — variants ordered by (color, size rank)
+    via a comparator sort, sizes deduped into a product-level array."""
+    skus = feeds["sanmar_skus"]
+    size_rank = F.array_position(F.array(*[F.lit(s) for s in SIZE_ORDER]), F.col("SizeName"))
+    variant = F.struct(
+        F.col("ColorName").alias("color_name"),
+        F.col("SizeName").alias("size"),
+        size_rank.cast("int").alias("size_rank"),
+        F.col("SkuID").alias("sku"),
+        F.col("PiecePrice").cast("double").alias("price"),
+        pf.parse_thousands_int("CaseQty").cast("int").alias("case_qty"),
+    )
+    cmp = lambda l, r: (  # noqa: E731 — (color, size order) sort
+        F.when(l["color_name"] < r["color_name"], -1)
+        .when(l["color_name"] > r["color_name"], 1)
+        .when(l["size_rank"] < r["size_rank"], -1)
+        .when(l["size_rank"] > r["size_rank"], 1)
+        .otherwise(0)
+    )
+    return (
+        skus.groupBy("StyleNumber")
+        .agg(
+            F.first("StyleName").alias("name"),
+            F.first("Brand").alias("brand"),
+            F.array_sort(F.collect_list(variant), cmp).alias("variants_flat"),
+            F.round(F.min(F.col("PiecePrice").cast("double")), 2).alias("base_price"),
+            F.array_sort(F.collect_set("ColorName")).alias("colors_available"),
+            F.array_sort(F.collect_set("SizeName")).alias("sizes_available"),
+        )
+        .select(
+            pf.synth_product_id("sanmar", F.col("StyleNumber")).alias("product_id"),
+            F.lit("sanmar").alias("supplier_id"),
+            F.lit("SanMar").alias("supplier_name"),
+            F.col("StyleNumber").alias("supplier_product_code"),
+            "name",
+            "brand",
+            F.lit("active").alias("status"),
+            "base_price",
+            "variants_flat",
+            "colors_available",
+            "sizes_available",
+        )
+    )
+
+
 def _register_all() -> None:
     register_supplier(
         SupplierSpec(
@@ -275,6 +409,22 @@ def _register_all() -> None:
             display_name="Keramikos",
             feed_schemas={"keramikos_products": KERAMIKOS_PRODUCTS, "keramikos_printgrid": KERAMIKOS_PRINTGRID},
             transform=transform_keramikos,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="pfconcept",
+            display_name="PF Concept",
+            feed_schemas={"pfc_products": PFC_PRODUCTS},
+            transform=transform_pfconcept,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="sanmar",
+            display_name="SanMar",
+            feed_schemas={"sanmar_skus": SANMAR_SKUS},
+            transform=transform_sanmar,
         )
     )
 

@@ -103,3 +103,40 @@ def test_keramikos_spec_map_and_dims(spark):
 def test_all_suppliers_registered():
     assert set(list_suppliers()) >= {"midocean", "laltex", "xd", "keramikos"}
     assert get_supplier("xd").display_name == "XD Connects"
+
+
+def test_pfconcept_column_name_unpivot(spark):
+    row = {
+        "ItemNumber": "PF1", "ItemName": "Tote", "CategoryName": "Bags",
+        "NetWeight": "0,138",
+        "PrintPriceNet_25": "1,20", "PrintPriceNet_50": "1,00",
+        "PrintPriceNet_100": "0,80", "PrintPriceNet_250": None,
+        "PrintPriceNet_1000": "0,40", "PrintPriceNet_10000": "0,25",
+    }
+    feeds = {"pfc_products": spark.createDataFrame([row], suppliers.PFC_PRODUCTS)}
+    out = suppliers.transform_pfconcept(feeds, spark).collect()[0]
+    tiers = [(t.min_quantity, t.amount) for t in out.print_price_tiers]
+    assert tiers == [(25, 1.20), (50, 1.00), (100, 0.80), (1000, 0.40), (10000, 0.25)]
+    assert out.weight_value == pytest.approx(0.138)
+    assert out.categories[0].name == "Bags"
+
+
+def test_sanmar_flat_to_nested_rollup(spark):
+    rows = [
+        ("ST100", "Heavy Tee", "BrandS", "Black", "M", "ST100-BK-M", "4.59", "72"),
+        ("ST100", "Heavy Tee", "BrandS", "Black", "S", "ST100-BK-S", "4.59", "72"),
+        ("ST100", "Heavy Tee", "BrandS", "White", "M", "ST100-WH-M", "4.39", "72"),
+        ("ST200", "Polo", "BrandS", "Navy", "L", "ST200-NV-L", "9.99", "36"),
+    ]
+    feeds = {"sanmar_skus": spark.createDataFrame(rows, suppliers.SANMAR_SKUS)}
+    out = {r.supplier_product_code: r for r in suppliers.transform_sanmar(feeds, spark).collect()}
+    assert set(out) == {"ST100", "ST200"}
+    t = out["ST100"]
+    assert t.base_price == pytest.approx(4.39)
+    # variants sorted by (color, garment size order XS<S<M<...):
+    # Black/S, Black/M, then White/M
+    got = [(v.color_name, v.size) for v in t.variants_flat]
+    assert got == [("Black", "S"), ("Black", "M"), ("White", "M")]
+    assert t.colors_available == ["Black", "White"]
+    assert t.sizes_available == ["M", "S"]
+    assert out["ST200"].variants_flat[0].case_qty == 36
