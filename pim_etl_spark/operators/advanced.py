@@ -259,6 +259,97 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT r_name, c_mktsegment, count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 note): independent
+    aggregation shapes in one Expand pass, via the SQL surface."""
+    from pim_etl_spark.sources import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    _lt(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n
+        FROM gs_customer
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "array_slice_position_ops",
+    oracle="""
+    WITH arr AS (
+      SELECT l_orderkey,
+             list_sort(list(l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(parts) AS n_parts,
+           parts[2:3] AS middle_two,
+           CAST(list_position(parts, parts[1]) AS INT) AS first_pos,
+           list_contains(parts, parts[len(parts)]) AS has_last
+    FROM arr ORDER BY l_orderkey
+    """,
+)
+def array_slice_position_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slicing / position / membership over re-nested arrays
+    (SURVEY §2.7 array surface)."""
+    arr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size("parts").cast("long").alias("n_parts"),
+        F.slice("parts", 2, 2).alias("middle_two"),
+        F.array_position(F.col("parts"), F.col("parts")[0]).cast("int").alias("first_pos"),
+        F.array_contains(F.col("parts"), F.element_at(F.col("parts"), -1)).alias("has_last"),
+    ).orderBy("l_orderkey")
+
+
+@query(
+    "map_keys_values_ops",
+    oracle="""
+    SELECT source,
+           list_sort(list(DISTINCT lang)) AS langs,
+           count(DISTINCT lang) AS n_langs,
+           count(*) AS total_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def map_keys_values_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_keys / map_values projections out of a built MapType column
+    (SURVEY §7.4 risk 6 — maps exposed via scalar/array projections)."""
+    per_lang = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = per_lang.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("m")
+    )
+    return maps.select(
+        "source",
+        F.array_sort(F.map_keys("m")).alias("langs"),
+        F.size("m").cast("long").alias("n_langs"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x).alias("total_docs"),
+    ).orderBy("source")
+
+
 @query("approx_distinct_counts")  # rows-only: HLL sketches differ per engine
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the catalog-stats scale path —
