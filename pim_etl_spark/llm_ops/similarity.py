@@ -120,6 +120,58 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_for_queries(emb: DataFrame, query_ids: list[int], k: int = TOP_K) -> DataFrame:
+    """Batched similarity search: top-k neighbors for EVERY query id
+    in one corpus scan.
+
+    The query set collects into a broadcast array of (id, vector);
+    each corpus row explodes scores against all queries map-side, and
+    a per-query WindowGroupLimit keeps k rows before the shuffle —
+    one pass over 100 TB serves the whole query batch instead of Q
+    passes. Returns (query_id, vec_id, label, cosine).
+    """
+    from pyspark.sql import Window
+
+    qset = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    qarr = qset.groupBy().agg(F.collect_list(F.struct("query_id", "qv")).alias("queries"))
+    scored = (
+        emb.join(F.broadcast(qarr))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(
+                F.transform(
+                    F.col("queries"),
+                    lambda q: F.struct(
+                        q["query_id"].alias("query_id"),
+                        F.round(cosine(_as_double(F.col("embedding")), q["qv"]), 4).alias("cosine"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "label", F.col("s.query_id").alias("query_id"), F.col("s.cosine").alias("cosine"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "label", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+@query("batched_topk_multiquery")  # rows-only: query-set is engine-side
+def batched_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors for 5 query vectors in a single corpus pass;
+    per-query agreement with the single-query brute force is asserted
+    in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_for_queries(emb, [0, 1, 2, 3, 4], k=TOP_K)
+
+
 N_CENTROIDS = 10
 N_PROBES = 3
 

@@ -85,6 +85,72 @@ def latest_per_key_stream(stock_stream: DataFrame) -> DataFrame:
     )
 
 
+STOCK_TTL_OUT_SCHEMA = StructType(
+    [
+        StructField("sku", StringType(), True),
+        StructField("qty", LongType(), True),
+        StructField("modified_at", TimestampType(), True),
+        StructField("retired", StringType(), True),  # "live" | "retired"
+    ]
+)
+
+
+def make_latest_with_ttl_fn(ttl_ms: int):
+    """Stateful fold with event-time TTL: keys that stop receiving
+    updates for ``ttl_ms`` past the watermark time out, emit a
+    tombstone row (retired='retired'), and their state is dropped —
+    bounded state for a catalog where SKUs get discontinued."""
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ts, qty = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"sku": [key[0]], "qty": [qty], "modified_at": [ts], "retired": ["retired"]}
+            )
+            return
+        best_ts, best_qty = state.get if state.exists else (None, None)
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            idx = pdf["modified_at"].idxmax()
+            ts = pdf.loc[idx, "modified_at"]
+            if best_ts is None or ts > best_ts:
+                best_ts, best_qty = ts, int(pdf.loc[idx, "qty"])
+                changed = True
+        if best_ts is not None:
+            state.update((best_ts, best_qty))
+            # TTL is anchored to the key's OWN latest event time (not
+            # the watermark — that would re-arm every batch); clamp to
+            # watermark+1 because Spark rejects timeouts in the past
+            event_ms = int(pd.Timestamp(best_ts).value // 1_000_000)
+            state.setTimeoutTimestamp(max(event_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
+        if changed:
+            yield pd.DataFrame(
+                {"sku": [key[0]], "qty": [best_qty], "modified_at": [best_ts], "retired": ["live"]}
+            )
+
+    return _fn
+
+
+def latest_per_key_with_ttl_stream(stock_stream: DataFrame, ttl: str = "7 days") -> DataFrame:
+    """Continuous keep-latest-per-SKU with retirement: requires a
+    watermark on ``modified_at`` so event time drives the timeout."""
+    n, unit = ttl.split()
+    unit_ms = {"days": 86_400_000, "hours": 3_600_000, "minutes": 60_000, "seconds": 1_000}[unit]
+    ttl_ms = int(n) * unit_ms
+    # emitted rows are final change events, so the operator declares
+    # append mode — that also lets it feed append-only file sinks
+    return stock_stream.withWatermark("modified_at", "0 seconds").groupBy("sku").applyInPandasWithState(
+        make_latest_with_ttl_fn(ttl_ms),
+        outputStructType=STOCK_TTL_OUT_SCHEMA,
+        stateStructType=STOCK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionized_events_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
     """Native session windows over the event stream: sessions close
     after ``gap`` of inactivity; state is dropped past the watermark."""

@@ -124,3 +124,17 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # random baseline; probing 3/10 cells bounds achievable recall
     overlap = len(set(exact) & set(ivf))
     assert overlap >= 2, f"IVF recall too low: {overlap}/{TOP_K}"
+
+
+def test_batched_topk_agrees_with_single_query(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.llm_ops.similarity import QUERY_VEC_ID
+
+    qs = get_queries()
+    batched = qs["batched_topk_multiquery"](spark, sf_dir).collect()
+    single = [(r.vec_id, r.cosine) for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
+    q0 = [(r.vec_id, r.cosine) for r in batched if r.query_id == QUERY_VEC_ID]
+    assert q0 == single
+    assert {r.query_id for r in batched} == {0, 1, 2, 3, 4}
+    for qid in range(5):
+        assert sum(1 for r in batched if r.query_id == qid) == 10

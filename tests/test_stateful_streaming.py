@@ -136,3 +136,64 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert any("2025-06-10 13:00" in w for w in windows), windows
     # the late June 1 row must NOT have produced a window
     assert not any("2025-06-01" in w for w in windows), windows
+
+
+def test_latest_per_key_ttl_retires_stale_skus(spark, tmp_path):
+    """A SKU that stops updating for longer than the TTL (event time)
+    emits a tombstone and its state is removed; live SKUs keep
+    updating. Checkpointed so watermark + state survive across runs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from pim_etl_spark.streaming.stateful import latest_per_key_with_ttl_stream
+
+    schema = StructType(
+        [
+            StructField("sku", StringType(), True),
+            StructField("qty", LongType(), True),
+            StructField("modified_at", TimestampType(), True),
+        ]
+    )
+    feed = tmp_path / "stock"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(feed))
+        out = latest_per_key_with_ttl_stream(stream, ttl="2 days")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: A and B both update on day 1 → watermark ~day 1
+    spark.createDataFrame(
+        [("A", 10, dt.datetime(2025, 7, 1)), ("B", 20, dt.datetime(2025, 7, 1))], schema
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    run_once()
+
+    # run 2: only A updates on day 10 → watermark jumps past B's TTL
+    spark.createDataFrame([("A", 11, dt.datetime(2025, 7, 10))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    run_once()
+    # run 3: another A update lets the timed-out B state fire
+    spark.createDataFrame([("A", 12, dt.datetime(2025, 7, 11))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    by_sku = {}
+    for r in rows:
+        by_sku.setdefault(r.sku, set()).add((r.qty, r.retired))
+    # B stopped updating → it must have emitted a retirement tombstone
+    assert (20, "retired") in by_sku["B"]
+    # A kept updating → never retired, latest live qty is 12
+    assert not any(flag == "retired" for _, flag in by_sku["A"])
+    assert (12, "live") in by_sku["A"]
