@@ -53,14 +53,37 @@ def run_sync(
     gold_path: str,
     supplier_id: str | None = None,
     since: str | None = None,
+    quarantine: str | None = None,
 ) -> dict:
     """Full or incremental sync → upsert into gold (ReplaceOne
-    semantics via window dedup), ETLResult-style summary out."""
+    semantics via window dedup), ETLResult-style summary out.
+
+    With ``quarantine``, rows of each supplier's primary feed missing
+    required fields are split out (SURVEY N5 error isolation,
+    etl/base.py:121-133) and written under ``<quarantine>/<supplier>``
+    instead of aborting or silently dropping.
+    """
     t0 = time.time()
     targets = [supplier_id] if supplier_id else [
         s for s in registry.list_suppliers() if os.path.isdir(os.path.join(feeds_dir, s))
     ]
     feeds_by_supplier = {s: load_supplier_feeds(spark, feeds_dir, s) for s in targets}
+    quarantined_counts: dict[str, int] = {}
+    if quarantine:
+        from pim_etl_spark.pipeline.bronze import with_corrupt_quarantine
+
+        for sid in targets:
+            spec = registry.get_supplier(sid)
+            if not spec.primary_feed or not spec.required_fields:
+                continue
+            good, bad = with_corrupt_quarantine(
+                feeds_by_supplier[sid][spec.primary_feed], required=spec.required_fields
+            )
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("overwrite").parquet(os.path.join(quarantine, sid))
+                feeds_by_supplier[sid][spec.primary_feed] = good
+            quarantined_counts[sid] = n_bad
     unified = registry.run_sync(spark, feeds_by_supplier)
     unified = unified.withColumn("last_sync", F.current_timestamp())
     if since:
@@ -101,6 +124,7 @@ def run_sync(
         "suppliers": targets,
         "products_in_gold": n_before,
         "error_count": int(metrics["null_keys"] or 0),
+        "quarantined": quarantined_counts,
         "per_supplier": per_supplier,
         "duration_sec": round(time.time() - t0, 2),
     }
@@ -150,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--feeds-dir", default="feeds")
     parser.add_argument("--gold", default="gold/products.parquet")
     parser.add_argument("--since", default=None, help="YYYY-MM-DD cutoff for incremental")
+    parser.add_argument("--quarantine", default=None, help="dir for invalid primary-feed rows")
     args = parser.parse_args(argv)
 
     from pim_etl_spark.session import get_spark
@@ -160,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         out = run_sync(
             spark, args.feeds_dir, args.gold, args.supplier,
             since=args.since if args.action == "incremental" else None,
+            quarantine=args.quarantine,
         )
     elif args.action == "status":
         out = run_status(spark, args.gold)

@@ -26,6 +26,10 @@ class SupplierSpec:
     feed_schemas: dict[str, StructType]
     transform: TransformFn
     display_name: str = ""
+    # error-quarantine contract (SURVEY N5): the product-bearing feed
+    # and the fields a row must carry to be transformable
+    primary_feed: str = ""
+    required_fields: tuple = ()
     extra: dict = field(default_factory=dict)
 
 
@@ -86,6 +90,8 @@ def _register_midocean() -> None:
         SupplierSpec(
             supplier_id=silver.SUPPLIER_ID,
             display_name=silver.SUPPLIER_NAME,
+            primary_feed="mo_products",
+            required_fields=("master_code", "product_name"),
             feed_schemas={
                 "mo_products": schemas.MO_PRODUCTS,
                 "mo_pricelist": schemas.MO_PRICELIST,

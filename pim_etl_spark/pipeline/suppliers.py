@@ -391,6 +391,8 @@ def _register_all() -> None:
         SupplierSpec(
             supplier_id="laltex",
             display_name="Laltex",
+            primary_feed="laltex_products",
+            required_fields=("ProductCode", "ProductName"),
             feed_schemas={"laltex_products": LALTEX_PRODUCTS, "laltex_pricebands": LALTEX_PRICEBANDS},
             transform=transform_laltex,
         )
@@ -399,6 +401,8 @@ def _register_all() -> None:
         SupplierSpec(
             supplier_id="xd",
             display_name="XD Connects",
+            primary_feed="xd_products",
+            required_fields=("ItemCode", "ItemName"),
             feed_schemas={"xd_products": XD_PRODUCTS},
             transform=transform_xd,
         )

@@ -46,3 +46,29 @@ def test_missing_feed_errors(spark, tmp_path):
     bad.mkdir(parents=True)
     with pytest.raises(FileNotFoundError, match="mo_products"):
         load_supplier_feeds(spark, str(tmp_path / "feeds"), "midocean")
+
+
+def test_quarantine_splits_invalid_rows(spark, tmp_path):
+    from pim_etl_spark.pipeline import schemas
+
+    root = tmp_path / "feeds"
+    modir = root / "midocean"
+    modir.mkdir(parents=True)
+    feeds = fixtures.feed_frames(spark, n_masters=6)
+    corrupt = spark.createDataFrame(
+        [{"master_code": None, "product_name": "broken", "timestamp": "t"},
+         {"master_code": "PRX", "product_name": None, "timestamp": "t"}],
+        schemas.MO_PRODUCTS,
+    )
+    for name, df in feeds.items():
+        if name == "mo_products":
+            df = df.unionByName(corrupt)
+        df.write.mode("overwrite").parquet(str(modir / f"{name}.parquet"))
+
+    gold = str(tmp_path / "gold.parquet")
+    qdir = str(tmp_path / "quarantine")
+    result = run_sync(spark, str(root), gold, supplier_id="midocean", quarantine=qdir)
+    assert result["quarantined"] == {"midocean": 2}
+    assert result["products_in_gold"] == 6  # corrupt rows excluded
+    bad = spark.read.parquet(f"{qdir}/midocean").collect()
+    assert len(bad) == 2
