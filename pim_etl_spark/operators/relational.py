@@ -386,7 +386,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       INTERSECT
       SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
       EXCEPT
-      SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < 0
+      SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < -995
     ) ORDER BY n_nationkey
     """,
 )
@@ -399,7 +399,7 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     furn = cust.filter(F.col("c_mktsegment") == "FURNITURE").select(
         F.col("c_nationkey").alias("n_nationkey")
     ).distinct()
-    neg = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    neg = cust.filter(F.col("c_acctbal") < -995).select(F.col("c_nationkey").alias("n_nationkey")).distinct()
     return auto.intersect(furn).exceptAll(neg.distinct()).orderBy("n_nationkey")
 
 

@@ -15,9 +15,16 @@ DataFrame pipeline:
   cross join (midocean_transformer.py:428-475 at :464 — every product
   carries the full technique pricelist, position="various")
 
-At 100 TB: the only wide shuffle is the re-nest on master_code; all
-side feeds (pricelist/printdata/printprices) are broadcast, and the
-output is written partitioned by supplier_id.
+At 100 TB: the only wide shuffle is the master_code re-nest join (two
+co-partitioned exchanges: the product rows and the exploded-variant
+rows); all side feeds (pricelist/printdata/printprices) are broadcast,
+and the output is written partitioned by supplier_id.
+
+Considered and rejected: carrying the ~20 product-level columns through
+the variant explode to merge the two exchanges into one. That
+duplicates every product scalar once per variant (~10×) across the
+exchange, shipping strictly more bytes than exchanging products once —
+the join-after-agg shape wins whenever variants-per-product > 1.
 """
 
 from __future__ import annotations
