@@ -386,6 +386,55 @@ def transform_sanmar(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# Ralawise — per-location stock (the unified schema's per-warehouse model)
+# ---------------------------------------------------------------------------
+
+RALAWISE_PRODUCTS = StructType(
+    [_s("ProductCode"), _s("ProductTitle"), _s("Brand"), _s("Colour"), _s("Size")]
+)
+
+RALAWISE_STOCK = StructType(
+    [_s("ProductCode"), _s("LocationCode"), _s("LocationName"), _s("FreeStock")]
+)
+
+
+def transform_ralawise(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Per-location stock rollup (unified.jsonc per-location stock
+    model, :244-256 — a shape no other dialect exercises): warehouse
+    rows fold into a location→qty map per product plus a total, so
+    stock queries prune to the map without exploding rows."""
+    products = feeds["ralawise_products"]
+    stock = feeds["ralawise_stock"].select(
+        "ProductCode",
+        "LocationCode",
+        pf.parse_thousands_int("FreeStock").alias("free_stock"),
+    )
+    per_product = stock.groupBy("ProductCode").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("LocationCode", "free_stock")))
+        ).alias("stock_by_location"),
+        F.sum("free_stock").alias("total_stock"),
+    )
+    return products.join(per_product, "ProductCode", "left").select(
+        pf.synth_product_id("ralawise", F.col("ProductCode")).alias("product_id"),
+        F.lit("ralawise").alias("supplier_id"),
+        F.lit("Ralawise").alias("supplier_name"),
+        F.col("ProductCode").alias("supplier_product_code"),
+        F.col("ProductTitle").alias("name"),
+        F.col("Brand").alias("brand"),
+        F.lit("active").alias("status"),
+        F.col("Colour").alias("color_name"),
+        F.col("Size").alias("size"),
+        F.col("stock_by_location"),
+        F.coalesce(F.col("total_stock"), F.lit(0)).alias("total_stock"),
+        # derived status the reference models as out_of_stock
+        F.when(F.coalesce(F.col("total_stock"), F.lit(0)) == 0, "out_of_stock")
+        .otherwise("in_stock")
+        .alias("availability"),
+    )
+
+
 def _register_all() -> None:
     register_supplier(
         SupplierSpec(
@@ -429,6 +478,14 @@ def _register_all() -> None:
             display_name="SanMar",
             feed_schemas={"sanmar_skus": SANMAR_SKUS},
             transform=transform_sanmar,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="ralawise",
+            display_name="Ralawise",
+            feed_schemas={"ralawise_products": RALAWISE_PRODUCTS, "ralawise_stock": RALAWISE_STOCK},
+            transform=transform_ralawise,
         )
     )
 

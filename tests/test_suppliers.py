@@ -140,3 +140,29 @@ def test_sanmar_flat_to_nested_rollup(spark):
     assert t.colors_available == ["Black", "White"]
     assert t.sizes_available == ["M", "S"]
     assert out["ST200"].variants_flat[0].case_qty == 36
+
+
+def test_ralawise_per_location_stock(spark):
+    products = spark.createDataFrame(
+        [("RW1", "Hoodie", "BrandR", "Navy", "L"), ("RW2", "Cap", "BrandR", "Black", "OS")],
+        suppliers.RALAWISE_PRODUCTS,
+    )
+    stock = spark.createDataFrame(
+        [
+            ("RW1", "MAN", "Manchester", "1.200"),
+            ("RW1", "LON", "London", "300"),
+            ("RW2", "MAN", "Manchester", "0"),
+        ],
+        suppliers.RALAWISE_STOCK,
+    )
+    out = {
+        r.supplier_product_code: r
+        for r in suppliers.transform_ralawise(
+            {"ralawise_products": products, "ralawise_stock": stock}, spark
+        ).collect()
+    }
+    assert out["RW1"].stock_by_location == {"MAN": 1200, "LON": 300}
+    assert out["RW1"].total_stock == 1500
+    assert out["RW1"].availability == "in_stock"
+    assert out["RW2"].total_stock == 0
+    assert out["RW2"].availability == "out_of_stock"
