@@ -387,6 +387,119 @@ def transform_sanmar(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# S&S Activewear — multiple price TYPES per SKU (piece / dozen / case)
+# ---------------------------------------------------------------------------
+
+SS_PRODUCTS = StructType(
+    [
+        _s("StyleID"),
+        _s("StyleName"),
+        _s("BrandName"),
+        _s("PiecePrice"),
+        _s("DozenPrice"),
+        _s("CasePrice"),
+        _s("CaseSize"),
+    ]
+)
+
+
+def transform_ss(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Price-TYPE variety (piece/dozen/case — the PriceType enum of the
+    unified schema, schemas/unified_product_schema.py:11-20): three
+    price columns become an array of typed Price structs with their
+    implied minimum quantities; nulls drop out via array filter."""
+    ss = feeds["ss_products"]
+    case_size = pf.parse_thousands_int("CaseSize").cast("int")
+
+    def price(col: str, ptype: str, min_qty) -> F.Column:
+        return F.struct(
+            F.col(col).cast("double").alias("amount"),
+            F.lit("USD").alias("currency"),
+            F.lit(ptype).alias("price_type"),
+            (min_qty if isinstance(min_qty, F.Column) else F.lit(min_qty)).cast("int").alias(
+                "min_quantity"
+            ),
+            F.lit(None).cast("int").alias("max_quantity"),
+            F.lit(None).cast("string").alias("valid_until"),
+        )
+
+    prices = F.filter(
+        F.array(
+            price("PiecePrice", "piece", 1),
+            price("DozenPrice", "dozen", 12),
+            price("CasePrice", "case", case_size),
+        ),
+        lambda p: p["amount"].isNotNull(),
+    )
+    return ss.select(
+        pf.synth_product_id("ss", F.col("StyleID")).alias("product_id"),
+        F.lit("ss").alias("supplier_id"),
+        F.lit("S&S Activewear").alias("supplier_name"),
+        F.col("StyleID").alias("supplier_product_code"),
+        F.col("StyleName").alias("name"),
+        F.col("BrandName").alias("brand"),
+        F.lit("active").alias("status"),
+        prices.alias("prices"),
+        F.col("PiecePrice").cast("double").alias("base_price"),
+        case_size.alias("carton_quantity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preseli — multi-currency price columns
+# ---------------------------------------------------------------------------
+
+PRESELI_PRODUCTS = StructType(
+    [
+        _s("Ref"),
+        _s("Name"),
+        _s("Category"),
+        _s("PriceGBP"),
+        _s("PriceEUR"),
+        _s("PriceUSD"),
+        _s("LeadTimeDays"),
+    ]
+)
+
+
+def transform_preseli(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
+    """Multi-currency price columns → currency-keyed Price array (the
+    unified schema's Currency enum surface): one struct per non-null
+    currency column, GBP preferred for base_price with EUR fallback
+    (coalesce chain — the F13 null-handling idiom)."""
+    ps = feeds["preseli_products"]
+
+    def cprice(col: str, cur: str) -> F.Column:
+        return F.struct(
+            pf.parse_eu_decimal(col).alias("amount"),
+            F.lit(cur).alias("currency"),
+            F.lit("list").alias("price_type"),
+            F.lit(1).cast("int").alias("min_quantity"),
+            F.lit(None).cast("int").alias("max_quantity"),
+            F.lit(None).cast("string").alias("valid_until"),
+        )
+
+    prices = F.filter(
+        F.array(cprice("PriceGBP", "GBP"), cprice("PriceEUR", "EUR"), cprice("PriceUSD", "USD")),
+        lambda p: p["amount"].isNotNull(),
+    )
+    return ps.select(
+        pf.synth_product_id("preseli", F.col("Ref")).alias("product_id"),
+        F.lit("preseli").alias("supplier_id"),
+        F.lit("Preseli").alias("supplier_name"),
+        F.col("Ref").alias("supplier_product_code"),
+        F.col("Name").alias("name"),
+        F.array(F.struct(F.col("Category").alias("name"), F.lit(1).alias("level"))).alias("categories"),
+        F.lit("active").alias("status"),
+        prices.alias("prices"),
+        F.coalesce(
+            pf.parse_eu_decimal("PriceGBP"), pf.parse_eu_decimal("PriceEUR"), pf.parse_eu_decimal("PriceUSD")
+        ).alias("base_price"),
+        F.col("LeadTimeDays").cast("int").alias("lead_time_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ralawise — per-location stock (the unified schema's per-warehouse model)
 # ---------------------------------------------------------------------------
 
@@ -486,6 +599,22 @@ def _register_all() -> None:
             display_name="Ralawise",
             feed_schemas={"ralawise_products": RALAWISE_PRODUCTS, "ralawise_stock": RALAWISE_STOCK},
             transform=transform_ralawise,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="ss",
+            display_name="S&S Activewear",
+            feed_schemas={"ss_products": SS_PRODUCTS},
+            transform=transform_ss,
+        )
+    )
+    register_supplier(
+        SupplierSpec(
+            supplier_id="preseli",
+            display_name="Preseli",
+            feed_schemas={"preseli_products": PRESELI_PRODUCTS},
+            transform=transform_preseli,
         )
     )
 

@@ -166,3 +166,37 @@ def test_ralawise_per_location_stock(spark):
     assert out["RW1"].availability == "in_stock"
     assert out["RW2"].total_stock == 0
     assert out["RW2"].availability == "out_of_stock"
+
+
+def test_ss_price_types(spark):
+    rows = [
+        ("S100", "Tee", "BrandX", "3.50", "40.20", "150.00", "72"),
+        ("S200", "Hat", "BrandX", "5.00", None, None, "48"),
+    ]
+    feeds = {"ss_products": spark.createDataFrame(rows, suppliers.SS_PRODUCTS)}
+    out = {r.supplier_product_code: r for r in suppliers.transform_ss(feeds, spark).collect()}
+    p100 = {(p.price_type, p.min_quantity): p.amount for p in out["S100"].prices}
+    assert p100 == {("piece", 1): 3.50, ("dozen", 12): 40.20, ("case", 72): 150.00}
+    assert [p.price_type for p in out["S200"].prices] == ["piece"]  # nulls dropped
+    assert out["S200"].carton_quantity == 48
+
+
+def test_preseli_multi_currency(spark):
+    rows = [
+        ("P1", "Badge", "Badges", "1,20", "1,40", None, "5"),
+        ("P2", "Lanyard", "Lanyards", None, "0,90", "1,05", "10"),
+    ]
+    feeds = {"preseli_products": spark.createDataFrame(rows, suppliers.PRESELI_PRODUCTS)}
+    out = {r.supplier_product_code: r for r in suppliers.transform_preseli(feeds, spark).collect()}
+    assert {p.currency: p.amount for p in out["P1"].prices} == {"GBP": 1.20, "EUR": 1.40}
+    assert out["P1"].base_price == pytest.approx(1.20)
+    # GBP missing → EUR fallback for base price (F13 coalesce chain)
+    assert out["P2"].base_price == pytest.approx(0.90)
+    assert {p.currency for p in out["P2"].prices} == {"EUR", "USD"}
+
+
+def test_full_roster_registered():
+    assert set(list_suppliers()) == {
+        "midocean", "laltex", "xd", "keramikos", "pfconcept",
+        "sanmar", "ralawise", "ss", "preseli",
+    }
