@@ -350,6 +350,41 @@ def map_keys_values_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query(
+    "lateral_top2_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC
+                  LIMIT 2) o
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def lateral_top2_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer) — the
+    per-row-subquery surface; Catalyst decorrelates it into a ranked
+    window join rather than executing per-customer subqueries."""
+    from pim_etl_spark.sources import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM lat_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
+
+
 @query("approx_distinct_counts")  # rows-only: HLL sketches differ per engine
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the catalog-stats scale path —
