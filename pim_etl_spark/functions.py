@@ -118,11 +118,13 @@ def dims_from_string(c: Column | str) -> Column:
         F.nullif(F.try_element_at(parts, F.lit(i)), F.lit(""))
     )
     unit = F.lower(F.regexp_extract(norm, r"([A-Z]+)$", 1))
+    # a trailing word only counts as a unit when a numeric prefix parsed
+    has_dims = F.nullif(F.try_element_at(parts, F.lit(1)), F.lit("")).isNotNull()
     return F.struct(
         num(1).alias("length"),
         num(2).alias("width"),
         num(3).alias("height"),
-        F.when(unit == "", None).otherwise(unit).alias("unit"),
+        F.when((unit == "") | ~has_dims, None).otherwise(unit).alias("unit"),
     )
 
 
