@@ -1,0 +1,130 @@
+"""Extended analytics surface: distribution window functions,
+regression aggregates, boolean/bitwise aggregates, and edit-distance
+fuzzy matching (the product-name matching kernel a PIM needs when
+reconciling suppliers' catalogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "percent_rank_cume_dist",
+    oracle="""
+    -- floor-scaled, not rounded: cume_dist values are exact k/n
+    -- fractions that land on .5 rounding boundaries where HALF_UP
+    -- (Spark) and HALF_EVEN (DuckDB) disagree; floor is tie-free
+    SELECT c_nationkey, c_custkey,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+           CAST(floor(cume_dist()    OVER w * 1000000) AS BIGINT) AS cume_micro
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (SURVEY §2.5 extras)."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.floor(F.percent_rank().over(w) * 1_000_000).cast("bigint").alias("pct_rank_micro"),
+            F.floor(F.cume_dist().over(w) * 1_000_000).cast("bigint").alias("cume_micro"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@query(
+    "regression_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: price-vs-quantity fit per flag —
+    the catalog-analytics surface (slope/intercept/R²) as one
+    distributed aggregation pass."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "bool_bit_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           bit_and(o_custkey)              AS key_bit_and,
+           bit_or(o_custkey % 256)         AS key_bit_or
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean every/any and bitwise AND/OR aggregates."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.bit_and("o_custkey").alias("key_bit_and"),
+            F.bit_or(F.col("o_custkey") % 256).alias("key_bit_or"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    -- product-name reconciliation kernel: edit distance between
+    -- adjacent catalog entries, bucketed into a match histogram
+    WITH named AS (
+      SELECT p_partkey, p_name,
+             lead(p_name) OVER (ORDER BY p_partkey) AS next_name
+      FROM part
+    )
+    SELECT levenshtein(p_name, next_name) AS edit_distance,
+           count(*) AS n_pairs,
+           min(p_name) AS sample_name
+    FROM named
+    WHERE next_name IS NOT NULL
+    GROUP BY 1 ORDER BY edit_distance
+    """,
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein fuzzy matching (cross-supplier product-name
+    reconciliation — the dedup problem a PIM faces when two suppliers
+    sell the same item under slightly different names)."""
+    w = Window.orderBy("p_partkey")
+    named = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name")
+    )
+    return (
+        named.filter(F.col("next_name").isNotNull())
+        .groupBy(F.levenshtein("p_name", "next_name").alias("edit_distance"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("p_name").alias("sample_name"))
+        .orderBy("edit_distance")
+    )
