@@ -117,7 +117,7 @@ def decode_media(
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
            count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(md5(text)) AS min_checksum
     FROM documents
     GROUP BY 1 ORDER BY media_type

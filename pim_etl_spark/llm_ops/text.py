@@ -21,7 +21,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     SELECT lang,
            count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
     FROM documents
     GROUP BY lang ORDER BY lang
@@ -107,9 +107,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- BPE-ish pre-tokenization: word / number / punctuation pieces
     SELECT lang,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS total_pieces,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_pieces,
            round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))), 4) AS avg_pieces,
-           sum(len(text) - len(replace(text, ' ', ''))) AS total_spaces
+           CAST(sum(len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS total_spaces
     FROM documents
     GROUP BY lang ORDER BY lang
     """,

@@ -202,8 +202,9 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- mixed numeric/garbage strings: TRY_CAST nulls the garbage
     SELECT o_orderstatus,
            count(*) AS n,
-           sum(CASE WHEN TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS n_bad,
-           sum(TRY_CAST(mixed AS BIGINT)) AS total_parsed
+           -- outer CASTs: DuckDB sum(BIGINT) is HUGEINT, Spark's is BIGINT
+           CAST(sum(CASE WHEN TRY_CAST(mixed AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(sum(TRY_CAST(mixed AS BIGINT)) AS BIGINT) AS total_parsed
     FROM (
       SELECT o_orderstatus,
              CASE WHEN o_orderkey % 5 = 0 THEN 'N/A'
@@ -298,7 +299,10 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey,
            len(parts) AS n_parts,
-           parts[2:3] AS middle_two,
+           -- serialized: driver canonicalizer can't hash raw list cells
+           -- coalesce: slicing past the end is NULL in DuckDB but an
+           -- empty array (→ '') in Spark
+           coalesce(array_to_string(parts[2:3], ','), '') AS middle_two,
            CAST(list_position(parts, parts[1]) AS INT) AS first_pos,
            list_contains(parts, parts[len(parts)]) AS has_last
     FROM arr ORDER BY l_orderkey
@@ -315,7 +319,9 @@ def array_slice_position_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(
         "l_orderkey",
         F.size("parts").cast("long").alias("n_parts"),
-        F.slice("parts", 2, 2).alias("middle_two"),
+        F.array_join(F.transform(F.slice("parts", 2, 2), lambda x: x.cast("string")), ",").alias(
+            "middle_two"
+        ),
         F.array_position(F.col("parts"), F.col("parts")[0]).cast("int").alias("first_pos"),
         F.array_contains(F.col("parts"), F.element_at(F.col("parts"), -1)).alias("has_last"),
     ).orderBy("l_orderkey")
@@ -325,7 +331,8 @@ def array_slice_position_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_keys_values_ops",
     oracle="""
     SELECT source,
-           list_sort(list(DISTINCT lang)) AS langs,
+           -- serialized: driver canonicalizer can't hash raw list cells
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
            count(DISTINCT lang) AS n_langs,
            count(*) AS total_docs
     FROM documents GROUP BY source ORDER BY source
@@ -344,7 +351,7 @@ def map_keys_values_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return maps.select(
         "source",
-        F.array_sort(F.map_keys("m")).alias("langs"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("langs"),
         F.size("m").cast("long").alias("n_langs"),
         F.aggregate(F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x).alias("total_docs"),
     ).orderBy("source")
@@ -385,17 +392,35 @@ def lateral_top2_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_counts")  # rows-only: HLL sketches differ per engine
+@query(
+    "approx_distinct_counts",
+    oracle="""
+    -- sketch values differ per engine (HLL++ vs DuckDB's HLL), so the
+    -- checked output is the exact count plus a tolerance predicate each
+    -- engine evaluates against ITS OWN sketch — deterministic on both.
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= 0.1 * count(DISTINCT l_partkey) AS approx_within_10pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++): the catalog-stats scale path —
-    sketch implementations differ across engines so this is checked
-    rows-only; the exact twin is in catalog_stats_by_supplier."""
+    """approx_count_distinct (HLL++): the catalog-stats scale path.
+
+    Sketch estimates differ across engines, so the hashed output is the
+    exact count and a 10%-relative-error bound on the sketch — both
+    engines' HLL variants sit ~2% at this cardinality, so the boolean
+    is stable; the raw estimate stays unit-tested locally."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+            (
+                F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+                <= 0.1 * F.countDistinct("l_partkey")
+            ).alias("approx_within_10pct"),
         )
         .orderBy("l_returnflag")
     )

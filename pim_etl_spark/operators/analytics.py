@@ -100,30 +100,29 @@ def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_levenshtein_pairs",
     oracle="""
     -- product-name reconciliation kernel: edit distance between
-    -- adjacent catalog entries, bucketed into a match histogram
-    WITH named AS (
-      SELECT p_partkey, p_name,
-             lead(p_name) OVER (ORDER BY p_partkey) AS next_name
-      FROM part
-    )
-    SELECT levenshtein(p_name, next_name) AS edit_distance,
+    -- adjacent catalog entries (p_partkey is dense), bucketed into a
+    -- match histogram
+    SELECT levenshtein(a.p_name, b.p_name) AS edit_distance,
            count(*) AS n_pairs,
-           min(p_name) AS sample_name
-    FROM named
-    WHERE next_name IS NOT NULL
+           min(a.p_name) AS sample_name
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
     GROUP BY 1 ORDER BY edit_distance
     """,
 )
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein fuzzy matching (cross-supplier product-name
     reconciliation — the dedup problem a PIM faces when two suppliers
-    sell the same item under slightly different names)."""
-    w = Window.orderBy("p_partkey")
-    named = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name")
-    )
+    sell the same item under slightly different names).
+
+    Adjacent pairs come from a hash self-join on ``p_partkey + 1`` —
+    the same shape as ngram_jaccard_pairs — NOT a global
+    ``Window.orderBy``, which would pull the whole table into one task.
+    The join shuffles both sides on the key and stays fully parallel at
+    any scale."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    b = part.select((F.col("p_partkey") - 1).alias("join_key"), F.col("p_name").alias("next_name"))
     return (
-        named.filter(F.col("next_name").isNotNull())
+        part.join(b, part["p_partkey"] == b["join_key"])
         .groupBy(F.levenshtein("p_name", "next_name").alias("edit_distance"))
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("p_name").alias("sample_name"))
         .orderBy("edit_distance")

@@ -65,7 +65,8 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           -- outer CAST: DuckDB sum(BIGINT) is HUGEINT, Spark's is BIGINT
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -90,7 +91,9 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_event_types",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           -- serialized to a string: the driver canonicalizer can't
+           -- hash raw list cells (catalog.py convention)
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
            count(*) AS n_events
     FROM events
     GROUP BY user_id ORDER BY user_id
@@ -98,12 +101,13 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array re-nesting with deterministic sort (SURVEY N1 re-nest /
-    F15): collect_set→array_sort keeps the output hashable."""
+    F15): collect_set→array_sort, serialized with array_join so the
+    output stays hashable by the driver."""
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")

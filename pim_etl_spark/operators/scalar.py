@@ -46,7 +46,8 @@ def eu_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- synthesize "1.234" style thousands-dotted ints from o_orderkey
     SELECT o_orderstatus,
-           sum(CAST(replace(replace(format('{:,}', o_orderkey), ',', '.'), '.', '') AS BIGINT)) AS parsed_sum,
+           -- outer CAST: DuckDB sum(BIGINT) is HUGEINT, Spark's is BIGINT
+           CAST(sum(CAST(replace(replace(format('{:,}', o_orderkey), ',', '.'), '.', '') AS BIGINT)) AS BIGINT) AS parsed_sum,
            count(*) AS n
     FROM orders
     GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -94,7 +95,7 @@ def money_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT upper(p_brand) AS brand_upper,
            count(*) AS n,
-           sum(CASE WHEN contains(upper(p_type), 'ECO') THEN 1 ELSE 0 END) AS n_eco,
+           CAST(sum(CASE WHEN contains(upper(p_type), 'ECO') THEN 1 ELSE 0 END) AS BIGINT) AS n_eco,
            min(lower(p_name)) AS first_name_lower
     FROM part
     GROUP BY upper(p_brand) ORDER BY brand_upper
@@ -179,8 +180,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n,
            round(sum(coalesce(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0)), 2) AS big_total,
-           sum(CASE WHEN CASE WHEN o_totalprice > 100000 THEN o_totalprice END IS NULL
-                    THEN 1 ELSE 0 END) AS n_defaulted
+           CAST(sum(CASE WHEN CASE WHEN o_totalprice > 100000 THEN o_totalprice END IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )

@@ -70,7 +70,11 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_flatten_sorted",
     oracle="""
     SELECT l_orderkey,
-           list_sort(flatten(list([l_quantity, l_discount]))) AS all_values,
+           -- serialized with fixed %.2f rendering: the driver can't
+           -- hash raw list cells, and float→string repr must agree
+           array_to_string(
+             list_transform(list_sort(flatten(list([l_quantity, l_discount]))),
+                            x -> printf('%.2f', x)), ',') AS all_values,
            CAST(len(flatten(list([l_quantity, l_discount]))) AS BIGINT) AS n_values
     FROM lineitem
     GROUP BY l_orderkey ORDER BY l_orderkey
@@ -78,13 +82,20 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_flatten_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array flatten (array-of-arrays → array) with a
-    deterministic sort for hashability (SURVEY §7.4)."""
+    deterministic sort + fixed-format string serialization for
+    hashability (SURVEY §7.4)."""
     li = load_table(spark, sf_dir, "lineitem")
     nested = F.collect_list(F.array(F.col("l_quantity"), F.col("l_discount")))
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.flatten(nested)).alias("all_values"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.flatten(nested)),
+                    lambda x: F.format_string("%.2f", x),
+                ),
+                ",",
+            ).alias("all_values"),
             F.size(F.flatten(nested)).cast("bigint").alias("n_values"),
         )
         .orderBy("l_orderkey")

@@ -155,7 +155,9 @@ def customer_rank_lag_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id,
+           -- windowed sum(INT) is HUGEINT in DuckDB; Spark emits BIGINT
+           CAST(session_seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
            round(sum(value), 2) AS session_value
     FROM sessions
