@@ -54,13 +54,15 @@ ACTIVE_SENTINEL = "2099-12-31"
 
 def derive_status(discontinued_date: Column | str, plc_status: Column | str) -> Column:
     """'discontinued' if the discontinued date is real (≠ 2099-12-31
-    sentinel) or the PLC status mentions DISCONTINUED, else 'active'.
+    sentinel, non-empty) or the PLC status mentions DISCONTINUED, else
+    'active'. Falsy ''/null dates are ACTIVE — the reference's
+    ``if discontinued_date and ...`` truthiness check.
 
     Reference: etl/transformers/midocean_transformer.py:477-489.
     """
     d = F.col(discontinued_date) if isinstance(discontinued_date, str) else discontinued_date
     s = F.col(plc_status) if isinstance(plc_status, str) else plc_status
-    discontinued = (d.isNotNull() & (d != ACTIVE_SENTINEL)) | F.upper(
+    discontinued = (d.isNotNull() & (d != "") & (d != ACTIVE_SENTINEL)) | F.upper(
         F.coalesce(s, F.lit(""))
     ).contains("DISCONTINUED")
     return F.when(discontinued, F.lit("discontinued")).otherwise(F.lit("active"))

@@ -175,49 +175,92 @@ def batched_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 10
 N_PROBES = 3
 
+# IVF index store: built ONCE per (session, table) and written to
+# parquet; every query reuses the stored assignment. The round-1 shape
+# recomputed cell assignment (plus a driver-side count job) inside
+# every query — at 100 TB the index build is a batch job and the
+# search must touch only ~N_PROBES/N_CENTROIDS of the stored cells.
+_IVF_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _best_cells(cells_col: Column, vec: Column, k: int) -> Column:
+    """Top-k centroid cells for ``vec`` by cosine (broadcast argmax)."""
+    scored = F.transform(
+        cells_col,
+        lambda c: F.struct(F.round(cosine(vec, c["cv"]), 6).alias("sim"), c["cell"].alias("cell")),
+    )
+    ordered = F.reverse(F.array_sort(scored))  # by (sim, cell) desc
+    return F.slice(F.transform(ordered, lambda s: s["cell"]), 1, k)
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS) -> str:
+    """Build and persist the IVF index for the embeddings table.
+
+    Centroids are a deterministic pseudo-random sample: the
+    ``n_centroids`` rows with the smallest ``xxhash64(vec_id)`` —
+    a TakeOrdered (per-partition heaps), NO count job, no full sort.
+    At real scale they'd come from k-means, but the *storage shape* is
+    the point: (vec_id, cell) lands in parquet next to the table, and
+    the per-row argmin broadcast-compares against 10 centroids only at
+    build time. Returns the index directory.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, f"{sf_dir}:{n_centroids}")
+    if key in _IVF_INDEX_DIRS:
+        return _IVF_INDEX_DIRS[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    picked = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("hk"))
+        .orderBy("hk")
+        .limit(n_centroids)
+    )
+    # row_number over the 10 picked rows only — not a global window
+    centroids = picked.withColumn(
+        "cell", F.row_number().over(Window.orderBy("hk")) - 1
+    ).select("cell", _as_double(F.col("embedding")).alias("cv"))
+
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    centroids.write.mode("overwrite").parquet(f"{d}/centroids.parquet")
+    cells_df = spark.read.parquet(f"{d}/centroids.parquet")
+    cell_list = cells_df.groupBy().agg(F.collect_list(F.struct("cell", "cv")).alias("cells"))
+    assigned = (
+        emb.join(F.broadcast(cell_list))
+        .withColumn("cell", _best_cells(F.col("cells"), _as_double(F.col("embedding")), 1)[0])
+        .drop("cells")
+    )
+    # partitioned by cell: probing reads only the probed cells' files
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{d}/assignment.parquet")
+    _IVF_INDEX_DIRS[key] = d
+    return d
+
 
 @query("ann_ivf_topk")  # rows-only: centroid choice is engine-side
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k (SURVEY §2.10 scale path #2):
-    partition the corpus into centroid cells, probe only the cells
-    nearest the query, exact-rescore inside them.
+    probe only the stored cells nearest the query, exact-rescore
+    inside them.
 
-    Centroids are a deterministic sample (every ⌈N/10⌉-th vec_id) —
-    at real scale they come from k-means; the *query shape* is the
-    point: cell assignment is a broadcast-argmin computed once and
-    stored with the table, so a search touches ~N_PROBES/N_CENTROIDS
-    of the data. Recall vs brute force asserted in tests/test_llm_ops.py.
+    The index (centroids + cell-partitioned assignment parquet) is
+    built once by ``build_ivf_index`` and reused across queries; this
+    query's plan contains no count job and no per-row re-assignment —
+    the ``cell IN probe_cells`` filter prunes whole partitions of the
+    stored index. Recall vs brute force asserted in tests/test_llm_ops.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    step = max(n // N_CENTROIDS, 1)
-    centroids = (
-        emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") < step * N_CENTROIDS))
-        .select((F.col("vec_id") / step).cast("int").alias("cell"), _as_double(F.col("embedding")).alias("cv"))
-    )
-    cell_list = centroids.groupBy().agg(
-        F.collect_list(F.struct("cell", "cv")).alias("cells")
-    )
-
-    def best_cells(vec: Column, k: int) -> Column:
-        scored = F.transform(
-            F.col("cells"),
-            lambda c: F.struct(F.round(cosine(vec, c["cv"]), 6).alias("sim"), c["cell"].alias("cell")),
-        )
-        ordered = F.reverse(F.array_sort(scored))  # by (sim, cell) desc
-        return F.slice(F.transform(ordered, lambda s: s["cell"]), 1, k)
-
-    assigned = (
-        emb.crossJoin(F.broadcast(cell_list))
-        .withColumn("cell", best_cells(_as_double(F.col("embedding")), 1)[0])
-        .drop("cells")
-    )
+    d = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(f"{d}/assignment.parquet")
+    cells_df = spark.read.parquet(f"{d}/centroids.parquet")
+    cell_list = cells_df.groupBy().agg(F.collect_list(F.struct("cell", "cv")).alias("cells"))
     qrow = (
         assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .crossJoin(F.broadcast(cell_list))
+        .join(F.broadcast(cell_list))
         .select(
             _as_double(F.col("embedding")).alias("qv"),
-            best_cells(_as_double(F.col("embedding")), N_PROBES).alias("probe_cells"),
+            _best_cells(F.col("cells"), _as_double(F.col("embedding")), N_PROBES).alias(
+                "probe_cells"
+            ),
         )
     )
     candidates = (

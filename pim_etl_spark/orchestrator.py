@@ -95,10 +95,22 @@ def run_sync(
         )
         unified = unified.filter(ts >= F.lit(since).cast("timestamp"))
 
-    try:
-        existing = spark.read.parquet(gold_path).localCheckpoint(eager=True)
+    # Bootstrap fallback applies ONLY when gold genuinely does not
+    # exist yet — any other read failure propagates. A bare except here
+    # would let a transient/corrupt read silently shrink gold to the
+    # incoming subset (fatal in --since mode) and still report success.
+    from pim_etl_spark.pipeline.gold import atomic_overwrite, read_table_recovering
+
+    gold_exists = os.path.exists(gold_path) or os.path.exists(gold_path + ".__old__")
+    if gold_exists:
+        existing = read_table_recovering(spark, gold_path)
         merged = apply_upsert(existing, unified, keys=["product_id"], order_col="last_sync")
-    except Exception:
+    elif since:
+        raise FileNotFoundError(
+            f"incremental sync (--since {since}) requires an existing gold table at "
+            f"{gold_path}; run a full sync first"
+        )
+    else:
         merged = unified
 
     # ETLResult counters (SURVEY A4, etl/base.py:236-237) measured
@@ -111,7 +123,7 @@ def run_sync(
         F.count(F.lit(1)).alias("processed"),
         F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
     )
-    merged.write.mode("overwrite").partitionBy("supplier_id").parquet(gold_path)
+    atomic_overwrite(merged, gold_path, partition_by=("supplier_id",))
     metrics = obs.get
     n_before = metrics["processed"]
     per_supplier = {

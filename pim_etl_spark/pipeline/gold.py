@@ -10,9 +10,11 @@ compose and stay testable without a metastore.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -67,3 +69,42 @@ def write_gold(df: DataFrame, path: str, partition_by: Sequence[str] = ("supplie
     partition column — SURVEY §4 100 TB note: combine with a date
     column for real feeds)."""
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+_OLD_SUFFIX = ".__old__"
+_SNAP_SUFFIX = ".__snapshot__"
+
+
+def atomic_overwrite(df: DataFrame, path: str, partition_by: Sequence[str] = ()) -> None:
+    """Overwrite ``path`` via snapshot-dir swap so a mid-write failure
+    can never destroy the current table.
+
+    The whole (expensive) write lands in a side snapshot dir first —
+    the live table stays untouched and readable throughout, and the
+    plan may lazily scan ``path`` itself (no localCheckpoint needed,
+    the scan completes before any rename). The swap is two directory
+    renames; ``read_table_recovering`` heals the microsecond-wide
+    window between them. On an object store this maps to the same
+    pattern with a manifest/pointer commit (or Delta/Iceberg).
+    """
+    snap = path + _SNAP_SUFFIX
+    old = path + _OLD_SUFFIX
+    shutil.rmtree(snap, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snap)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(snap, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_table_recovering(spark: SparkSession, path: str) -> DataFrame:
+    """Read a swap-managed table, healing an interrupted swap: if the
+    live dir is missing but the prior snapshot survives, restore it."""
+    old = path + _OLD_SUFFIX
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    return spark.read.parquet(path)

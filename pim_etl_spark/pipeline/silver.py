@@ -25,6 +25,12 @@ the variant explode to merge the two exchanges into one. That
 duplicates every product scalar once per variant (~10×) across the
 exchange, shipping strictly more bytes than exchanging products once —
 the join-after-agg shape wins whenever variants-per-product > 1.
+
+Intentional deviation from the reference: product-level ``status`` is
+DERIVED (discontinued iff every variant is discontinued) where
+transform_products in the reference hardcodes ACTIVE
+(midocean_transformer.py:186) — a product whose variants are all dead
+should not report active; the per-variant statuses match exactly.
 """
 
 from __future__ import annotations
@@ -174,7 +180,12 @@ def build_print_options(printprices: DataFrame, decode: DataFrame) -> DataFrame:
     per technique, and collapse to ONE row holding the full options
     array — broadcast-cross-joined onto every product (the reference
     attaches the entire technique pricelist product-agnostically,
-    position='various', midocean_transformer.py:464)."""
+    position='various', midocean_transformer.py:464).
+
+    Scales from ALL area ranges flatten into each option's price list
+    (midocean_transformer.py:446-460 iterates every var_costs range) —
+    tiers sort by (min_quantity, amount) so the duplicate quantity
+    bands the multi-range feed produces stay deterministic."""
     decoded = printprices.join(F.broadcast(decode), "technique_id", "inner")
     price = F.struct(
         F.col("amount"),
@@ -184,12 +195,13 @@ def build_print_options(printprices: DataFrame, decode: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("max_quantity"),
         F.lit(None).cast("string").alias("valid_until"),
     )
-    tier_cmp = lambda l, r: F.when(  # noqa: E731 — sort tiers by min qty ascending
+    tier_cmp = lambda l, r: F.when(  # noqa: E731 — (min qty, amount) ascending
         l["min_quantity"] < r["min_quantity"], -1
-    ).when(l["min_quantity"] > r["min_quantity"], 1).otherwise(0)
+    ).when(l["min_quantity"] > r["min_quantity"], 1).when(
+        l["amount"] < r["amount"], -1
+    ).when(l["amount"] > r["amount"], 1).otherwise(0)
     per_technique = (
-        decoded.filter(F.col("area_from") == 0)  # base area range only
-        .groupBy("technique_id", "technique")
+        decoded.groupBy("technique_id", "technique")
         .agg(
             F.first("setup_cost").alias("setup_cost"),
             F.array_sort(F.collect_list(price), tier_cmp).alias("prices"),
@@ -245,6 +257,18 @@ def attach_stock(unified: DataFrame, stock: DataFrame) -> DataFrame:
                     F.col("first_arrival_qty"),
                     F.col("next_arrival_date"),
                     F.col("next_arrival_qty"),
+                    # unified.jsonc:244-256 locations array; the
+                    # midocean feed is single-warehouse so it carries
+                    # one implicit MAIN location holding the full qty
+                    # (dialects with real warehouse rows — ralawise —
+                    # fill this with per-location entries)
+                    F.array(
+                        F.struct(
+                            F.lit("MAIN").alias("id"),
+                            F.lit("Main warehouse").alias("name"),
+                            F.col("quantity").cast("long").alias("qty"),
+                        )
+                    ).alias("locations"),
                 )
             ),
         ).alias("v"),

@@ -515,15 +515,23 @@ RALAWISE_STOCK = StructType(
 def transform_ralawise(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
     """Per-location stock rollup (unified.jsonc per-location stock
     model, :244-256 — a shape no other dialect exercises): warehouse
-    rows fold into a location→qty map per product plus a total, so
-    stock queries prune to the map without exploding rows."""
+    rows fold into the unified ``locations`` array-of-structs
+    (id/name/qty) plus a location→qty map and a total, so stock
+    queries prune to the nested column without exploding rows."""
     products = feeds["ralawise_products"]
     stock = feeds["ralawise_stock"].select(
         "ProductCode",
         "LocationCode",
+        "LocationName",
         pf.parse_thousands_int("FreeStock").alias("free_stock"),
     )
+    loc = F.struct(
+        F.col("LocationCode").alias("id"),
+        F.col("LocationName").alias("name"),
+        F.col("free_stock").alias("qty"),
+    )
     per_product = stock.groupBy("ProductCode").agg(
+        F.array_sort(F.collect_list(loc)).alias("stock_locations"),
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("LocationCode", "free_stock")))
         ).alias("stock_by_location"),
@@ -539,6 +547,7 @@ def transform_ralawise(feeds: dict[str, DataFrame], spark: SparkSession) -> Data
         F.lit("active").alias("status"),
         F.col("Colour").alias("color_name"),
         F.col("Size").alias("size"),
+        F.col("stock_locations"),
         F.col("stock_by_location"),
         F.coalesce(F.col("total_stock"), F.lit(0)).alias("total_stock"),
         # derived status the reference models as out_of_stock

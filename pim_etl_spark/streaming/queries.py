@@ -133,18 +133,22 @@ def incremental_upsert_stream(
     Each micro-batch applies ReplaceOne-upsert semantics with the gold
     layer's window dedup; exercised in tests/test_streaming.py.
     """
-    from pim_etl_spark.pipeline.gold import apply_upsert
+    import os
+
+    from pim_etl_spark.pipeline.gold import apply_upsert, atomic_overwrite, read_table_recovering
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            # materialize before overwriting the same path (lazy scan of
-            # gold_path + overwrite of gold_path would corrupt); at real
-            # scale this is a snapshot-dir swap or Delta MERGE instead
-            existing = spark.read.parquet(gold_path).localCheckpoint(eager=True)
-        except Exception:
+        # snapshot-dir swap (gold.atomic_overwrite): the merge plan may
+        # lazily scan the live gold dir because the whole write lands in
+        # a side snapshot first — a crash mid-write leaves the current
+        # gold intact, and the only fallback is gold-not-yet-created
+        # (other read failures must propagate, not truncate gold).
+        if os.path.exists(gold_path) or os.path.exists(gold_path + ".__old__"):
+            existing = read_table_recovering(spark, gold_path)
+        else:
             existing = spark.createDataFrame([], batch_df.schema)
         merged = apply_upsert(existing, batch_df, keys=keys, order_col=order_col)
-        merged.write.mode("overwrite").parquet(gold_path)
+        atomic_overwrite(merged, gold_path)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()

@@ -289,6 +289,8 @@ def test_stock_attach(spark, feeds, unified):
     for sku, st in rows.items():
         assert st is not None, f"stock missing for {sku}"
         assert st.quantity == raw[sku].qty
+        # unified locations array: single-warehouse feed → one MAIN entry
+        assert [(loc.id, loc.qty) for loc in st.locations] == [("MAIN", raw[sku].qty)]
         if raw[sku].first_arrival_date:
             assert str(st.first_arrival_date) == raw[sku].first_arrival_date
             hits += 1
@@ -315,3 +317,40 @@ def test_permissive_json_corrupt_capture(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
     assert "not json" in bad.collect()[0]._corrupt_record
+
+
+def test_atomic_overwrite_survives_midwrite_failure(spark, tmp_path):
+    """A writer dying mid-write must leave the previous gold intact and
+    readable — the snapshot lands off to the side before any swap."""
+    path = str(tmp_path / "gold.parquet")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    gold.atomic_overwrite(v1, path)
+    assert sorted(r.v for r in spark.read.parquet(path).collect()) == ["a", "b"]
+
+    # poison plan: evaluation raises inside the snapshot write
+    poison = spark.createDataFrame([(1,)], "k int").select(
+        (F.lit(1) / F.col("k").cast("int") - F.lit(1)).alias("k"),
+        F.raise_error(F.lit("writer killed mid-batch")).alias("v"),
+    )
+    with pytest.raises(Exception, match="writer killed"):
+        gold.atomic_overwrite(poison, path)
+    # gold unchanged and readable
+    assert sorted(r.v for r in spark.read.parquet(path).collect()) == ["a", "b"]
+
+    v2 = spark.createDataFrame([(1, "c")], "k int, v string")
+    gold.atomic_overwrite(v2, path)
+    assert [r.v for r in spark.read.parquet(path).collect()] == ["c"]
+
+
+def test_atomic_overwrite_interrupted_swap_recovers(spark, tmp_path):
+    """Crash between the two swap renames (live dir gone, old snapshot
+    present) heals on the next read."""
+    import os
+
+    path = str(tmp_path / "gold.parquet")
+    v1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    gold.atomic_overwrite(v1, path)
+    os.rename(path, path + ".__old__")  # simulate mid-swap crash
+    healed = gold.read_table_recovering(spark, path)
+    assert [r.v for r in healed.collect()] == ["a"]
+    assert os.path.exists(path)

@@ -166,6 +166,11 @@ def test_ralawise_per_location_stock(spark):
     assert out["RW1"].availability == "in_stock"
     assert out["RW2"].total_stock == 0
     assert out["RW2"].availability == "out_of_stock"
+    # unified locations array (unified.jsonc:244-256): typed id/name/qty
+    locs = {loc.id: loc for loc in out["RW1"].stock_locations}
+    assert locs["MAN"].name == "Manchester" and locs["MAN"].qty == 1200
+    assert locs["LON"].name == "London" and locs["LON"].qty == 300
+    assert [loc.qty for loc in out["RW2"].stock_locations] == [0]
 
 
 def test_ss_price_types(spark):
