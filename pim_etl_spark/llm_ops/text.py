@@ -16,6 +16,45 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 @query(
+    "text_search_ranked",
+    oracle="""
+    -- the S16 text-index read intent (unified_product_schema.py's
+    -- MongoDB text index on name): multi-term containment search with
+    -- a term-hit relevance score; at scale the same query runs against
+    -- an inverted-index table (token → doc posting list) built with
+    -- the explode+groupBy shape of explode_name_tokens
+    SELECT doc_id, lang,
+           (CASE WHEN contains(lower(text), 'spark')  THEN 1 ELSE 0 END
+          + CASE WHEN contains(lower(text), 'stream') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END) AS score
+    FROM documents
+    WHERE contains(lower(text), 'spark')
+       OR contains(lower(text), 'stream')
+       OR contains(lower(text), 'window')
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def text_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized text search with relevance ranking (SURVEY S16 — the
+    reference declares a MongoDB text index on ``name``; this honors
+    the read side of that intent). Scan-local scoring, top-k via
+    TakeOrderedAndProject — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "stream", "window")
+    low = F.lower(F.col("text"))
+    hits = [F.when(low.contains(t), 1).otherwise(0) for t in terms]
+    score = hits[0] + hits[1] + hits[2]
+    return (
+        docs.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "lang", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+@query(
     "text_stats_by_lang",
     oracle="""
     SELECT lang,

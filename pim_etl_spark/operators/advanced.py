@@ -144,6 +144,39 @@ def map_build_and_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multilingual_text_maps",
+    oracle="""
+    -- oracle computes the per-language projections directly; the
+    -- Spark side materializes the unified {lang: text} MapType column
+    -- (unified.jsonc:25-33) and projects element_at lookups out of it
+    SELECT source,
+           min(CASE WHEN lang = 'en' THEN substring(text, 1, 16) END) AS name_en,
+           min(CASE WHEN lang = 'de' THEN substring(text, 1, 16) END) AS name_de,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def multilingual_text_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual text-map round trip (SURVEY §7.4 risk 6 / the
+    silver layer's names/descriptions model): fold per-language rows
+    into a ``{lang: text}`` map per key, then project per-language
+    scalars back out with element_at — absent languages stay null."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.min(F.substring("text", 1, 16)).alias("nm")
+    )
+    maps = per_lang.groupBy("source").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("lang", "nm")))).alias("names")
+    )
+    return maps.select(
+        "source",
+        F.element_at(F.col("names"), "en").alias("name_en"),
+        F.element_at(F.col("names"), "de").alias("name_de"),
+        F.size("names").cast("long").alias("n_langs"),
+    ).orderBy("source")
+
+
+@query(
     "sliding_window_counts",
     oracle="""
     -- 1-hour windows sliding every 30 minutes: each event lands in 2

@@ -27,7 +27,7 @@ def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds = fixtures.feed_frames(spark, n_masters=40)
     unified = silver.transform_products(
         feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
-        feeds["mo_printprices"], spark,
+        feeds["mo_printprices"], spark, localized_raw=feeds["mo_products_i18n"],
     )
     return unified.select(
         "product_id",
@@ -35,6 +35,7 @@ def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "is_printable",
         "base_price",
+        F.size("names").alias("n_languages"),
         F.size("variants").alias("n_variants"),
         F.size("categories").alias("n_categories"),
         F.size("print_positions").alias("n_print_positions_built"),
@@ -116,6 +117,60 @@ def catalog_stats_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
         .orderBy("supplier_id")
+    )
+
+
+@query(
+    "shipping_tier_resolution",
+    oracle="""
+    -- carton-banded shipping-charge resolution (unified.jsonc:377-406):
+    -- open top band ("11+"), flat charge with per-carton fallback
+    WITH bands(service, carton_from, carton_to, flat_charge, per_carton) AS (
+      VALUES ('ukstandard', 1, 2, 18.85, CAST(NULL AS DOUBLE)),
+             ('ukstandard', 3, 10, CAST(NULL AS DOUBLE), 5.90),
+             ('ukstandard', 11, CAST(NULL AS INT), CAST(NULL AS DOUBLE), 4.10)
+    ), orders_cartons AS (
+      SELECT l_orderkey, CAST(ceil(sum(l_quantity) / 40.0) AS INT) AS n_cartons
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT b.carton_from AS band_from,
+           count(*) AS n_orders,
+           round(sum(coalesce(b.flat_charge, b.per_carton * o.n_cartons)), 2) AS total_charge
+    FROM orders_cartons o
+    JOIN bands b ON o.n_cartons >= b.carton_from
+               AND (b.carton_to IS NULL OR o.n_cartons <= b.carton_to)
+    GROUP BY b.carton_from ORDER BY band_from
+    """,
+)
+def shipping_tier_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-charge band resolution at warehouse scale: order
+    quantities roll up to carton counts, a broadcast range join picks
+    each order's band (open-ended top band), and the charge falls back
+    from flat to per-carton. The band table is tiny → broadcast; the
+    fact side shuffles once for the rollup only."""
+    bands = spark.createDataFrame(
+        [(1, 2, 18.85, None), (3, 10, None, 5.90), (11, None, None, 4.10)],
+        "carton_from int, carton_to int, flat_charge double, per_carton double",
+    )
+    cartons = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.ceil(F.sum("l_quantity") / 40.0).cast("int").alias("n_cartons"))
+    )
+    joined = cartons.join(
+        F.broadcast(bands),
+        (F.col("n_cartons") >= F.col("carton_from"))
+        & (F.col("carton_to").isNull() | (F.col("n_cartons") <= F.col("carton_to"))),
+    )
+    return (
+        joined.groupBy(F.col("carton_from").alias("band_from"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("flat_charge"), F.col("per_carton") * F.col("n_cartons"))), 2
+            ).alias("total_charge"),
+        )
+        .orderBy("band_from")
     )
 
 

@@ -43,6 +43,8 @@ def load_supplier_feeds(spark: SparkSession, feeds_dir: str, supplier_id: str) -
                 feeds[feed_name] = read_feed(spark, path, schema)
                 break
         else:
+            if feed_name in spec.optional_feeds:
+                continue  # e.g. extra-language fetches not landed
             raise FileNotFoundError(f"feed {feed_name} for {supplier_id} not found under {base}")
     return feeds
 

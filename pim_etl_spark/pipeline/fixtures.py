@@ -138,6 +138,16 @@ def build_feed_rows(n_masters: int = 40):
                 "net_weight_unit": "kg",
                 "inner_carton_quantity": str(10 + m % 10),
                 "outer_carton_quantity": _thousands(1000 + m * 10) if m % 9 == 0 else str(40 + m % 60),
+                "carton_length": _eu(0.3 + (m % 10) / 20),
+                "carton_length_unit": "m",
+                "carton_width": _eu(0.2 + (m % 8) / 25),
+                "carton_width_unit": "m",
+                "carton_height": _eu(0.15 + (m % 6) / 30),
+                "carton_height_unit": "m",
+                "carton_volume": _eu(0.02 + (m % 12) / 500),
+                "carton_volume_unit": "m3",
+                "carton_gross_weight": _eu(8.0 + (m % 30) / 4) if m % 5 != 4 else None,
+                "carton_gross_weight_unit": "kg",
                 "printable": ["yes", "no", "YES", ""][m % 4],
                 "number_of_print_positions": str(1 + m % 4),
                 "timestamp": "2025-03-07T08:09:46",
@@ -184,6 +194,30 @@ def build_feed_rows(n_masters: int = 40):
                         "next_price": _eu(1.0 + ti * 0.05) if ti % 2 == 0 else "",
                     }
                 )
+    # localized fetches (language-parameterized API): German for every
+    # master, French for every third — so maps carry 2–3 languages
+    i18n = []
+    for m in range(n_masters):
+        code = f"PR{1000 + m}"
+        i18n.append(
+            {
+                "master_code": code,
+                "language": "de",
+                "product_name": f"Beispielprodukt {m}",
+                "short_description": f"Kurzbeschreibung {m}",
+                "long_description": f"Langbeschreibung {m} mit Details",
+            }
+        )
+        if m % 3 == 0:
+            i18n.append(
+                {
+                    "master_code": code,
+                    "language": "fr",
+                    "product_name": f"Produit exemple {m}",
+                    "short_description": f"Description courte {m}",
+                    "long_description": None,  # partial translation: key absent from the map
+                }
+            )
     rng.shuffle(pricelist)  # feed order is not sorted; pipeline must not rely on it
     return {
         "mo_products": products,
@@ -191,6 +225,7 @@ def build_feed_rows(n_masters: int = 40):
         "mo_printdata": printdata,
         "mo_printprices": printprices,
         "mo_stock": stock,
+        "mo_products_i18n": i18n,
     }
 
 
@@ -200,6 +235,7 @@ FEED_SCHEMAS = {
     "mo_printdata": schemas.MO_PRINTDATA,
     "mo_printprices": schemas.MO_PRINTPRICES,
     "mo_stock": schemas.MO_STOCK,
+    "mo_products_i18n": schemas.MO_PRODUCTS_I18N,
 }
 
 
@@ -219,6 +255,13 @@ def build_other_supplier_rows():
             (code, "50", "249", f"£{1.5 + i * 0.25:.2f}"),
             (code, "250", "N/A", f"£{1 + i * 0.25:.2f}"),
         ]
+    laltex_shipping = [
+        ("ukstandard", "UK STANDARD", "1", "2", "£18.85", "N/A"),
+        ("ukstandard", "UK STANDARD", "3", "10", "N/A", "£5.90"),
+        ("ukstandard", "UK STANDARD", "11", "N/A", "N/A", "£4.10"),
+        ("ukprenoon", "UK PRE-NOON", "1", "5", "£32.00", "N/A"),
+        ("ukprenoon", "UK PRE-NOON", "6", "N/A", "N/A", "£6.50"),
+    ]
     xd_products = []
     for i in range(6):
         row = {
@@ -245,7 +288,11 @@ def build_other_supplier_rows():
             for c in ("1", "2"):
                 keramikos_grid.append((code, q, c, f"{1 + int(q) / 1000 + int(c) * 0.3:.2f}".replace(".", ",")))
     return {
-        "laltex": {"laltex_products": laltex_products, "laltex_pricebands": laltex_bands},
+        "laltex": {
+            "laltex_products": laltex_products,
+            "laltex_pricebands": laltex_bands,
+            "laltex_shipping": laltex_shipping,
+        },
         "xd": {"xd_products": xd_products},
         "keramikos": {"keramikos_products": keramikos_products, "keramikos_printgrid": keramikos_grid},
     }
@@ -257,7 +304,11 @@ def all_supplier_feeds(spark: SparkSession, n_masters: int = 40) -> dict[str, di
     from pim_etl_spark.pipeline import suppliers as sup
 
     schemas_by_supplier = {
-        "laltex": {"laltex_products": sup.LALTEX_PRODUCTS, "laltex_pricebands": sup.LALTEX_PRICEBANDS},
+        "laltex": {
+            "laltex_products": sup.LALTEX_PRODUCTS,
+            "laltex_pricebands": sup.LALTEX_PRICEBANDS,
+            "laltex_shipping": sup.LALTEX_SHIPPING,
+        },
         "xd": {"xd_products": sup.XD_PRODUCTS},
         "keramikos": {
             "keramikos_products": sup.KERAMIKOS_PRODUCTS,

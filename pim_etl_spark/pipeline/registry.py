@@ -30,6 +30,9 @@ class SupplierSpec:
     # and the fields a row must carry to be transformable
     primary_feed: str = ""
     required_fields: tuple = ()
+    # feeds the transform can work without (e.g. extra-language
+    # fetches) — the orchestrator skips them when not landed
+    optional_feeds: tuple = ()
     extra: dict = field(default_factory=dict)
 
 
@@ -84,6 +87,7 @@ def _register_midocean() -> None:
             feeds["mo_printdata"],
             feeds["mo_printprices"],
             spark,
+            localized_raw=feeds.get("mo_products_i18n"),
         )
 
     register_supplier(
@@ -98,7 +102,9 @@ def _register_midocean() -> None:
                 "mo_printdata": schemas.MO_PRINTDATA,
                 "mo_printprices": schemas.MO_PRINTPRICES,
                 "mo_stock": schemas.MO_STOCK,
+                "mo_products_i18n": schemas.MO_PRODUCTS_I18N,
             },
+            optional_feeds=("mo_products_i18n",),
             transform=_transform,
         )
     )

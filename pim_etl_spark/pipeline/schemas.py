@@ -76,6 +76,18 @@ MO_PRODUCTS = StructType(
         _s("net_weight_unit"),
         _s("inner_carton_quantity"),
         _s("outer_carton_quantity"),
+        # outer-carton logistics block (sample data :31-40): EU-string
+        # numerics + units, feeding the unified packaging struct
+        _s("carton_length"),
+        _s("carton_length_unit"),
+        _s("carton_width"),
+        _s("carton_width_unit"),
+        _s("carton_height"),
+        _s("carton_height_unit"),
+        _s("carton_volume"),
+        _s("carton_volume_unit"),
+        _s("carton_gross_weight"),
+        _s("carton_gross_weight_unit"),
         _s("printable"),
         _s("number_of_print_positions"),
         _s("timestamp"),
@@ -122,6 +134,20 @@ MO_PRINTPRICES = StructType(
         _s("minimum_quantity"),
         _s("price"),
         _s("next_price"),
+    ]
+)
+
+# Localized text feed: the MidOcean product API is language-
+# parameterized (etl/extractors/midocean_extractor.py:144-148 passes
+# ?language=); each extra-language fetch re-lands the textual fields
+# as one row per (master_code, language).
+MO_PRODUCTS_I18N = StructType(
+    [
+        _s("master_code"),
+        _s("language"),
+        _s("product_name"),
+        _s("short_description"),
+        _s("long_description"),
     ]
 )
 

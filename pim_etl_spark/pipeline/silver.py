@@ -35,7 +35,7 @@ should not report active; the per-variant statuses match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pim_etl_spark import functions as pf
@@ -283,14 +283,59 @@ def attach_stock(unified: DataFrame, stock: DataFrame) -> DataFrame:
     )
 
 
+def build_localized_text(products_raw: DataFrame, localized_raw: DataFrame) -> DataFrame:
+    """Fold per-language feed fetches into the unified multilingual
+    maps (unified.jsonc:25-33 ``{"{lang}": "string"}`` model).
+
+    The base feed's textual fields are the 'en' entries; each localized
+    row (one per master_code × language, the shape a
+    language-parameterized API fetch lands) contributes its language.
+    One map_from_entries per field; the localized feed is tiny relative
+    to the product feed (L langs × masters) and joins broadcast."""
+    base = products_raw.select(
+        "master_code",
+        F.lit("en").alias("language"),
+        "product_name",
+        "short_description",
+        "long_description",
+    )
+    # localized rows win over the base on the same (master, lang) —
+    # a translated 'en' re-fetch supersedes the original landing
+    merged = base.withColumn("__pri", F.lit(0)).unionByName(
+        localized_raw.select(
+            "master_code", "language", "product_name", "short_description", "long_description"
+        ).withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy("master_code", "language").orderBy(F.col("__pri").desc())
+    latest = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    def lang_map(col: str):
+        entries = F.array_sort(
+            F.collect_list(F.struct(F.col("language"), F.col(col).alias("v")))
+        )
+        return F.map_from_entries(F.filter(entries, lambda e: e["v"].isNotNull()))
+
+    return latest.groupBy("master_code").agg(
+        lang_map("product_name").alias("names"),
+        lang_map("short_description").alias("short_descriptions"),
+        lang_map("long_description").alias("long_descriptions"),
+    )
+
+
 def transform_products(
     products_raw: DataFrame,
     pricelist_raw: DataFrame,
     printdata_raw: DataFrame,
     printprices_raw: DataFrame,
     spark: SparkSession,
+    localized_raw: DataFrame | None = None,
 ) -> DataFrame:
-    """The full master projection (P1): raw feeds → unified products."""
+    """The full master projection (P1): raw feeds → unified products.
+
+    ``localized_raw`` (optional, MO_PRODUCTS_I18N shape) carries the
+    extra-language API fetches; without it the multilingual maps hold
+    the base feed's single 'en' entry.
+    """
     decode = technique_decode_df(spark)
     pricelist = parse_pricelist(pricelist_raw)
     printprices = parse_printprices(printprices_raw)
@@ -335,10 +380,65 @@ def transform_products(
         )
     )
 
+    # unified packaging block (unified.jsonc:137-161): inner carton is
+    # qty-only in this feed; outer carton carries the full logistics
+    # dims/weight/volume (sample data :29-40, EU-string numerics)
+    carton_dims = F.when(pf.parse_eu_decimal("carton_length").isNull(), F.lit(None)).otherwise(
+        F.struct(
+            pf.parse_eu_decimal("carton_length").alias("length"),
+            pf.parse_eu_decimal("carton_width").alias("width"),
+            pf.parse_eu_decimal("carton_height").alias("height"),
+            F.lower(
+                F.coalesce(
+                    F.col("carton_length_unit"),
+                    F.col("carton_width_unit"),
+                    F.col("carton_height_unit"),
+                )
+            ).alias("unit"),
+        )
+    )
+    packaging = F.struct(
+        F.struct(
+            pf.parse_thousands_int("inner_carton_quantity").cast("int").alias("qty"),
+        ).alias("inner_carton"),
+        F.struct(
+            pf.parse_thousands_int("outer_carton_quantity").cast("int").alias("qty"),
+            carton_dims.alias("dimensions"),
+            F.when(pf.parse_eu_decimal("carton_gross_weight").isNull(), F.lit(None))
+            .otherwise(
+                F.struct(
+                    pf.parse_eu_decimal("carton_gross_weight").alias("gross"),
+                    F.col("carton_gross_weight_unit").alias("unit"),
+                )
+            )
+            .alias("weight"),
+            F.when(pf.parse_eu_decimal("carton_volume").isNull(), F.lit(None))
+            .otherwise(
+                F.struct(
+                    pf.parse_eu_decimal("carton_volume").alias("value"),
+                    F.col("carton_volume_unit").alias("unit"),
+                )
+            )
+            .alias("volume"),
+        ).alias("outer_carton"),
+    )
+
+    if localized_raw is not None:
+        text_maps = build_localized_text(products_raw, localized_raw)
+    else:
+        # single-language feed: seed each map with the base 'en' entry
+        text_maps = products_raw.select(
+            "master_code",
+            F.create_map(F.lit("en"), F.col("product_name")).alias("names"),
+            F.create_map(F.lit("en"), F.col("short_description")).alias("short_descriptions"),
+            F.create_map(F.lit("en"), F.col("long_description")).alias("long_descriptions"),
+        )
+
     enriched = (
         products_raw.withColumnRenamed("variants", "raw_variants")
         .join(variants, "master_code", "left")
         .join(F.broadcast(positions), "master_code", "left")
+        .join(F.broadcast(text_maps), "master_code", "left")
         .crossJoin(F.broadcast(options))
         # categories come from the first RAW variant (N2); price/image
         # summaries from the first transformed variant (P7)
@@ -354,9 +454,11 @@ def transform_products(
         F.lit(SUPPLIER_NAME).alias("supplier_name"),
         F.col("master_code").alias("supplier_product_code"),
         F.col("product_name").alias("name"),
-        # multilingual name map (unified.jsonc:25-33 {lang: string}
-        # model; the feed is single-language so one entry seeds it)
-        F.create_map(F.lit("en"), F.col("product_name")).alias("names"),
+        # multilingual maps (unified.jsonc:25-33 {lang: string} model),
+        # fed by the language-parameterized fetches when landed
+        F.col("names"),
+        F.col("short_descriptions"),
+        F.col("long_descriptions"),
         F.col("short_description"),
         F.col("long_description"),
         F.col("brand"),
@@ -369,6 +471,7 @@ def transform_products(
         dims.alias("dimensions"),
         weight.alias("weight"),
         pf.parse_thousands_int("outer_carton_quantity").cast("int").alias("carton_quantity"),
+        packaging.alias("packaging"),
         # §7.5 fidelity: base price = first variant's first price
         F.try_element_at(first_var["prices"], F.lit(1))["amount"].alias("base_price"),
         categories.alias("categories"),

@@ -55,6 +55,80 @@ LALTEX_PRICEBANDS = StructType(
     [_s("ProductCode"), _s("MinQuantity"), _s("MaxQuantity"), _s("UnitPrice")]
 )
 
+# Shipping-charge tiers (unified.jsonc:377-406 shippingDetails): per
+# service, carton-count bands with "£18.85"-style charges; "N/A" marks
+# open bands / not-offered charges — the same banded-tier shape as the
+# price bands.
+LALTEX_SHIPPING = StructType(
+    [
+        _s("ServiceType"),
+        _s("ServiceName"),
+        _s("CartonFrom"),
+        _s("CartonTo"),
+        _s("ShippingCharge"),
+        _s("PerCartonCharge"),
+    ]
+)
+
+
+def build_shipping_details(shipping_raw: DataFrame) -> DataFrame:
+    """Fold shipping-charge band rows into ONE row holding the unified
+    ``shipping_details`` array (service → sorted charge bands) —
+    catalog-level data attached product-agnostically by broadcast
+    cross join, exactly like the technique print-option pricelist."""
+    na_null = lambda c: F.when(F.upper(F.col(c)) == "N/A", None)  # noqa: E731
+    bands = shipping_raw.select(
+        "ServiceType",
+        "ServiceName",
+        pf.parse_thousands_int("CartonFrom").cast("int").alias("carton_from"),
+        na_null("CartonTo").otherwise(pf.parse_thousands_int("CartonTo").cast("int")).alias("carton_to"),
+        na_null("ShippingCharge").otherwise(pf.parse_money("ShippingCharge")).alias("shipping_charge"),
+        na_null("PerCartonCharge").otherwise(pf.parse_money("PerCartonCharge")).alias("per_carton_charge"),
+    )
+    charge = F.struct(
+        F.col("carton_from"), F.col("carton_to"), F.col("shipping_charge"), F.col("per_carton_charge")
+    )
+    cmp = lambda l, r: F.when(l["carton_from"] < r["carton_from"], -1).when(  # noqa: E731
+        l["carton_from"] > r["carton_from"], 1
+    ).otherwise(0)
+    per_service = bands.groupBy("ServiceType", "ServiceName").agg(
+        F.array_sort(F.collect_list(charge), cmp).alias("charges")
+    )
+    service = F.struct(
+        F.col("ServiceType").alias("service_type"),
+        F.col("ServiceName").alias("service_name"),
+        F.lit("GBP").alias("currency"),
+        F.col("charges"),
+    )
+    return per_service.select(service.alias("svc")).groupBy().agg(
+        F.array_sort(F.collect_list("svc")).alias("shipping_details")
+    )
+
+
+def resolve_shipping_charge(
+    unified_laltex: DataFrame, service_type: str, n_cartons: int
+) -> DataFrame:
+    """Shipping cost at a carton count: pick the service, pick the band
+    containing n (open-ended top band included), flat charge with
+    per-carton fallback — array filters only, no join or explode."""
+    n = F.lit(n_cartons)
+    svc = F.try_element_at(
+        F.filter(F.col("shipping_details"), lambda s: s["service_type"] == service_type), F.lit(1)
+    )
+    band = F.try_element_at(
+        F.filter(
+            svc["charges"],
+            lambda c: (c["carton_from"] <= n) & (c["carton_to"].isNull() | (n <= c["carton_to"])),
+        ),
+        F.lit(-1),
+    )
+    return unified_laltex.select(
+        "product_id",
+        F.lit(service_type).alias("service_type"),
+        F.lit(n_cartons).alias("n_cartons"),
+        F.coalesce(band["shipping_charge"], band["per_carton_charge"] * n).alias("charge"),
+    )
+
 
 def transform_laltex(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFrame:
     """£-money parse + N/A-banded quantity tiers → unified products."""
@@ -82,8 +156,18 @@ def transform_laltex(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
     tiers = bands.groupBy("ProductCode").agg(
         F.array_sort(F.collect_list(tier), cmp).alias("prices")
     )
+    enriched = products.join(tiers, "ProductCode", "left")
+    if "laltex_shipping" in feeds:
+        enriched = enriched.crossJoin(F.broadcast(build_shipping_details(feeds["laltex_shipping"])))
+    else:
+        empty_details = F.array().cast(
+            "array<struct<service_type:string,service_name:string,currency:string,"
+            "charges:array<struct<carton_from:int,carton_to:int,"
+            "shipping_charge:double,per_carton_charge:double>>>>"
+        )
+        enriched = enriched.withColumn("shipping_details", empty_details)
     return (
-        products.join(tiers, "ProductCode", "left")
+        enriched
         .select(
             pf.synth_product_id("laltex", F.col("ProductCode")).alias("product_id"),
             F.lit("laltex").alias("supplier_id"),
@@ -101,6 +185,7 @@ def transform_laltex(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
             pf.parse_thousands_int("CartonQty").cast("int").alias("carton_quantity"),
             F.regexp_extract(F.col("Weight"), r"([\d.]+)", 1).cast("double").alias("weight_value"),
             F.regexp_extract(F.col("Weight"), r"[\d.]+\s*(\w+)", 1).alias("weight_unit"),
+            F.col("shipping_details"),
         )
     )
 
@@ -564,7 +649,12 @@ def _register_all() -> None:
             display_name="Laltex",
             primary_feed="laltex_products",
             required_fields=("ProductCode", "ProductName"),
-            feed_schemas={"laltex_products": LALTEX_PRODUCTS, "laltex_pricebands": LALTEX_PRICEBANDS},
+            feed_schemas={
+                "laltex_products": LALTEX_PRODUCTS,
+                "laltex_pricebands": LALTEX_PRICEBANDS,
+                "laltex_shipping": LALTEX_SHIPPING,
+            },
+            optional_feeds=("laltex_shipping",),
             transform=transform_laltex,
         )
     )

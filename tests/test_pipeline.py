@@ -22,7 +22,7 @@ def feeds(spark):
 def unified(spark, feeds):
     df = silver.transform_products(
         feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
-        feeds["mo_printprices"], spark,
+        feeds["mo_printprices"], spark, localized_raw=feeds["mo_products_i18n"],
     ).cache()
     yield df
     df.unpersist()
@@ -297,10 +297,60 @@ def test_stock_attach(spark, feeds, unified):
     assert hits > 0
 
 
-def test_multilingual_names(unified):
-    r = unified.select("name", "names").limit(3).collect()
+def test_multilingual_names(unified, spark, feeds):
+    rows = {
+        r.supplier_product_code: r
+        for r in unified.select(
+            "supplier_product_code", "name", "names", "short_descriptions", "long_descriptions"
+        ).collect()
+    }
+    for code, row in rows.items():
+        m = int(code.removeprefix("PR")) - 1000
+        # every master: base 'en' + localized 'de'; every third adds 'fr'
+        assert row.names["en"] == row.name
+        assert row.names["de"] == f"Beispielprodukt {m}"
+        assert row.short_descriptions["de"] == f"Kurzbeschreibung {m}"
+        if m % 3 == 0:
+            assert row.names["fr"] == f"Produit exemple {m}"
+            # partial translation: null long_description never enters the map
+            assert "fr" not in row.long_descriptions
+            assert set(row.names) == {"en", "de", "fr"}
+        else:
+            assert set(row.names) == {"en", "de"}
+
+
+def test_packaging_struct(unified, feeds):
+    raw = {r.master_code: r for r in feeds["mo_products"].collect()}
+    rows = unified.select("supplier_product_code", "packaging", "carton_quantity").collect()
+    assert rows, "no products"
+    for r in rows:
+        src = raw[r.supplier_product_code]
+        pkg = r.packaging
+        assert pkg.inner_carton.qty == int(src.inner_carton_quantity)
+        assert pkg.outer_carton.qty == r.carton_quantity
+        # EU-string carton dims parse into the typed struct, meters kept
+        assert pkg.outer_carton.dimensions.unit == "m"
+        assert pkg.outer_carton.dimensions.length == pytest.approx(
+            float(src.carton_length.replace(",", "."))
+        )
+        assert pkg.outer_carton.volume.unit == "m3"
+        if src.carton_gross_weight is None:
+            assert pkg.outer_carton.weight is None  # partial feed → null struct
+        else:
+            assert pkg.outer_carton.weight.gross == pytest.approx(
+                float(src.carton_gross_weight.replace(",", "."))
+            )
+
+
+def test_multilingual_single_language_fallback(spark, feeds):
+    solo = silver.transform_products(
+        feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
+        feeds["mo_printprices"], spark,
+    )
+    r = solo.select("name", "names", "short_descriptions").limit(3).collect()
     for row in r:
         assert row.names == {"en": row.name}
+        assert set(row.short_descriptions) == {"en"}
 
 
 def test_permissive_json_corrupt_capture(spark, tmp_path):

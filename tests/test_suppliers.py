@@ -6,7 +6,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from pim_etl_spark.pipeline import suppliers
+from pim_etl_spark.pipeline import fixtures, suppliers
 from pim_etl_spark.pipeline.registry import get_supplier, list_suppliers
 
 
@@ -205,3 +205,39 @@ def test_full_roster_registered():
         "midocean", "laltex", "xd", "keramikos", "pfconcept",
         "sanmar", "ralawise", "ss", "preseli",
     }
+
+
+def test_laltex_shipping_details_and_resolution(spark):
+    feeds_rows = fixtures.build_other_supplier_rows()["laltex"]
+    feeds = {
+        "laltex_products": spark.createDataFrame(
+            feeds_rows["laltex_products"], suppliers.LALTEX_PRODUCTS
+        ),
+        "laltex_pricebands": spark.createDataFrame(
+            feeds_rows["laltex_pricebands"], suppliers.LALTEX_PRICEBANDS
+        ),
+        "laltex_shipping": spark.createDataFrame(
+            feeds_rows["laltex_shipping"], suppliers.LALTEX_SHIPPING
+        ),
+    }
+    out = suppliers.transform_laltex(feeds, spark)
+    row = out.first()
+    services = {s.service_type: s for s in row.shipping_details}
+    assert set(services) == {"ukstandard", "ukprenoon"}
+    std = services["ukstandard"]
+    assert std.service_name == "UK STANDARD" and std.currency == "GBP"
+    assert [(c.carton_from, c.carton_to) for c in std.charges] == [(1, 2), (3, 10), (11, None)]
+    assert std.charges[0].shipping_charge == 18.85 and std.charges[0].per_carton_charge is None
+    assert std.charges[2].shipping_charge is None and std.charges[2].per_carton_charge == 4.10
+
+    # band resolution: flat charge in band 1, per-carton in the open band
+    flat = suppliers.resolve_shipping_charge(out, "ukstandard", 2).first()
+    assert flat.charge == 18.85
+    open_band = suppliers.resolve_shipping_charge(out, "ukstandard", 20).first()
+    assert open_band.charge == pytest.approx(4.10 * 20)
+
+    # without the optional feed the column is an empty array, not a crash
+    solo = suppliers.transform_laltex(
+        {k: feeds[k] for k in ("laltex_products", "laltex_pricebands")}, spark
+    )
+    assert solo.first().shipping_details == []
