@@ -175,6 +175,40 @@ def shipping_tier_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pct_breakdown_derivation",
+    oracle="""
+    -- the sustainabilityInfo lcaCo2Percent shape: component absolutes
+    -- rolled up per group, re-expressed as percent-of-total
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS gross_total,
+           round(sum(l_extendedprice * l_discount) / sum(l_extendedprice) * 100, 4) AS discount_pct,
+           round(sum(l_extendedprice * l_tax) / sum(l_extendedprice) * 100, 4) AS tax_pct,
+           round((1 - sum(l_extendedprice * l_discount) / sum(l_extendedprice)) * 100, 4) AS net_pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pct_breakdown_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total breakdown derivation (the unified
+    sustainability model ships absolute kg per LCA stage and the
+    percent split is derived — unified.jsonc:196-227; same shape here
+    over lineitem components in one aggregation pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.sum("l_extendedprice")
+    disc = F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+    tax = F.sum(F.col("l_extendedprice") * F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(gross, 2).alias("gross_total"),
+            F.round(disc / gross * 100, 4).alias("discount_pct"),
+            F.round(tax / gross * 100, 4).alias("tax_pct"),
+            F.round((1 - disc / gross) * 100, 4).alias("net_pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "price_validity_filter",
     oracle="""
     SELECT l_suppkey AS supplier_id, count(*) AS n_valid,

@@ -218,6 +218,30 @@ def build_feed_rows(n_masters: int = 40):
                     "long_description": None,  # partial translation: key absent from the map
                 }
             )
+    # sustainability rows for ~2/3 of masters (EU suppliers ship these;
+    # absent rows must yield a null struct, not a crash)
+    sustainability = []
+    for m in range(n_masters):
+        if m % 3 == 2:
+            continue
+        # totals are multiples of 0.2 so every stage share (50/15/25/10%)
+        # is exactly representable in the feed's 2-decimal EU strings
+        total = 0.2 * (1 + m % 5)
+        parts = [total * w for w in (0.5, 0.15, 0.25, 0.10)]
+        sustainability.append(
+            {
+                "master_code": f"PR{1000 + m}",
+                "eco": ["yes", "no", "YES"][m % 3],
+                "recycled_content_pct": str(m % 100),
+                "co2_total": _eu(total),
+                "co2_material": _eu(parts[0]),
+                "co2_packaging": _eu(parts[1]),
+                "co2_transport": _eu(parts[2]),
+                "co2_eol": _eu(parts[3]),
+                "social_audits": ["BSCI,SMETA", "BSCI", ""][m % 3],
+                "green_points": str(10 + m % 20),
+            }
+        )
     rng.shuffle(pricelist)  # feed order is not sorted; pipeline must not rely on it
     return {
         "mo_products": products,
@@ -226,6 +250,7 @@ def build_feed_rows(n_masters: int = 40):
         "mo_printprices": printprices,
         "mo_stock": stock,
         "mo_products_i18n": i18n,
+        "mo_sustainability": sustainability,
     }
 
 
@@ -236,6 +261,7 @@ FEED_SCHEMAS = {
     "mo_printprices": schemas.MO_PRINTPRICES,
     "mo_stock": schemas.MO_STOCK,
     "mo_products_i18n": schemas.MO_PRODUCTS_I18N,
+    "mo_sustainability": schemas.MO_SUSTAINABILITY,
 }
 
 

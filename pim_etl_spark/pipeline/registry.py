@@ -88,6 +88,7 @@ def _register_midocean() -> None:
             feeds["mo_printprices"],
             spark,
             localized_raw=feeds.get("mo_products_i18n"),
+            sustainability_raw=feeds.get("mo_sustainability"),
         )
 
     register_supplier(
@@ -103,8 +104,9 @@ def _register_midocean() -> None:
                 "mo_printprices": schemas.MO_PRINTPRICES,
                 "mo_stock": schemas.MO_STOCK,
                 "mo_products_i18n": schemas.MO_PRODUCTS_I18N,
+                "mo_sustainability": schemas.MO_SUSTAINABILITY,
             },
-            optional_feeds=("mo_products_i18n",),
+            optional_feeds=("mo_products_i18n", "mo_sustainability"),
             transform=_transform,
         )
     )

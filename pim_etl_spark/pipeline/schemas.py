@@ -151,6 +151,24 @@ MO_PRODUCTS_I18N = StructType(
     ]
 )
 
+# Sustainability feed (unified.jsonc:196-227): per-master eco flags,
+# recycled content, LCA CO2 total + stage breakdown (EU-string
+# numerics), social-audit codes as a comma list.
+MO_SUSTAINABILITY = StructType(
+    [
+        _s("master_code"),
+        _s("eco"),  # "yes"/"no" stringly boolean
+        _s("recycled_content_pct"),
+        _s("co2_total"),  # "0,43" EU decimal, kg
+        _s("co2_material"),
+        _s("co2_packaging"),
+        _s("co2_transport"),
+        _s("co2_eol"),
+        _s("social_audits"),  # "BSCI,SMETA"
+        _s("green_points"),
+    ]
+)
+
 # B6: one row per SKU
 MO_STOCK = StructType(
     [

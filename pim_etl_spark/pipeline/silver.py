@@ -322,6 +322,44 @@ def build_localized_text(products_raw: DataFrame, localized_raw: DataFrame) -> D
     )
 
 
+def build_sustainability(sustainability_raw: DataFrame) -> DataFrame:
+    """Sustainability feed → unified sustainabilityInfo struct
+    (unified.jsonc:196-227): eco flag, recycled %, LCA CO2 total +
+    per-stage breakdown, DERIVED per-stage percentages (the feed
+    ships absolute kg; the unified model also carries the split as
+    percent-of-total), social-audit array. All scan-side expressions."""
+    kg = lambda c: F.struct(  # noqa: E731
+        pf.parse_eu_decimal(c).alias("value"), F.lit("kg").alias("unit")
+    )
+    total = pf.parse_eu_decimal("co2_total")
+    pct = lambda c: F.round(pf.parse_eu_decimal(c) / total * 100, 2)  # noqa: E731
+    audits = F.filter(
+        F.split(F.coalesce(F.col("social_audits"), F.lit("")), ","), lambda a: a != ""
+    )
+    return sustainability_raw.select(
+        "master_code",
+        F.struct(
+            pf.yes_no_bool("eco").alias("eco"),
+            F.col("recycled_content_pct").cast("int").alias("recycled_content_pct"),
+            kg("co2_total").alias("co2_total"),
+            F.struct(
+                kg("co2_material").alias("material_production"),
+                kg("co2_packaging").alias("packaging"),
+                kg("co2_transport").alias("transport"),
+                kg("co2_eol").alias("eol"),
+            ).alias("lca_co2_breakdown"),
+            F.struct(
+                pct("co2_material").alias("material_production"),
+                pct("co2_packaging").alias("packaging"),
+                pct("co2_transport").alias("transport"),
+                pct("co2_eol").alias("eol"),
+            ).alias("lca_co2_percent"),
+            audits.alias("social_audits"),
+            F.col("green_points").cast("int").alias("green_points"),
+        ).alias("sustainability"),
+    )
+
+
 def transform_products(
     products_raw: DataFrame,
     pricelist_raw: DataFrame,
@@ -329,6 +367,7 @@ def transform_products(
     printprices_raw: DataFrame,
     spark: SparkSession,
     localized_raw: DataFrame | None = None,
+    sustainability_raw: DataFrame | None = None,
 ) -> DataFrame:
     """The full master projection (P1): raw feeds → unified products.
 
@@ -440,6 +479,29 @@ def transform_products(
         .join(F.broadcast(positions), "master_code", "left")
         .join(F.broadcast(text_maps), "master_code", "left")
         .crossJoin(F.broadcast(options))
+    )
+    if sustainability_raw is not None:
+        enriched = enriched.join(
+            F.broadcast(build_sustainability(sustainability_raw)), "master_code", "left"
+        )
+    else:
+        enriched = enriched.withColumn(
+            "sustainability",
+            F.lit(None).cast(
+                "struct<eco:boolean,recycled_content_pct:int,"
+                "co2_total:struct<value:double,unit:string>,"
+                "lca_co2_breakdown:struct<"
+                "material_production:struct<value:double,unit:string>,"
+                "packaging:struct<value:double,unit:string>,"
+                "transport:struct<value:double,unit:string>,"
+                "eol:struct<value:double,unit:string>>,"
+                "lca_co2_percent:struct<material_production:double,"
+                "packaging:double,transport:double,eol:double>,"
+                "social_audits:array<string>,green_points:int>"
+            ),
+        )
+    enriched = (
+        enriched
         # categories come from the first RAW variant (N2); price/image
         # summaries from the first transformed variant (P7)
         .withColumn("rv1", F.try_element_at(F.col("raw_variants"), F.lit(1)))
@@ -472,6 +534,7 @@ def transform_products(
         weight.alias("weight"),
         pf.parse_thousands_int("outer_carton_quantity").cast("int").alias("carton_quantity"),
         packaging.alias("packaging"),
+        F.col("sustainability"),
         # §7.5 fidelity: base price = first variant's first price
         F.try_element_at(first_var["prices"], F.lit(1))["amount"].alias("base_price"),
         categories.alias("categories"),

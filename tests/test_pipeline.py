@@ -404,3 +404,37 @@ def test_atomic_overwrite_interrupted_swap_recovers(spark, tmp_path):
     healed = gold.read_table_recovering(spark, path)
     assert [r.v for r in healed.collect()] == ["a"]
     assert os.path.exists(path)
+
+
+def test_sustainability_struct(spark, feeds):
+    df = silver.transform_products(
+        feeds["mo_products"], feeds["mo_pricelist"], feeds["mo_printdata"],
+        feeds["mo_printprices"], spark, sustainability_raw=feeds["mo_sustainability"],
+    )
+    rows = {r.supplier_product_code: r.sustainability for r in df.collect()}
+    raw = {r.master_code: r for r in feeds["mo_sustainability"].collect()}
+    n_checked = 0
+    for code, s in rows.items():
+        m = int(code.removeprefix("PR")) - 1000
+        if m % 3 == 2:
+            assert s is None  # feed absent for this master → null struct
+            continue
+        src = raw[code]
+        assert s.eco == (src.eco.lower() == "yes")
+        assert s.co2_total.value == pytest.approx(float(src.co2_total.replace(",", ".")))
+        assert s.co2_total.unit == "kg"
+        # derived percentages: stages sum to ~100
+        p = s.lca_co2_percent
+        assert (
+            p.material_production + p.packaging + p.transport + p.eol
+            == pytest.approx(100, abs=0.5)
+        )
+        assert s.lca_co2_breakdown.material_production.value == pytest.approx(
+            float(src.co2_material.replace(",", ".")), abs=0.01
+        )
+        if src.social_audits:
+            assert s.social_audits == src.social_audits.split(",")
+        else:
+            assert s.social_audits == []
+        n_checked += 1
+    assert n_checked > 0
