@@ -193,43 +193,99 @@ def _best_cells(cells_col: Column, vec: Column, k: int) -> Column:
     return F.slice(F.transform(ordered, lambda s: s["cell"]), 1, k)
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS) -> str:
+def _cells_literal(centroids: list[list[float]]) -> Column:
+    """Centroid model state as a literal cells array (k×dim floats —
+    tiny model data, shipped in the plan exactly like a broadcast)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in cv]).alias("cv"),
+            )
+            for i, cv in enumerate(centroids)
+        ]
+    )
+
+
+def _kmeans_centroids(
+    emb: DataFrame, init: list[list[float]], iters: int
+) -> list[list[float]]:
+    """Spherical k-means refinement, fully distributed.
+
+    Each iteration: broadcast-argmax assignment (no shuffle of
+    vectors), then per-(cell, dim) partial-aggregated sums — the
+    posexplode shuffle carries at most cells×dim rows PER PARTITION
+    thanks to map-side combine, never the vectors. Only the k×dim
+    centroid matrix (model state) ever reaches the driver. Determinism:
+    init is deterministic and iteration order is fixed.
+    """
+    import math
+
+    centroids = init
+    dim = len(init[0])
+    for _ in range(iters):
+        assigned = emb.select(
+            _best_cells(_cells_literal(centroids), _as_double(F.col("embedding")), 1)[0].alias(
+                "cell"
+            ),
+            F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+        )
+        sums = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = r["s"] / r["n"]
+        new = []
+        for i, old in enumerate(centroids):
+            mean = by_cell.get(i)
+            if mean is None:  # empty cell keeps its previous centroid
+                new.append(old)
+                continue
+            norm = math.sqrt(sum(v * v for v in mean)) or 1.0
+            new.append([v / norm for v in mean])  # spherical: unit-norm
+        centroids = new
+    return centroids
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS, kmeans_iters: int = 2
+) -> str:
     """Build and persist the IVF index for the embeddings table.
 
-    Centroids are a deterministic pseudo-random sample: the
-    ``n_centroids`` rows with the smallest ``xxhash64(vec_id)`` —
-    a TakeOrdered (per-partition heaps), NO count job, no full sort.
-    At real scale they'd come from k-means, but the *storage shape* is
-    the point: (vec_id, cell) lands in parquet next to the table, and
-    the per-row argmin broadcast-compares against 10 centroids only at
-    build time. Returns the index directory.
+    Seed centroids are a deterministic pseudo-random sample (the
+    ``n_centroids`` rows with the smallest ``xxhash64(vec_id)`` — a
+    TakeOrdered, NO count job, no full sort), refined with
+    ``kmeans_iters`` rounds of distributed spherical k-means. The
+    *storage shape* is the point: (vec_id, cell) lands in
+    cell-partitioned parquet next to the table, the centroid matrix in
+    a sibling file, and queries touch neither a count job nor a
+    re-assignment. Returns the index directory.
     """
     import tempfile
-
-    from pyspark.sql import Window
 
     key = (spark.sparkContext.applicationId, f"{sf_dir}:{n_centroids}")
     if key in _IVF_INDEX_DIRS:
         return _IVF_INDEX_DIRS[key]
     emb = load_table(spark, sf_dir, "embeddings")
     picked = (
-        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("hk"))
-        .orderBy("hk")
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("e"), F.xxhash64("vec_id").alias("hk"))
+        .orderBy("hk", "vec_id")
         .limit(n_centroids)
+        .collect()  # k seed vectors — model-sized, not data-sized
     )
-    # row_number over the 10 picked rows only — not a global window
-    centroids = picked.withColumn(
-        "cell", F.row_number().over(Window.orderBy("hk")) - 1
-    ).select("cell", _as_double(F.col("embedding")).alias("cv"))
+    seeds = [list(r["e"]) for r in picked]
+    refined = _kmeans_centroids(emb, seeds, kmeans_iters)
 
     d = tempfile.mkdtemp(prefix="ivf_index_")
-    centroids.write.mode("overwrite").parquet(f"{d}/centroids.parquet")
-    cells_df = spark.read.parquet(f"{d}/centroids.parquet")
-    cell_list = cells_df.groupBy().agg(F.collect_list(F.struct("cell", "cv")).alias("cells"))
-    assigned = (
-        emb.join(F.broadcast(cell_list))
-        .withColumn("cell", _best_cells(F.col("cells"), _as_double(F.col("embedding")), 1)[0])
-        .drop("cells")
+    centroids_df = spark.createDataFrame(
+        [(i, cv) for i, cv in enumerate(refined)], "cell int, cv array<double>"
+    )
+    centroids_df.write.mode("overwrite").parquet(f"{d}/centroids.parquet")
+    assigned = emb.withColumn(
+        "cell", _best_cells(_cells_literal(refined), _as_double(F.col("embedding")), 1)[0]
     )
     # partitioned by cell: probing reads only the probed cells' files
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{d}/assignment.parquet")
