@@ -73,6 +73,14 @@ def main() -> None:
     except Exception:
         pass
 
+    # PQ codebooks + codes: stored compressed-domain index
+    try:
+        from pim_etl_spark.llm_ops.similarity import build_pq_index
+
+        build_pq_index(spark, SF_DIR)
+    except Exception:
+        pass
+
     # spin up the Python UDF workers once — daemon startup is session
     # cost, not query cost (media_decode_features was paying ~3 s of
     # one-time worker spawn inside its timed run)

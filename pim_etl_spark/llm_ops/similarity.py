@@ -335,6 +335,130 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization: the compressed-domain scale path ---------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace → 8 nibbles ≈ 8 bytes per vector (32x)
+_PQ_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> str:
+    """Build and persist a product-quantization index: each 64-dim
+    vector becomes ``m`` sub-codes (nearest of ``k`` codebook entries
+    per subspace) — 8 small ints instead of 64 floats, so candidate
+    scoring runs entirely in the compressed domain.
+
+    Codebooks are deterministic samples (smallest salted-hash rows per
+    subspace; real systems k-means-train them — the machinery exists in
+    ``_kmeans_centroids``). Only the m×k×(dim/m) codebook matrix ever
+    reaches the driver; encoding is a scan-side argmin against literal
+    codebooks, shuffle-free.
+    """
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, f"{sf_dir}:{m}x{k}")
+    if key in _PQ_INDEX_DIRS:
+        return _PQ_INDEX_DIRS[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    sub = dim // m
+    # codebooks: per subspace, the k sub-vectors with smallest salted hash
+    sample = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("e"), F.xxhash64("vec_id").alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(m * k)
+        .collect()
+    )
+    books = [
+        [list(sample[(j * k + i) % len(sample)]["e"][j * sub : (j + 1) * sub]) for i in range(k)]
+        for j in range(m)
+    ]
+
+    def code_for(j: int) -> Column:
+        sv = F.slice(_as_double(F.col("embedding")), j * sub + 1, sub)
+        # argmin squared-euclidean over the k codebook entries (literal)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(v)) for v in books[j][i]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("code"),
+                )
+                for i in range(k)
+            ]
+        )
+        return F.array_sort(scored)[0]["code"]
+
+    codes = emb.select(
+        "vec_id", "label", F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    )
+    d = tempfile.mkdtemp(prefix="pq_index_")
+    codes.write.mode("overwrite").parquet(f"{d}/codes.parquet")
+    cb_rows = [(j, i, books[j][i]) for j in range(m) for i in range(k)]
+    spark.createDataFrame(cb_rows, "subspace int, code int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/codebooks.parquet")
+    _PQ_INDEX_DIRS[key] = d
+    return d
+
+
+@query("pq_adc_topk")  # rows-only: codebooks are engine-side artifacts
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: score every vector from its 8-code
+    compressed form via a per-(subspace, code) dot-product lookup table
+    computed from the query — the 100 TB path where candidate scoring
+    reads ~8 bytes/vector instead of 256 — then exact-rescore the top
+    candidate pool. Recall vs brute force asserted in tests.
+    """
+    d = build_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{d}/codes.parquet")
+    books = spark.read.parquet(f"{d}/codebooks.parquet").collect()  # model-sized
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"])
+    qd = [float(x) for x in q]
+    sub = len(qd) // PQ_M
+    # LUT[j][i] = <query_subvector_j, codebook[j][i]>
+    lut = [
+        [
+            sum(a * b for a, b in zip(qd[r["subspace"] * sub : (r["subspace"] + 1) * sub], r["centroid"]))
+            for r in sorted(
+                (x for x in books if x["subspace"] == j), key=lambda x: x["code"]
+            )
+        ]
+        for j in range(PQ_M)
+    ]
+    approx = sum(
+        F.element_at(F.array(*[F.lit(v) for v in lut[j]]), F.col("codes")[j] + 1)
+        for j in range(PQ_M)
+    )
+    candidates = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("approx_dot", approx)
+        .orderBy(F.col("approx_dot").desc(), F.col("vec_id").asc())
+        .limit(50)  # compressed-domain pool, exact-rescored below
+    )
+    qv_df = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    rescored = (
+        candidates.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv_df))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 4).alias("cosine"),
+        )
+    )
+    return rescored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
 N_PLANES = 16
 _PLANE_SEED = 1337
 

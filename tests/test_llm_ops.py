@@ -168,3 +168,17 @@ def test_text_index_agrees_with_scan_search(spark, sf_dir):
     sample = postings.filter(F.col("token") == "spark").orderBy("doc_id").first()
     row = toks.filter(F.col("doc_id") == sample.doc_id).first()
     assert sample.tf == sum(1 for t in row.t if t == "spark")
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.llm_ops.similarity import TOP_K
+
+    qs = get_queries()
+    exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
+    pq = [r.vec_id for r in qs["pq_adc_topk"](spark, sf_dir).collect()]
+    assert len(pq) == TOP_K
+    overlap = len(set(exact) & set(pq))
+    # compressed-domain candidates + exact re-rank: loose floor on a
+    # near-random corpus with sampled (untrained) codebooks
+    assert overlap >= 2, f"PQ recall too low: {overlap}/{TOP_K}"
