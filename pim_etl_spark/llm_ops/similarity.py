@@ -459,6 +459,68 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
+def lsh_neardup_pairs(emb: DataFrame, threshold: float, limit: int = 100) -> DataFrame:
+    """Embedding near-dup via LSH BUCKET JOIN — the genuine 100 TB
+    shape (the broadcast-compare in ann_lsh_topk serves single-query
+    search; all-pairs near-dup needs the signature as a shuffle key).
+
+    Sign signatures band into 4-bit keys (4 bands × 4 planes); vectors
+    sharing any band bucket become candidate pairs via a self-join ON
+    (band, band_key) — tiny groups, never a full cross join — and only
+    candidates get exact cosine. Mirrors the MinHash-LSH text path
+    (`lsh_candidate_pairs`) in the embedding domain.
+    """
+    bands, rows_per_band = 4, 4
+    planes = _hyperplanes()
+
+    bits = [
+        F.when(dot(_as_double(F.col("embedding")), F.array(*[F.lit(w) for w in planes[j]])) >= 0, 1)
+        .otherwise(0)
+        for j in range(bands * rows_per_band)
+    ]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    bits[b * rows_per_band + r] * (1 << r) for r in range(rows_per_band)
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = emb.select("vec_id", F.explode(band_keys).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    return (
+        pairs.join(vecs.withColumnsRenamed({"vec_id": "vec_a", "e": "ea"}), "vec_a")
+        .join(vecs.withColumnsRenamed({"vec_id": "vec_b", "e": "eb"}), "vec_b")
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(limit)
+    )
+
+
+@query("embedding_lsh_neardup_buckets")  # rows-only: plane seeds engine-side
+def embedding_lsh_neardup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-join near-dup over the embeddings table; threshold
+    calibrated for the near-random test corpus (max cosine ≈ 0.33).
+    Planted-duplicate behavior asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.2)
+
+
 N_PLANES = 16
 _PLANE_SEED = 1337
 

@@ -182,3 +182,20 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     # compressed-domain candidates + exact re-rank: loose floor on a
     # near-random corpus with sampled (untrained) codebooks
     assert overlap >= 2, f"PQ recall too low: {overlap}/{TOP_K}"
+
+
+def test_lsh_bucket_join_finds_planted_neardup(spark, sf_dir):
+    """A planted duplicate vector MUST collide in every band and be
+    reported by the bucket-join path with cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.llm_ops.similarity import lsh_neardup_pairs
+    from pim_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(900001).cast("long").alias("vec_id"), F.col("label"), F.col("embedding")
+    )
+    planted = emb.select("vec_id", "label", "embedding").unionByName(base)
+    out = lsh_neardup_pairs(planted, threshold=0.99).collect()
+    assert any(r.vec_a == 1 and r.vec_b == 900001 and r.cosine >= 0.99 for r in out)
