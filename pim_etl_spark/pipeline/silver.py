@@ -269,6 +269,24 @@ def attach_stock(unified: DataFrame, stock: DataFrame) -> DataFrame:
                             F.col("quantity").cast("long").alias("qty"),
                         )
                     ).alias("locations"),
+                    # unified nextIncoming [{date, qty}]: the feed's
+                    # first/next arrival pairs as a date-sorted array,
+                    # null pairs dropped
+                    F.filter(
+                        F.array_sort(
+                            F.array(
+                                F.struct(
+                                    F.col("first_arrival_date").alias("date"),
+                                    F.col("first_arrival_qty").alias("qty"),
+                                ),
+                                F.struct(
+                                    F.col("next_arrival_date").alias("date"),
+                                    F.col("next_arrival_qty").alias("qty"),
+                                ),
+                            )
+                        ),
+                        lambda e: e["date"].isNotNull(),
+                    ).alias("next_incoming"),
                 )
             ),
         ).alias("v"),

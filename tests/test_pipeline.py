@@ -291,6 +291,18 @@ def test_stock_attach(spark, feeds, unified):
         assert st.quantity == raw[sku].qty
         # unified locations array: single-warehouse feed → one MAIN entry
         assert [(loc.id, loc.qty) for loc in st.locations] == [("MAIN", raw[sku].qty)]
+        # nextIncoming: non-null arrival pairs only, date-sorted
+        expected_incoming = sorted(
+            (d, q)
+            for d, q in (
+                (raw[sku].first_arrival_date, raw[sku].first_arrival_qty),
+                (raw[sku].next_arrival_date, raw[sku].next_arrival_qty),
+            )
+            if d is not None
+        )
+        assert [(str(e.date), e.qty) for e in st.next_incoming] == [
+            (d, q) for d, q in expected_incoming
+        ]
         if raw[sku].first_arrival_date:
             assert str(st.first_arrival_date) == raw[sku].first_arrival_date
             hits += 1
