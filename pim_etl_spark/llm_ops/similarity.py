@@ -163,11 +163,38 @@ def topk_for_queries(emb: DataFrame, query_ids: list[int], k: int = TOP_K) -> Da
     )
 
 
-@query("batched_topk_multiquery")  # rows-only: query-set is engine-side
+@query(
+    "batched_topk_multiquery",
+    oracle=f"""
+    -- per-query brute-force top-k, ranked on the ROUNDED cosine with a
+    -- vec_id tiebreak exactly like the Spark side
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * q.qv[i])))), 4) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+)
 def batched_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors for 5 query vectors in a single corpus pass;
-    per-query agreement with the single-query brute force is asserted
-    in tests/test_llm_ops.py."""
+    per-query agreement with the single-query brute force is also
+    asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return topk_for_queries(emb, [0, 1, 2, 3, 4], k=TOP_K)
 

@@ -99,6 +99,40 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming deduplication: drop repeat event_ids within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    exactly-once guard an at-least-once feed needs ahead of the
+    incremental upsert. State holds one entry per key only until the
+    watermark passes it, so memory is bounded by the horizon's key
+    cardinality, not the stream's."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+@query(
+    "stream_dedup_event_counts",
+    oracle="""
+    -- batch oracle of the streamed dedup: events are unique by
+    -- event_id in the source, so dedup-then-rollup equals the plain
+    -- rollup; the STREAM side must prove it drops the duplicates the
+    -- test plants ahead of this checked run (tests/test_streaming.py)
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed dropDuplicatesWithinWatermark → per-type rollup,
+    executed through the micro-batch engine and hash-checked against
+    the batch oracle. (Distinct aggregates aren't allowed in streaming;
+    the dedup operator IS the distinct.)"""
+    events = stream_events(spark, sf_dir)
+    deduped = dedup_events_stream(events)
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    result = run_stream_to_memory(spark, counts, mode="complete")
+    return result.orderBy("event_type")
+
+
 @query(
     "stream_hourly_event_counts",
     oracle="""

@@ -63,3 +63,46 @@ def test_incremental_upsert_stream(spark, tmp_path):
         "p2": ("discontinued", 2),
         "p3": ("active", 1),
     }
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must collapse re-delivered events:
+    a feed dir holding the same event rows twice (at-least-once
+    delivery) streams through dedup to one row per event_id."""
+    from pyspark.sql.types import DoubleType
+
+    from pim_etl_spark.streaming.queries import dedup_events_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),  # nanos, like events.parquet
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    base_ns = 1_700_000_000 * 1_000_000_000
+    rows = [
+        (1, base_ns, 10, "click", 1.0, None),
+        (2, base_ns + 60 * 1_000_000_000, 10, "view", 2.0, None),
+        (3, base_ns + 120 * 1_000_000_000, 11, "click", 3.0, None),
+    ]
+    feed = tmp_path / "events_feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    # the same batch lands twice → 6 rows on disk, 3 unique event_ids
+    df.coalesce(1).write.mode("append").parquet(str(feed / "events.parquet"))
+    df.coalesce(1).write.mode("append").parquet(str(feed / "events.parquet"))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(feed / "events.parquet"))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_events_stream(events, watermark="1 hour")
+    out = run_stream_to_memory(spark, deduped, mode="append")
+    got = sorted((r.event_id, r.value) for r in out.collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
