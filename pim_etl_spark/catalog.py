@@ -101,11 +101,22 @@ _DRIVER_GREEN_R1 = frozenset({
 })
 
 
+# Entries that duplicate an already-prioritized operator's coverage
+# (scan/broadcast twins of a stored-index/bucket path); if a per-run
+# query cap cuts anything, cut these first.
+_LOW_PRIORITY_TWINS = ("text_search_indexed", "embedding_lsh_neardup_buckets")
+
+
 def _priority_order(names) -> list[str]:
-    """Unverified-first ordering; stable within each class."""
+    """Unverified-first ordering: pending oracled entries, then pending
+    rows-only, twins last, round-1-green proven entries at the end;
+    stable within each class."""
     pending = [n for n in names if n not in _DRIVER_GREEN_R1]
     proven = [n for n in names if n in _DRIVER_GREEN_R1]
-    return pending + proven
+    oracled = [n for n in pending if n in ORACLES and n not in _LOW_PRIORITY_TWINS]
+    rows_only = [n for n in pending if n not in ORACLES and n not in _LOW_PRIORITY_TWINS]
+    twins = [n for n in pending if n in _LOW_PRIORITY_TWINS]
+    return oracled + rows_only + twins + proven
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -97,6 +97,48 @@ def bool_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_agg",
+    oracle="""
+    -- plain rollup: the salted two-stage plan must be value-identical
+    SELECT l_suppkey,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted aggregation (SURVEY §4 / SCALE.md): a
+    hot grouping key is split across ``SALT`` reducers by a synthetic
+    salt, partially aggregated, then merged in a second (tiny) stage —
+    the manual form of what AQE's skew handling does for joins, needed
+    when ONE group's partial state itself overwhelms a reducer.
+
+    Stage 1 shuffles (key, salt) with map-side combine; stage 2
+    shuffles only SALT rows per key. Decomposable aggs only
+    (count→sum, sum→sum, max→max). Results are hash-identical to the
+    plain one-stage rollup, which is exactly what the oracle checks.
+    """
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)))
+    partial = salted.groupBy("l_suppkey", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_extendedprice").alias("psum"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return (
+        partial.groupBy("l_suppkey")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("total"),
+            F.round(F.max("pmax"), 2).alias("max_price"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
     "fuzzy_levenshtein_pairs",
     oracle="""
     -- product-name reconciliation kernel: edit distance between
