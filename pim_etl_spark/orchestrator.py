@@ -181,15 +181,62 @@ def run_validate(spark: SparkSession, feeds_dir: str) -> dict:
     return {"validation": results}
 
 
+DEFAULT_CONFIG = {
+    "feeds_dir": "feeds",
+    "gold": "gold/products.parquet",
+    "quarantine": None,
+    "suppliers": None,  # null = all registered suppliers with landed feeds
+}
+
+
+def load_config(path: str) -> dict:
+    """Config-file surface (reference etl/orchestrator.py:229-243
+    _load_config): JSON file overrides defaults; unknown keys rejected
+    so typos fail loudly."""
+    with open(path) as f:
+        cfg = json.load(f)
+    unknown = set(cfg) - set(DEFAULT_CONFIG)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}; known: {sorted(DEFAULT_CONFIG)}")
+    return {**DEFAULT_CONFIG, **cfg}
+
+
+def create_sample_config(path: str) -> None:
+    """create_sample_config (reference etl/orchestrator.py:297-312):
+    write a starter config the user edits."""
+    with open(path, "w") as f:
+        json.dump(DEFAULT_CONFIG, f, indent=2)
+        f.write("\n")
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="PIM ETL orchestrator (PySpark)")
-    parser.add_argument("--action", choices=["sync", "incremental", "status", "validate"], default="sync")
+    parser.add_argument(
+        "--action",
+        choices=["sync", "incremental", "status", "validate", "create-config"],
+        default="sync",
+    )
+    parser.add_argument("--config", default=None, help="JSON config file (see create-config)")
     parser.add_argument("--supplier", default=None)
-    parser.add_argument("--feeds-dir", default="feeds")
-    parser.add_argument("--gold", default="gold/products.parquet")
+    parser.add_argument("--feeds-dir", default=None)
+    parser.add_argument("--gold", default=None)
     parser.add_argument("--since", default=None, help="YYYY-MM-DD cutoff for incremental")
     parser.add_argument("--quarantine", default=None, help="dir for invalid primary-feed rows")
     args = parser.parse_args(argv)
+
+    if args.action == "create-config":
+        path = args.config or "etl_config.json"
+        create_sample_config(path)
+        print(json.dumps({"status": "created", "path": path}))
+        return 0
+
+    cfg = load_config(args.config) if args.config else dict(DEFAULT_CONFIG)
+    # explicit CLI flags beat the config file
+    args.feeds_dir = args.feeds_dir if args.feeds_dir is not None else cfg["feeds_dir"]
+    args.gold = args.gold if args.gold is not None else cfg["gold"]
+    args.quarantine = args.quarantine if args.quarantine is not None else cfg["quarantine"]
+    if args.supplier is None and cfg["suppliers"]:
+        args.supplier = cfg["suppliers"][0] if len(cfg["suppliers"]) == 1 else None
 
     from pim_etl_spark.session import get_spark
 

@@ -72,3 +72,26 @@ def test_quarantine_splits_invalid_rows(spark, tmp_path):
     assert result["products_in_gold"] == 6  # corrupt rows excluded
     bad = spark.read.parquet(f"{qdir}/midocean").collect()
     assert len(bad) == 2
+
+
+def test_config_file_surface(tmp_path):
+    """create-config writes defaults; load_config merges + rejects typos."""
+    import json
+
+    from pim_etl_spark import orchestrator as o
+
+    path = str(tmp_path / "etl_config.json")
+    assert o.main(["--action", "create-config", "--config", path]) == 0
+    cfg = o.load_config(path)
+    assert cfg == o.DEFAULT_CONFIG
+
+    with open(path, "w") as f:
+        json.dump({"gold": "elsewhere/products.parquet"}, f)
+    cfg = o.load_config(path)
+    assert cfg["gold"] == "elsewhere/products.parquet"
+    assert cfg["feeds_dir"] == "feeds"  # default preserved
+
+    with open(path, "w") as f:
+        json.dump({"glod": "typo"}, f)
+    with pytest.raises(ValueError, match="unknown config keys"):
+        o.load_config(path)
