@@ -15,6 +15,82 @@ from pim_etl_spark.sources import load_table
 
 
 @query(
+    "q4_late_ship_priority",
+    oracle="""
+    -- TPC-H Q4 shape on the synthetic schema: priority counts of
+    -- orders with at least one item shipped >90 days after ordering
+    -- (correlated EXISTS with an inequality spanning both tables)
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1994-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS becomes a LEFT SEMI join with
+    a compound condition (equi key + cross-table inequality) — the
+    equi part drives the hash join, the inequality filters post-probe;
+    each order contributes once no matter how many late items."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-07-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 90)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    -- TPC-H Q16 shape: distinct-supplier counts per (brand, type)
+    -- excluding negative-balance suppliers via NOT IN (anti join)
+    SELECT p_brand, p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 20
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN over a non-null key is a broadcast
+    LEFT ANTI join; count(DISTINCT) expands two-phase; the top-20 has a
+    total order (cnt desc, brand, type) so the limit is deterministic."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & ~F.col("p_type").startswith("MEDIUM")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_suppliers = (
+        load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    joined = (
+        li.join(F.broadcast(bad_suppliers), li["l_suppkey"] == bad_suppliers["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+    )
+    return (
+        joined.groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+@query(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
