@@ -283,6 +283,81 @@ def filter_quality(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    a transitive duplicate chain maps to its cluster's minimum doc_id.
+
+    Pairwise detection (LSH candidates → verified pairs) under-merges:
+    a↔b and b↔c never compare a to c. Label propagation closes the
+    chain: each round every node adopts the smallest label among its
+    neighbors+self (two shuffles per round on ids only), converging in
+    O(log diameter) rounds for real dup chains (near-cliques: 1–2).
+    The loop materializes per round via localCheckpoint to keep the
+    plan from growing unboundedly — the standard iterative-algorithm
+    pattern (same shape GraphX/GraphFrames CC uses).
+
+    Returns (doc_id, cluster_id) for every doc appearing in ``pairs``.
+    """
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    # undirected: propagate labels both ways
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = (
+        sym.selectExpr("src AS doc_id").distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+@query("dedup_cluster_resolution")  # rows-only: LSH pair source is engine-side
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering over MinHash-LSH verified pairs:
+    cluster sizes and keeper ids — the corpus-level keep-one-per-cluster
+    semantics (pairwise drop under-merges chains). Chain-closure is
+    asserted with planted a↔b↔c dups in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    verified = (
+        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
+        .filter(
+            F.size(F.array_intersect("tok_a", "tok_b"))
+            >= 0.5 * F.size(F.array_union("tok_a", "tok_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    clusters = duplicate_clusters(verified)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("cluster_id")
+    )
+
+
 @query("simhash_buckets")  # rows-only: xxhash64 is engine-specific
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup blocking: docs sharing the top-16-bit prefix.

@@ -199,3 +199,15 @@ def test_lsh_bucket_join_finds_planted_neardup(spark, sf_dir):
     planted = emb.select("vec_id", "label", "embedding").unionByName(base)
     out = lsh_neardup_pairs(planted, threshold=0.99).collect()
     assert any(r.vec_a == 1 and r.vec_b == 900001 and r.cosine >= 0.99 for r in out)
+
+
+def test_duplicate_clusters_close_transitive_chains(spark):
+    """a-b and b-c (never a-c) must land in ONE cluster labeled min id;
+    disjoint pair d-e stays its own cluster."""
+    from pim_etl_spark.llm_ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
