@@ -391,6 +391,44 @@ def map_keys_values_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_quantile_sketch",
+    oracle="""
+    -- sketch values differ per engine (GK/KLL variants), so the
+    -- checked output is the exact interpolated quantile plus a 5%
+    -- relative-error predicate each engine evaluates against ITS OWN
+    -- sketch — the approx_distinct_counts pattern for quantiles
+    SELECT l_returnflag,
+           count(*) AS n,
+           abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS p50_within_5pct,
+           abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.95) AS p95_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch): the single-pass
+    mergeable path for percentile dashboards over 100 TB — exact
+    interpolated quantiles cost a sort per group, the sketch is one
+    scan with bounded state. Hashed output = wide-margin 5% sketch
+    bounds only: raw interpolated quantiles carry FP-jitter onto .xx5
+    rounding boundaries (NOTES.md trap), and sketch values differ per
+    engine; the exact median already hashes in stats_aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = lambda p: F.percentile("l_extendedprice", p)  # noqa: E731
+    approx = lambda p: F.percentile_approx("l_extendedprice", p, 10000)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.abs(approx(0.5) - exact(0.5)) <= 0.05 * exact(0.5)).alias("p50_within_5pct"),
+            (F.abs(approx(0.95) - exact(0.95)) <= 0.05 * exact(0.95)).alias("p95_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "lateral_top2_per_customer",
     oracle="""
     SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
