@@ -106,3 +106,36 @@ def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
     out = run_stream_to_memory(spark, deduped, mode="append")
     got = sorted((r.event_id, r.value) for r in out.collect())
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir):
+    """The RocksDB state store (the 100 TB streaming-state backend,
+    SCALE.md knobs table) must produce byte-identical windowed results
+    to the default HDFS-backed store."""
+    from pim_etl_spark.sources import load_table
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = stream_events(spark, sf_dir)
+        streamed = run_stream_to_memory(spark, hourly_windowed_counts(events))
+        s = {
+            (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+            for r in streamed.collect()
+        }
+    finally:
+        if prior:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    b = {(str(r.window_start), r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert s == b
