@@ -163,6 +163,41 @@ def topk_for_queries(emb: DataFrame, query_ids: list[int], k: int = TOP_K) -> Da
     )
 
 
+@query("embedding_group_pca")  # rows-only: numpy eigensolve is engine-side
+def embedding_group_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dominant principal component via grouped-map
+    ``applyInPandas`` — the per-group scientific-computation surface
+    (numpy eigendecomposition is genuinely inexpressible as Spark SQL;
+    this is the sanctioned escape hatch, Arrow-batched per group).
+
+    Each group ships once to one Python worker; output is one row per
+    group (label, n, PC1 explained-variance ratio, mean vector norm).
+    At 100 TB the group count bounds parallelism — fine for
+    label/language-cardinality groups, wrong for per-document groups.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pca_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        centered = x - x.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / max(len(x) - 1, 1)
+        eigvals = np.linalg.eigvalsh(cov)  # ascending, deterministic
+        total = float(eigvals.sum()) or 1.0
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n": [len(x)],
+                "pc1_var_ratio": [round(float(eigvals[-1]) / total, 6)],
+                "mean_norm": [round(float(np.linalg.norm(x, axis=1).mean()), 4)],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_schema = "label int, n long, pc1_var_ratio double, mean_norm double"
+    return emb.groupBy("label").applyInPandas(pca_stats, schema=out_schema).orderBy("label")
+
+
 @query(
     "batched_topk_multiquery",
     oracle=f"""

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Runtime bloom-filter join pruning
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled) is ON by
+        # default in Spark 4 — at 100 TB it prunes fact-scan rows that
+        # the join would drop, before they reach the shuffle. We rely
+        # on the default rather than re-setting it; the old
+        # runtimeFilter.semiJoinReduction conf no longer exists in 4.x
+        # (setting it hangs the first job — verified locally).
         # --- shuffle sizing: local default; a real cluster overrides ---
         .config(
             "spark.sql.shuffle.partitions",

@@ -211,3 +211,18 @@ def test_duplicate_clusters_close_transitive_chains(spark):
     )
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_embedding_group_pca(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.sources import load_table
+
+    out = {r.label: r for r in get_queries()["embedding_group_pca"](spark, sf_dir).collect()}
+    counts = {
+        r.label: r.n
+        for r in load_table(spark, sf_dir, "embeddings").groupBy("label").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {k: v.n for k, v in out.items()} == counts
+    for r in out.values():
+        assert 0.0 < r.pc1_var_ratio <= 1.0
+        assert r.mean_norm > 0
