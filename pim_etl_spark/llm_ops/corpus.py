@@ -1,0 +1,265 @@
+"""Corpus-preparation operators a large-scale training-data pipeline
+needs beyond dedup: chunking, repetition-based quality signals
+(Gopher-style), corpus-wide boilerplate n-gram detection, and PII
+redaction. All are native column expressions — the scan side does the
+token work, only small aggregates cross a shuffle.
+
+These extend the reference's text-processing intent (the PIM engine
+normalizes/needs-cleaned text fields, e.g. description prettify in
+etl/transformers/midocean_transformer.py) to the document-corpus
+setting; each query has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.llm_ops.dedup import _tokens
+from pim_etl_spark.sources import load_table
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+# normalization twin of dedup._norm_text for the oracle SQL
+_NORM_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle=f"""
+    -- token-window chunking with overlap: chunk i covers tokens
+    -- [i*stride+1, i*stride+chunk]; short docs yield exactly one chunk
+    WITH t AS (
+      SELECT doc_id, {_NORM_SQL} AS toks
+      FROM documents WHERE doc_id < 50
+    ), c AS (
+      SELECT doc_id, toks,
+             1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id,
+           chunk_idx,
+           len(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_tokens,
+           md5(array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+    FROM e
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (context-window preparation):
+    64-token chunks on a 48-token stride, so consecutive chunks share
+    16 tokens. One ``slice`` per exploded (doc, chunk_idx) row — the
+    chunk-index explode happens FIRST so Catalyst never inlines a
+    per-index slice lambda into an array expression (the O(tokens²)
+    ProjectCollapse trap, see dedup._shingles).
+
+    At 100 TB: chunking is scan-local (no shuffle at all — the explode
+    multiplies rows within the input partition); the md5 column is
+    what a downstream exact-dedup would key on.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    with_counts = base.withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1))
+                / CHUNK_STRIDE
+            )
+        ).cast("int"),
+    )
+    exploded = with_counts.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _bigrams(c) -> F.Column:
+    """Token bigrams via shifted-array zip (never a per-index slice)."""
+    toks = _tokens(c)
+    z = F.arrays_zip(toks.alias("t0"), F.slice(toks, 2, F.size(toks)).alias("t1"))
+    full = F.filter(z, lambda x: x["t1"].isNotNull())
+    return F.transform(full, lambda x: F.concat_ws(" ", x["t0"], x["t1"]))
+
+
+@query(
+    "repetition_topgram_stats",
+    oracle="""
+    -- Gopher-style repetition signal: the fraction of a doc's bigrams
+    -- taken by its single most frequent bigram; docs above 8% flag as
+    -- repetitive. Aggregated per language.
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS i
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, lang, bigram, count(*) AS cnt
+      FROM grams WHERE bigram IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac
+      FROM counts GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN top_frac > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           round(avg(top_frac), 4) AS avg_top_bigram_frac
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def repetition_topgram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher rules' top-n-gram
+    fraction): per doc, the share of bigram mass held by the most
+    frequent bigram; docs above 8% are flagged repetitive.
+
+    Scale shape: bigram build is scan-local (shifted zip), the
+    (doc_id, bigram) count is one map-side-combined shuffle whose keys
+    are doc-local, and the per-language rollup moves one row per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(_bigrams(F.col("text"))).alias("bigram")
+    )
+    counts = grams.groupBy("doc_id", "lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_frac")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("top_frac") > 0.08, 1).otherwise(0)).alias("n_repetitive"),
+            F.round(F.avg("top_frac"), 4).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "corpus_boilerplate_ngrams",
+    oracle="""
+    -- corpus-wide boilerplate: 5-grams appearing in >= 2 DISTINCT
+    -- docs (the dedup-corpora line/ngram-level boilerplate sweep)
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS i
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM grams WHERE gram IS NOT NULL
+    GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 5-gram shingles shared by
+    multiple documents — the corpus-level sweep that catches template
+    text exact-dedup misses (headers, disclaimers).
+
+    Scale shape: per-doc distinct shingles explode scan-side; the only
+    shuffle carries (gram, doc) pairs for the distinct-doc count, and
+    the top-20 is TakeOrderedAndProject — no global sort materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    z = F.arrays_zip(
+        toks.alias("t0"),
+        F.slice(toks, 2, n).alias("t1"),
+        F.slice(toks, 3, n).alias("t2"),
+        F.slice(toks, 4, n).alias("t3"),
+        F.slice(toks, 5, n).alias("t4"),
+    )
+    full = F.filter(z, lambda x: x["t4"].isNotNull())
+    grams5 = F.array_distinct(
+        F.transform(full, lambda x: F.concat_ws(" ", x["t0"], x["t1"], x["t2"], x["t3"], x["t4"]))
+    )
+    exploded = docs.select("doc_id", F.explode(grams5).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # per-doc distinct → count == distinct docs
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(20)
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    oracle="""
+    -- PII redaction over deterministically-injected emails/phones:
+    -- regex masking + match counts (the redaction pass every
+    -- training-data pipeline runs before publication)
+    WITH synth AS (
+      SELECT doc_id,
+             text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.org', 1 + CAST(doc_id % 3 AS INT))
+                  || ' phone 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS synth_text
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth_text, '[a-z0-9.]+@[a-z.]+[a-z]')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(synth_text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(synth_text, '[a-z0-9.]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+                              '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth ORDER BY doc_id
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: regex masking of emails/phone patterns with per-doc
+    match counts. The corpus has no real PII, so both engines inject
+    the same deterministic synthetic addresses first — the point is
+    proving the masking machinery (global regexp_replace + match
+    count) agrees byte-for-byte.
+
+    Scale shape: pure scan-side expressions, zero shuffles before the
+    final (tiny) ordered output.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    synth = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@ex.org")),
+            (F.lit(1) + (F.col("doc_id") % 3)).cast("int"),
+        ),
+        F.lit(" phone 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9.]+@[a-z.]+[a-z]"
+    phone_re = r"555-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")

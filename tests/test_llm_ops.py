@@ -226,3 +226,37 @@ def test_embedding_group_pca(spark, sf_dir):
     for r in out.values():
         assert 0.0 < r.pc1_var_ratio <= 1.0
         assert r.mean_norm > 0
+
+
+def test_chunking_overlap_property(spark):
+    """Consecutive chunks of a long doc share CHUNK-STRIDE tokens and
+    cover the doc exactly; a short doc yields one whole-doc chunk."""
+    from pim_etl_spark.llm_ops import corpus
+    from pyspark.sql import functions as F
+
+    toks = [f"w{i}" for i in range(150)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "a b c")], "doc_id long, text string"
+    )
+    base = docs.select(
+        "doc_id", corpus._tokens(F.col("text")).alias("toks"), F.size(corpus._tokens(F.col("text"))).alias("n")
+    ).withColumn(
+        "n_chunks",
+        (F.lit(1) + F.floor((F.greatest(F.col("n") - corpus.CHUNK_TOKENS, F.lit(0)) + (corpus.CHUNK_STRIDE - 1)) / corpus.CHUNK_STRIDE)).cast("int"),
+    )
+    rows = base.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i")
+    ).select(
+        "doc_id", "i",
+        F.slice(F.col("toks"), F.col("i") * corpus.CHUNK_STRIDE + 1, corpus.CHUNK_TOKENS).alias("chunk"),
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.i] = r.chunk
+    long_chunks = [by_doc[0][i] for i in sorted(by_doc[0])]
+    # 150 tokens, chunk 64 stride 48 -> chunks at 0,48,96 -> 3 chunks
+    assert len(long_chunks) == 3
+    assert long_chunks[0] == toks[0:64] and long_chunks[1] == toks[48:112] and long_chunks[2] == toks[96:150]
+    # overlap: last 16 of chunk k == first 16 of chunk k+1
+    assert long_chunks[0][-16:] == long_chunks[1][:16]
+    assert by_doc[1] == {0: ["a", "b", "c"]}
