@@ -263,3 +263,63 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(synth, F.lit(phone_re)).cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "udtf_chunk_spans",
+    oracle=f"""
+    -- SQL twin of the Python UDTF: same span arithmetic, pure SQL
+    WITH t AS (
+      SELECT doc_id, len({_NORM_SQL}) AS n
+      FROM documents WHERE doc_id < 40
+    ), c AS (
+      SELECT doc_id, n,
+             1 + (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT) AS start_tok,
+           CAST(least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS INT) AS end_tok
+    FROM e ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.9 extensibility): a table
+    function yielding one row per chunk span, consumed via SQL LATERAL
+    join — the user-defined-operator escape hatch when per-row logic
+    must produce a VARIABLE number of rows (Spark 3.5+ API; scalar
+    UDFs can't change cardinality, ``explode`` needs the array built
+    first).
+
+    The span arithmetic matches ``doc_chunking_overlap`` and the
+    DuckDB oracle re-derives it in pure SQL — the UDTF's Python row
+    math is hash-checked against a SQL twin. Scale note: a UDTF runs
+    row-at-a-time in Python workers; it belongs on SMALL per-row
+    payloads (here: one length integer, not the token array). Bulk
+    chunking stays in native expressions (doc_chunking_overlap); the
+    UDTF exists to prove the extension surface.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start_tok int, end_tok int")
+    class ChunkSpans:
+        def eval(self, n_tokens: int):  # noqa: ANN001 — UDTF contract
+            n_chunks = 1 + (max(n_tokens - CHUNK_TOKENS, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+            for i in range(n_chunks):
+                yield i, i * CHUNK_STRIDE + 1, min(i * CHUNK_STRIDE + CHUNK_TOKENS, n_tokens)
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n")).createOrReplaceTempView(
+        "_chunk_span_input"
+    )
+    return spark.sql(
+        """
+        SELECT i.doc_id, c.chunk_idx, c.start_tok, c.end_tok
+        FROM _chunk_span_input i, LATERAL chunk_spans(i.n) c
+        ORDER BY i.doc_id, c.chunk_idx
+        """
+    )
