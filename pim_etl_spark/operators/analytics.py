@@ -169,3 +169,57 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("p_name").alias("sample_name"))
         .orderBy("edit_distance")
     )
+
+
+@query(
+    "mad_grouped_agg_udaf",
+    oracle="""
+    -- DuckDB's native mad() is the oracle for the pandas grouped-agg
+    -- UDAF: median absolute deviation per nation (no Spark built-in)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(mad(c_acctbal) AS DOUBLE), 4) AS acctbal_mad
+    FROM customer
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def mad_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY §2.9): a pandas grouped-agg UDF computing
+    median absolute deviation — a statistic Spark has no built-in for
+    (medians resist algebraic decomposition), which is exactly when a
+    custom aggregate earns its place. Arrow-batched: each group's
+    column ships to Python once as a pandas Series, one scalar
+    returns.
+
+    Scale note: grouped-agg UDFs can't partial-aggregate (full groups
+    must co-locate), so the shuffle carries the raw column for the
+    grouped rows — fine for bounded per-group sizes (here: customers
+    per nation); for billion-row groups use an approximate sketch
+    (approx_percentile twice) instead.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType is explicit because this module's postponed
+    # annotations (`from __future__ import annotations`) stringify the
+    # Series -> float hints pyspark would otherwise infer from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the count is a
+    # second pandas aggregate over the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            _n("c_acctbal").alias("n_customers"),
+            F.round(_mad("c_acctbal"), 4).alias("acctbal_mad"),
+        )
+        .orderBy("c_nationkey")
+    )
