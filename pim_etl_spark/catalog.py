@@ -108,16 +108,31 @@ _DRIVER_GREEN_R1 = frozenset({
 _LOW_PRIORITY_TWINS = ("text_search_indexed", "embedding_lsh_neardup_buckets")
 
 
+# Genuinely-streamed oracled entries: the rarest capability class
+# (micro-batch execution hash-matching a batch oracle) — front-loaded
+# so a capped driver run can't cut exactly these.
+_EARLY = (
+    "stream_dedup_event_counts",
+    "stream_hourly_event_counts",
+    "stream_attribution_interval_join",
+)
+
+
 def _priority_order(names) -> list[str]:
-    """Unverified-first ordering: pending oracled entries, then pending
-    rows-only, twins last, round-1-green proven entries at the end;
-    stable within each class."""
+    """Unverified-first ordering: streaming proofs, then pending
+    oracled entries, then pending rows-only, twins last, round-1-green
+    proven entries at the end; stable within each class."""
     pending = [n for n in names if n not in _DRIVER_GREEN_R1]
     proven = [n for n in names if n in _DRIVER_GREEN_R1]
-    oracled = [n for n in pending if n in ORACLES and n not in _LOW_PRIORITY_TWINS]
+    early = [n for n in pending if n in _EARLY]
+    oracled = [
+        n
+        for n in pending
+        if n in ORACLES and n not in _LOW_PRIORITY_TWINS and n not in _EARLY
+    ]
     rows_only = [n for n in pending if n not in ORACLES and n not in _LOW_PRIORITY_TWINS]
     twins = [n for n in pending if n in _LOW_PRIORITY_TWINS]
-    return oracled + rows_only + twins + proven
+    return early + oracled + rows_only + twins + proven
 
 
 def get_queries() -> dict[str, QueryFn]:
