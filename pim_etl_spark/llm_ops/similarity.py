@@ -622,11 +622,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
 
     def signature(vec: Column) -> Column:
-        bits = []
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(w) for w in planes[j]])
-            bits.append(F.when(dot(_as_double(vec), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
-        return F.array(*bits)
+        # ONE 2-D plane literal + one transform, not 16 inlined
+        # 64-element literals each with its own dot-product tree: the
+        # expression tree (and the generated code Janino must compile)
+        # shrinks ~16×; compile time dominated execution at test SF
+        planes_lit = F.lit(planes)
+        return F.transform(
+            planes_lit,
+            lambda p: F.when(dot(_as_double(vec), p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
 
     sig = emb.select("vec_id", "label", "embedding", signature(F.col("embedding")).alias("sig"))
     qrow = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
