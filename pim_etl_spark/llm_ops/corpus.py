@@ -323,3 +323,49 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY i.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "hash_split_assignment",
+    oracle="""
+    -- reproducible train/val/test assignment: md5 bucket on the doc
+    -- key, 80/10/10 by hex prefix — engine-portable (no seeded RNG),
+    -- stable under re-partitioning and re-runs
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset splitting: train/val/test by md5-bucket of
+    the document key (~80/10/10 via hex-prefix ranges). The property
+    that matters at 100 TB: assignment is a pure function of the key —
+    reproducible across runs, engines, partitionings, and data
+    arrivals (``df.sample``'s seeded RNG is none of those: it depends
+    on partition layout). Scan-local; the only shuffle is the 3-row
+    rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
