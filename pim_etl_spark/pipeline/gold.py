@@ -108,3 +108,48 @@ def read_table_recovering(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
     return spark.read.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    partition_by: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+) -> dict:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    table into ~``target_file_mb`` files, optionally sorted within
+    files by ``cluster_by`` so parquet row-group min/max statistics
+    prune point/range reads on those columns (poor man's clustering;
+    Z-ORDER generalizes it to multi-column locality).
+
+    Incremental upsert churn produces one small file per task per
+    sync; at 100 TB unmanaged small files dominate scan planning and
+    open() overhead. File count derives from actual on-disk bytes, the
+    rewrite goes through ``atomic_overwrite`` (readable throughout,
+    crash-safe), and the job is pure maintenance — results are
+    byte-identical to readers.
+
+    Returns {files_before, files_after, bytes} for observability.
+    """
+
+    def _parquet_files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return out
+
+    before = _parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = read_table_recovering(spark, path)
+    if cluster_by:
+        df = df.repartition(n_files).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(n_files)
+    atomic_overwrite(df, path, partition_by=partition_by)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parquet_files(path)),
+        "bytes": total_bytes,
+    }

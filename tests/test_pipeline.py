@@ -450,3 +450,18 @@ def test_sustainability_struct(spark, feeds):
             assert s.social_audits == []
         n_checked += 1
     assert n_checked > 0
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pim_etl_spark.pipeline import gold
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("k", F.col("id") % 7)
+    # fragment: 64 tiny files, as incremental syncs would leave behind
+    df.repartition(64).write.parquet(path)
+    stats = gold.compact_table(spark, path, target_file_mb=256, cluster_by=("k",))
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.groupBy().sum("id").collect()[0][0] == sum(range(10_000))
