@@ -213,8 +213,19 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="PIM ETL orchestrator (PySpark)")
     parser.add_argument(
         "--action",
-        choices=["sync", "incremental", "status", "validate", "create-config"],
+        choices=["sync", "incremental", "status", "validate", "create-config", "compact"],
         default="sync",
+    )
+    parser.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=256,
+        help="compact: target output file size",
+    )
+    parser.add_argument(
+        "--cluster-by",
+        default=None,
+        help="compact: comma-separated sort-within-file columns for min/max pruning",
     )
     parser.add_argument("--config", default=None, help="JSON config file (see create-config)")
     parser.add_argument("--supplier", default=None)
@@ -250,6 +261,16 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.action == "status":
         out = run_status(spark, args.gold)
+    elif args.action == "compact":
+        from pim_etl_spark.pipeline.gold import compact_table
+
+        out = compact_table(
+            spark,
+            args.gold,
+            target_file_mb=args.target_file_mb,
+            cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else (),
+        )
+        out["status"] = "success"
     else:
         out = run_validate(spark, args.feeds_dir)
     print(json.dumps(out, default=str))

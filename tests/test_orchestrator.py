@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pim_etl_spark.orchestrator import load_supplier_feeds, run_status, run_sync, run_validate
 from pim_etl_spark.pipeline import fixtures
@@ -95,3 +96,15 @@ def test_config_file_surface(tmp_path):
         json.dump({"glod": "typo"}, f)
     with pytest.raises(ValueError, match="unknown config keys"):
         o.load_config(path)
+
+
+def test_cli_compact_action(spark, tmp_path):
+    from pim_etl_spark import orchestrator
+
+    path = str(tmp_path / "gold_frag")
+    spark.range(5_000).withColumn("k", F.col("id") % 5).repartition(32).write.parquet(path)
+    rc = orchestrator.main(
+        ["--action", "compact", "--gold", path, "--target-file-mb", "256", "--cluster-by", "k"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(path).count() == 5_000
