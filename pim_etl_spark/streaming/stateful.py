@@ -151,6 +151,161 @@ def latest_per_key_with_ttl_stream(stock_stream: DataFrame, ttl: str = "7 days")
     )
 
 
+def _fold_latest(best: tuple | None, pdfs: Iterator[pd.DataFrame]) -> tuple[Any, Any, bool]:
+    """Shared micro-batch fold: newest (modified_at, qty) wins."""
+    best_ts, best_qty = best if best is not None else (None, None)
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        idx = pdf["modified_at"].idxmax()
+        ts = pdf.loc[idx, "modified_at"]
+        if best_ts is None or ts > best_ts:
+            best_ts, best_qty = ts, int(pdf.loc[idx, "qty"])
+            changed = True
+    return best_ts, best_qty, changed
+
+
+try:  # Spark 4 arbitrary-state v2 (transformWithStateInPandas)
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older PySpark
+    _HAS_TWS = False
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+def tws_runtime_available() -> bool:
+    """True when transformWithStateInPandas can actually RUN here.
+
+    The state-v2 Python runner streams state over a protobuf channel,
+    so besides the API (Spark >= 4) the worker needs ``google.protobuf``
+    — without it the streaming runner crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The v1
+    ``applyInPandasWithState`` operators have no such dependency."""
+    if not _HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class LatestPerKeyProcessor(StatefulProcessor):
+    """State-v2 twin of ``latest_per_key_stream``: keep-latest-per-SKU
+    with a typed ``ValueState`` instead of the single opaque
+    ``GroupState`` tuple.
+
+    Why v2 at 100 TB: the processor can hold SEVERAL named state
+    variables per key (value/list/map), state TTL is declarative, and
+    timers are first-class — with ``applyInPandasWithState`` all of
+    that is hand-rolled into one tuple. Requires the RocksDB state
+    store provider (the scale backend anyway, SCALE.md knobs table).
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._latest = handle.getValueState("latest", STOCK_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        cur = self._latest.get() if self._latest.exists() else None
+        best_ts, best_qty, changed = _fold_latest(cur, rows)
+        if changed:
+            self._latest.update((best_ts, best_qty))
+            yield pd.DataFrame(
+                {"sku": [key[0]], "qty": [best_qty], "modified_at": [best_ts]}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+class LatestPerKeyTTLProcessor(StatefulProcessor):
+    """State-v2 twin of ``latest_per_key_with_ttl_stream``: event-time
+    timers retire keys that stop updating. One registered timer per
+    key, re-armed on every update (stale timers are deleted — v2
+    timers don't auto-cancel on re-register)."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._latest = handle.getValueState("latest", STOCK_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues: "TimerValues"):  # noqa: ANN001
+        cur = self._latest.get() if self._latest.exists() else None
+        best_ts, best_qty, changed = _fold_latest(cur, rows)
+        if best_ts is not None:
+            self._latest.update((best_ts, best_qty))
+            event_ms = int(pd.Timestamp(best_ts).value // 1_000_000)
+            expiry = max(
+                event_ms + self._ttl_ms, timerValues.getCurrentWatermarkInMs() + 1
+            )
+            for old in list(self._handle.listTimers()):
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(expiry)
+        if changed:
+            yield pd.DataFrame(
+                {
+                    "sku": [key[0]],
+                    "qty": [best_qty],
+                    "modified_at": [best_ts],
+                    "retired": ["live"],
+                }
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues: "TimerValues", expiredTimerInfo: "ExpiredTimerInfo"
+    ):  # noqa: ANN001
+        if self._latest.exists():
+            ts, qty = self._latest.get()
+            self._latest.clear()
+            yield pd.DataFrame(
+                {"sku": [key[0]], "qty": [qty], "modified_at": [ts], "retired": ["retired"]}
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_per_key_stream_v2(stock_stream: DataFrame) -> DataFrame:
+    """``latest_per_key_stream`` on the transformWithStateInPandas API
+    (Spark 4 state v2). Same input/output contract; the session must
+    run the RocksDB state store provider."""
+    return stock_stream.groupBy("sku").transformWithStateInPandas(
+        statefulProcessor=LatestPerKeyProcessor(),
+        outputStructType=STOCK_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def latest_per_key_with_ttl_stream_v2(stock_stream: DataFrame, ttl: str = "7 days") -> DataFrame:
+    """``latest_per_key_with_ttl_stream`` on state v2: event-time
+    timers drive retirement tombstones; watermark on ``modified_at``
+    supplies the event clock."""
+    n, unit = ttl.split()
+    unit_ms = {"days": 86_400_000, "hours": 3_600_000, "minutes": 60_000, "seconds": 1_000}[unit]
+    ttl_ms = int(n) * unit_ms
+    return (
+        stock_stream.withWatermark("modified_at", "0 seconds")
+        .groupBy("sku")
+        .transformWithStateInPandas(
+            statefulProcessor=LatestPerKeyTTLProcessor(ttl_ms),
+            outputStructType=STOCK_TTL_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def sessionized_events_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
     """Native session windows over the event stream: sessions close
     after ``gap`` of inactivity; state is dropped past the watermark."""
