@@ -326,6 +326,251 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_contamination_check",
+    oracle="""
+    -- decontamination sweep: bigram overlap of every corpus doc
+    -- against a held-out "benchmark" slice (doc_id % 97 == 0); a doc
+    -- is contaminated when >20% of its distinct bigrams appear in the
+    -- benchmark (integer-math threshold: shared*5 > total)
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS i
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0 AND gram IS NOT NULL
+    ), per_doc AS (
+      SELECT g.doc_id, g.source,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 97 <> 0 AND g.gram IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_shared * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(avg(CAST(n_shared AS DOUBLE) / n_grams), 4) AS avg_overlap
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def benchmark_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap sweep every
+    training corpus runs against eval sets): the benchmark slice's
+    distinct bigrams form a small set; every corpus doc's distinct
+    bigrams left-join against it and the per-doc overlap ratio flags
+    contamination. The >20% threshold is integer math
+    (``shared*5 > total``) so the cut is engine-exact, never a float
+    boundary.
+
+    At 100 TB the benchmark gram set stays benchmark-sized (eval sets
+    are tiny) → broadcast hash join against the corpus gram stream; no
+    shuffle carries document text, only (doc, gram-hash) pairs into
+    the per-doc count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(_bigrams(F.col("text")))).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("gram").alias("b_gram"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    per_doc = (
+        corpus.join(F.broadcast(bench), corpus.gram == bench.b_gram, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("b_gram").isNotNull(), 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_shared") * 5 > F.col("n_grams"), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.round(F.avg(F.col("n_shared").cast("double") / F.col("n_grams")), 4).alias(
+                "avg_overlap"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "mixture_weight_sampler",
+    oracle="""
+    -- data-mixing downsampler: deterministic hash-gate per source
+    -- tier (weights 1.0 / 0.5 / 0.25 / 0.1 by source number band);
+    -- salted key so the gate is independent of the train/val/test
+    -- split hash
+    WITH gated AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'ff~'
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN '80'
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN '40'
+                  ELSE '1a' END AS threshold,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < threshold THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM gated GROUP BY source ORDER BY source
+    """,
+)
+def mixture_weight_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights (the corpus-composition knob of every
+    pretraining pipeline): each source tier gets a target sampling
+    rate and docs pass a deterministic md5 gate — reproducible across
+    runs/partitionings where ``df.sample``'s seeded RNG is not, and
+    the salt (``mix:``) decorrelates it from ``hash_split_assignment``
+    so sampling doesn't bias the split. ``'ff~'`` sorts above every
+    hex pair → the 1.0 tier keeps everything.
+
+    Scale shape: the gate is a scan-local expression on the key; the
+    only shuffle is the per-source rollup (one row per source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    threshold = (
+        F.when(src_num < 5, "ff~")
+        .when(src_num < 10, "80")
+        .when(src_num < 15, "40")
+        .otherwise("1a")
+    )
+    bucket = F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2)
+    kept = bucket < threshold
+    return (
+        docs.select("source", kept.alias("kept"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+LINE_TOKENS = 10
+
+
+@query(
+    "line_level_dedup",
+    oracle=f"""
+    -- CCNet-style cross-document line dedup: docs are cut into
+    -- 10-token "lines"; a line appearing in >=2 distinct docs is
+    -- boilerplate and is removed from every doc; output is the
+    -- cleaned-doc hash. A shared disclaimer line is injected into
+    -- every 4th doc on both engines so the sweep has real work.
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'all rights reserved contact the vendor for terms of use today ' || text
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 200
+    ), toks AS (
+      SELECT doc_id, {_NORM_SQL} AS toks FROM synth
+    ), c AS (
+      SELECT doc_id, toks, (len(toks) + {LINE_TOKENS - 1}) // {LINE_TOKENS} AS n_lines FROM toks
+    ), e AS (
+      SELECT doc_id, toks, unnest(generate_series(0, n_lines - 1)) AS line_idx FROM c
+    ), lines AS (
+      SELECT doc_id, line_idx,
+             array_to_string(toks[line_idx * {LINE_TOKENS} + 1 : line_idx * {LINE_TOKENS} + {LINE_TOKENS}], ' ') AS line
+      FROM e
+    ), line_docs AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs_with FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           md5(coalesce(string_agg(CASE WHEN d.n_docs_with < 2 THEN l.line END, ' ' ORDER BY l.line_idx), ''))
+             AS cleaned_md5
+    FROM lines l JOIN line_docs d ON l.line = d.line
+    GROUP BY l.doc_id ORDER BY l.doc_id
+    """,
+)
+def line_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line deduplication (CCNet's boilerplate pass):
+    fixed 10-token lines, corpus-wide distinct-doc counts per line,
+    duplicated lines dropped from every document, and the cleaned doc
+    re-assembled IN ORDER (sort_array over (line_idx, line) structs)
+    so the output hash is deterministic.
+
+    Scale shape: line cutting is scan-local; the line→doc-count
+    aggregate and the join back both key on the line hash (in a real
+    run: xxhash64 of the line, so no text crosses the wire twice); the
+    re-assembly groups by doc_id — the same partitioning the join just
+    produced, so AQE coalesces without an extra exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    synth = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("all rights reserved contact the vendor for terms of use today "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    toks = _tokens(synth)
+    base = docs.select("doc_id", toks.alias("toks"))
+    with_counts = base.withColumn(
+        "n_lines",
+        F.floor((F.size("toks") + (LINE_TOKENS - 1)) / LINE_TOKENS).cast("int"),
+    )
+    lines = with_counts.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_lines") - 1)).alias("line_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "line_idx",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("line_idx") * LINE_TOKENS + 1, LINE_TOKENS), " "
+        ).alias("line"),
+    )
+    line_docs = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    joined = lines.join(line_docs, "line")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_dup_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("n_docs_with") < 2,
+                                    F.struct("line_idx", "line"),
+                                )
+                            )
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "hash_split_assignment",
     oracle="""
     -- reproducible train/val/test assignment: md5 bucket on the doc
