@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "pim_etl_spark.operators.tpch",
     "pim_etl_spark.operators.tpch2",
     "pim_etl_spark.operators.tpch3",
+    "pim_etl_spark.operators.graph",
     "pim_etl_spark.operators.analytics",
     "pim_etl_spark.operators.strings_dates",
     "pim_etl_spark.operators.pim_queries",
