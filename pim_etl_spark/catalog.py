@@ -78,12 +78,13 @@ def load_catalog() -> None:
     _loaded = True
 
 
-# Names the round-1 driver verified green (CORRECTNESS_r01.json,
+# Names a driver round has verified green (CORRECTNESS_r01/r02.json,
 # hash_match=true). The driver checks a prefix of the catalog in
-# iteration order, so queries it has NEVER checked — plus the round-1
+# iteration order, so queries it has NEVER checked — plus any past
 # reds, now fixed — are ordered FIRST and these proven entries last;
 # otherwise a per-round query cap would starve the long tail forever.
-_DRIVER_GREEN_R1 = frozenset({
+_DRIVER_GREEN = frozenset({
+    # round 1 (CORRECTNESS_r01.json)
     "asof_last_event_before_cutoff", "big_spenders_semi",
     "category_levels_unpivot", "cube_lineitem_flags",
     "customer_rank_lag_in_nation", "customers_without_orders_anti",
@@ -102,6 +103,32 @@ _DRIVER_GREEN_R1 = frozenset({
     "stats_aggregates", "status_derivation_case", "supplier_filter_isin",
     "supplier_lookup_join", "topk_orders", "union_multi_source",
     "unpivot_part_measures",
+    # round 2 (CORRECTNESS_r02.json) — the 48 hash-green entries; the
+    # two round-2 reds (stream_hourly_event_counts,
+    # stream_attribution_interval_join) stay pending so the fixed
+    # timestamp-unit code is re-sampled first.
+    "approx_distinct_counts", "approx_quantile_sketch",
+    "array_flatten_sorted", "array_slice_position_ops",
+    "bool_bit_aggregates", "catalog_stats_by_supplier",
+    "coalesce_null_handling", "collect_sorted_event_types",
+    "dimension_string_parse", "fuzzy_levenshtein_pairs",
+    "interval_arithmetic", "json_props_extract", "mad_grouped_agg_udaf",
+    "map_keys_values_ops", "master_projection_synthesis",
+    "multilingual_text_maps", "ntile_lead_quartiles",
+    "pagerank_trade_graph", "pct_breakdown_derivation",
+    "percent_rank_cume_dist", "q2_min_cost_supplier",
+    "q4_late_ship_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_national_market_share", "q9_product_type_profit",
+    "q10_returned_item_reporting", "q11_part_value_concentration",
+    "q12_ship_delay_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_excess_shipment_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    "regression_aggregates", "salted_skew_agg", "sessionize_events",
+    "shipping_tier_resolution", "stream_dedup_event_counts",
+    "string_case_ops", "string_pad_trim_ops", "thousands_int_parse",
+    "try_cast_permissive",
 })
 
 
@@ -125,8 +152,8 @@ def _priority_order(names) -> list[str]:
     """Unverified-first ordering: streaming proofs, then pending
     oracled entries, then pending rows-only, twins last, round-1-green
     proven entries at the end; stable within each class."""
-    pending = [n for n in names if n not in _DRIVER_GREEN_R1]
-    proven = [n for n in names if n in _DRIVER_GREEN_R1]
+    pending = [n for n in names if n not in _DRIVER_GREEN]
+    proven = [n for n in names if n in _DRIVER_GREEN]
     early = [n for n in pending if n in _EARLY]
     oracled = [
         n

@@ -1,7 +1,8 @@
 """SparkSession factory.
 
 Configured for correctness parity with the DuckDB oracle (UTC session
-time zone, nanos-as-long for the nanosecond-timestamp events table) and
+time zone, nanos-as-long so INT64-nanosecond parquet timestamps read as
+bigint instead of erroring — a no-op for micro-precision files) and
 for scale (AQE with coalescing + skew-join handling, broadcast joins for
 dimension tables). The same builder settings are what we would ship to a
 1000-executor cluster; only ``master`` / shuffle-partition counts change.
@@ -27,8 +28,10 @@ def get_spark(
     At 100 TB the same knobs hold: AQE coalesces the statically-sized
     shuffle down to data-proportional partitions, skew-join splits hot
     keys, and the 64 MiB advisory partition size keeps reducers within
-    executor memory. ``nanosAsLong`` is required to scan parquet files
-    written with nanosecond timestamps (pandas/arrow default).
+    executor memory. ``nanosAsLong`` lets INT64-nanosecond parquet
+    timestamps (a pandas/arrow option some testdata generations used)
+    scan as bigint instead of erroring; ``sources.normalize_event_ts``
+    handles the unit conditionally either way.
     """
     cpus = int(DEFAULT_CPUS)
     builder = (

@@ -5,12 +5,15 @@ into dict streams (``etl/base.py:59-80``); here every source is a
 DataFrame scan so Catalyst can push filters/projections into the
 parquet reader (check ``PushedFilters`` / ``ReadSchema`` in .explain).
 
-The ``events`` table is written with nanosecond parquet timestamps,
-which Spark's vectorized reader rejects unless
-``spark.sql.legacy.parquet.nanosAsLong`` is set; we set it defensively
-at load time (works on a fresh session too) and normalize ``ts`` to
-``timestamp_ntz`` at microsecond precision — the same truncation DuckDB
-applies when casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity.
+The ``events`` table's ``ts`` column has shipped in two physical
+encodings across testdata generations: parquet ``timestamp[us]`` (reads
+back as ``timestamp_ntz``) and INT64 nanoseconds (reads back as
+``bigint`` under ``spark.sql.legacy.parquet.nanosAsLong``).
+``normalize_event_ts`` handles both conditionally — the round-2 bug was
+a streaming source that *unconditionally* assumed nanos and divided a
+microsecond value by 1000 (VERDICT round 2, "What's wrong" #1). Batch
+and stream now share this one normalization; a parity test pins them
+together (tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -49,20 +52,38 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
             pass  # static conf in this build → session factory already set it
 
 
+def normalize_event_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Normalize the events ``ts`` column to microsecond precision,
+    whatever the physical parquet encoding was.
+
+    - ``bigint`` (INT64 nanos under nanosAsLong): integer-divide to
+      micros — double division loses µs precision at 1e18-scale nanos
+      (the mantissa can't hold 19 digits) — then build a timestamp.
+      Truncating like DuckDB's TIMESTAMP_NS → TIMESTAMP cast keeps
+      oracle parity.
+    - ``timestamp_ntz`` / ``timestamp`` (parquet timestamp[us]): cast
+      only. With the session tz pinned to UTC the NTZ↔LTZ cast is
+      lossless, so batch (NTZ, matches DuckDB) and streaming (LTZ,
+      required by watermarks) views of the same instant agree.
+
+    ``target`` is ``timestamp_ntz`` for batch or ``timestamp`` for
+    streaming event-time operators.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast(target))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table; normalizes the events timestamp."""
     if name == "events":
         _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → microsecond timestamp_ntz (truncating, like DuckDB's
-        # TIMESTAMP_NS::TIMESTAMP cast), with session tz pinned to UTC
-        # the TimestampType→NTZ cast is deterministic.
-        # integer division — double division loses µs precision at
-        # 1e18-scale nanos (the mantissa can't hold 19 digits)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    if name == "events":
+        df = normalize_event_ts(df, target="timestamp_ntz")
     return df
 
 

@@ -14,42 +14,34 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
 from pim_etl_spark.catalog import query
-from pim_etl_spark.sources import _ensure_nanos_conf
-
-# events.parquet physical schema (ts is INT64 nanos under nanosAsLong).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+from pim_etl_spark.sources import _ensure_nanos_conf, normalize_event_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source readStream over the events table with the same
-    nanos→timestamp normalization as the batch loader."""
+    """File-source readStream over the events table, normalized
+    identically to the batch loader.
+
+    ``readStream`` needs an explicit schema, so the PHYSICAL schema is
+    probed from the batch reader rather than hardcoded — the round-2
+    bug was a hardcoded LongType-nanos schema that silently divided
+    microsecond timestamps by 1000 when the testdata generation
+    switched encodings. ``normalize_event_ts`` then applies the same
+    conditional unit handling as ``load_table``; the only difference is
+    the target type: watermarks require TimestampType (not NTZ), and
+    with the session tz pinned to UTC the final NTZ cast in the sink
+    query is lossless.
+    """
     _ensure_nanos_conf(spark)
+    physical = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    # Watermarks require TimestampType (not NTZ); with the session tz
-    # pinned to UTC the final NTZ cast in the sink query is lossless.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw, target="timestamp")
 
 
 def hourly_windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -37,6 +37,34 @@ def test_stream_matches_batch(spark, sf_dir):
     assert s == b
 
 
+def test_stream_batch_source_parity(spark, sf_dir):
+    """stream_events and load_table must agree on the events time range.
+
+    Guards the round-2 bug class at its root: the testdata generator
+    changed the physical ts encoding (INT64 nanos → parquet
+    timestamp[us]) and the stream source's hardcoded nanos assumption
+    silently compressed event-time 1000× (windows landed in 1970).
+    Any future encoding drift now fails here, not in the driver.
+    """
+    from pim_etl_spark.sources import load_table
+
+    b = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi")
+        .collect()[0]
+    )
+    streamed = run_stream_to_memory(
+        spark,
+        stream_events(spark, sf_dir)
+        .select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi"),
+        mode="complete",
+    )
+    s = streamed.collect()[0]
+    assert (s.lo, s.hi) == (b.lo, b.hi)
+    assert 2000 <= s.lo.year <= 2100, f"stream event-times implausible: {s.lo}"
+
+
 def test_incremental_upsert_stream(spark, tmp_path):
     """Micro-batch incremental sync: second feed drop overrides rows on
     the key (ReplaceOne semantics through foreachBatch)."""
