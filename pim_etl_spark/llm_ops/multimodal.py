@@ -1,23 +1,31 @@
 """Multimodal column plumbing (SURVEY §2.10): image/audio/video as
 opaque ``binary`` columns with typed metadata structs.
 
-The decode step is STUBBED (no image/audio libs in this container) —
-``decode_image_batch`` raises NotImplementedError unless handed the
-deterministic fake decoder — but the Spark-side plumbing is real:
-schema, Arrow-batched ``mapInPandas`` signature, batch shaping, and
-partition sizing are exactly what a real decoder would plug into.
+Real codec libraries (PIL/ffmpeg) are not in this container, so the
+fixture payloads are **binary P6 PPM images** (a public, trivially
+parseable container: ``P6\\n<w> <h>\\n255\\n`` + w*h*3 RGB bytes) built
+from document text, and ``decode_ppm`` is a REAL decoder: it parses the
+header bytes, validates the pixel payload length, and computes a
+numpy-vectorized luminance statistic over the RGB planes. The Spark
+plumbing — schema, Arrow-batched ``mapInPandas`` signature, batch
+shaping — is exactly what a PIL/ffmpeg decoder would plug into;
+``decode_media`` without a decoder still raises for genuinely unknown
+codecs (SURVEY §2.10 stub mandate for real image formats).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +54,7 @@ DECODED_SCHEMA = StructType(
         StructField("media_type", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
         StructField("n_bytes", LongType(), True),
     ]
 )
@@ -69,29 +78,92 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake image decoder: derives (width, height) from
-    payload length. Stands in for PIL/ffmpeg, which aren't installed."""
+def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
+    """Fabricate a media lake whose payloads are REAL binary P6 PPM
+    images built from document text: header ``P6\\n<w> <h>\\n255\\n``
+    followed by exactly w*h*3 RGB bytes taken from the (encoded) text.
+
+    Dimensions vary per document (w = n % 29 + 3 ∈ [3, 31]); texts
+    shorter than 96 bytes are padded so every payload can fill at least
+    one pixel row (3·31 = 93 bytes worst case). Built entirely with JVM
+    column expressions — no Python in the encode path."""
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    padded = F.when(F.length("text") < 96, F.rpad("text", 96, ".")).otherwise(F.col("text"))
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        media_type.alias("media_type"),
+        F.encode(padded, "UTF-8").alias("bin"),
+        F.octet_length(F.encode(padded, "UTF-8")).alias("n"),
+    ).select(
+        "media_id",
+        "media_type",
+        "bin",
+        (F.col("n") % 29 + 3).cast("int").alias("w"),
+        F.expr("CAST(n DIV ((n % 29 + 3) * 3) AS INT)").alias("h"),
+    )
+    payload = F.concat(
+        F.encode(F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")), "UTF-8"),
+        F.col("bin").substr(F.lit(1), F.col("w") * F.col("h") * 3),
+    )
+    return staged.select(
+        "media_id",
+        "media_type",
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+PPM_HEADER_RE = re.compile(rb"^P6\n(\d+) (\d+)\n255\n")
+
+# ITU-R BT.601 luma weights — the standard RGB→luminance projection.
+_LUMA_WEIGHTS = np.array([0.299, 0.587, 0.114])
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder for the binary P6 PPM container: parse the header,
+    validate the pixel payload, and compute mean BT.601 luminance over
+    the RGB planes (numpy-vectorized)."""
+    m = PPM_HEADER_RE.match(payload)
+    if m is None:
+        raise ValueError(f"not a P6 PPM payload: {payload[:16]!r}")
+    w, h = int(m.group(1)), int(m.group(2))
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    if px.size != w * h * 3:
+        raise ValueError(f"truncated PPM pixel data: {px.size} != {w * h * 3}")
+    luma = float((px.reshape(-1, 3).astype(np.float64) @ _LUMA_WEIGHTS).mean())
+    return (w, h, luma)
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake image decoder: derives (width, height, luma)
+    from payload length alone. Stands in for codecs of formats this
+    environment genuinely cannot decode (JPEG/MP3/...)."""
     n = len(payload or b"")
-    return (n % 640 + 1, n % 480 + 1)
+    return (n % 640 + 1, n % 480 + 1, float(n % 256))
 
 
 def decode_media(
     media: DataFrame,
-    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Arrow-batched decode via mapInPandas — the real plumbing a
     PIL/ffmpeg decoder would use at scale (one Python worker per
     partition, payloads streamed in Arrow batches, output column-typed).
 
-    Raises NotImplementedError when no decoder is supplied: real codecs
-    are not available in this environment (SURVEY §2.10 stub mandate).
+    Raises NotImplementedError when no decoder is supplied: real image/
+    audio codecs are not available in this environment (SURVEY §2.10
+    stub mandate); pass ``decode_ppm`` for the synthetic PPM lake or
+    ``fake_decode`` for opaque payloads.
     """
     if decoder is None:
         raise NotImplementedError(
-            "no media codec available in this environment; pass decoder=fake_decode "
-            "for the deterministic stub"
+            "no media codec available in this environment; pass decoder=decode_ppm "
+            "for PPM payloads or decoder=fake_decode for the deterministic stub"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,6 +175,7 @@ def decode_media(
                     "media_type": pdf["media_type"],
                     "width": dims.map(lambda d: d[0]).astype("int32"),
                     "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "mean_luma": dims.map(lambda d: d[2]).astype("float64"),
                     "n_bytes": pdf["n_bytes"],
                 }
             )
@@ -139,18 +212,51 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_features")  # rows-only: decode is a Python stub
+@query(
+    "media_decode_features",
+    oracle="""
+    -- arithmetic twin of the REAL decode: the Spark side parses each
+    -- binary PPM header byte-for-byte (decode_ppm); the oracle derives
+    -- the same dimensions from the construction rule. A header-parse
+    -- bug (wrong field order, off-by-one offset) breaks the match.
+    -- floor(avg*1e4) not round(): ratio-of-small-integers averages can
+    -- land exactly on .5 where the engines' rounding modes disagree.
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(CASE WHEN length(text) < 96
+                                      THEN rpad(text, 96, '.')
+                                      ELSE text END)) AS n
+      FROM documents
+    ), d AS (
+      SELECT media_type, (n % 29 + 3) AS w, n // ((n % 29 + 3) * 3) AS h
+      FROM m
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_decoded,
+           CAST(floor(avg(w) * 10000) AS BIGINT) AS avg_width_e4,
+           CAST(floor(avg(h) * 10000) AS BIGINT) AS avg_height_e4,
+           CAST(sum(w * h * 3) AS BIGINT) AS pixel_bytes
+    FROM d GROUP BY media_type ORDER BY media_type
+    """,
+)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → feature-extract over mapInPandas with the deterministic
-    fake codec: proves the Arrow batch path end-to-end."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    decoded = decode_media(media, decoder=fake_decode)
+    """Decode → feature-extract over mapInPandas with the REAL PPM
+    decoder: every payload's header is parsed and its pixel block
+    length-validated in the Python worker, Arrow-batched. The oracle
+    checks the parsed dimensions; the luminance statistic (not
+    SQL-expressible byte math) is pinned exactly in
+    tests/test_llm_ops.py::test_media_decode_ppm_real_values."""
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(media, decoder=decode_ppm)
     return (
         decoded.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_decoded"),
-            F.round(F.avg("width"), 4).alias("avg_width"),
-            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.floor(F.avg("width") * 10000).alias("avg_width_e4"),
+            F.floor(F.avg("height") * 10000).alias("avg_height_e4"),
+            F.sum(F.col("width").cast("long") * F.col("height") * 3).alias("pixel_bytes"),
         )
         .orderBy("media_type")
     )

@@ -79,6 +79,35 @@ def test_media_decode_stub_dimensions(spark, sf_dir):
         assert r.media_type in {"image", "audio", "video"}
 
 
+def test_media_decode_ppm_real_values(spark, sf_dir):
+    """The PPM decoder must reproduce dimensions and BT.601 luminance
+    computed independently (positional byte parse in the test process)
+    from the raw payload bytes."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import decode_ppm, documents_as_ppm_media
+
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents")).limit(25)
+    expected = {}
+    for r in media.collect():
+        payload = bytes(r.payload)
+        assert payload[:3] == b"P6\n"
+        nl = payload.index(b"\n", 3)
+        w, h = map(int, payload[3:nl].split())
+        assert payload[nl + 1 : nl + 5] == b"255\n"
+        px = np.frombuffer(payload, np.uint8, offset=nl + 5)
+        assert px.size == w * h * 3, "payload is exactly header + w*h*3 pixel bytes"
+        luma = float((px.reshape(-1, 3).astype(float) @ np.array([0.299, 0.587, 0.114])).mean())
+        expected[r.media_id] = (w, h, luma)
+    decoded = decode_media(media, decoder=decode_ppm).collect()
+    assert len(decoded) == len(expected) > 0
+    for r in decoded:
+        w, h, luma = expected[r.media_id]
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_luma - luma) < 1e-9
+        assert 0.0 < r.mean_luma < 255.0
+
+
 def test_exact_dedup_keeps_min_doc_id(spark, planted):
     from pim_etl_spark.llm_ops.dedup import _norm_text
 
