@@ -314,3 +314,65 @@ def upsert_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_seq")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "incremental_watermark_filter",
+    oracle="""
+    -- --since watermark semantics (S2.8 incremental sync): keep a row
+    -- when its row-level modified_at, else its feed-level
+    -- feed_timestamp, is at/after the cutoff; rows with NEITHER are
+    -- kept (a feed without change tracking cannot prove a row
+    -- unchanged). The frame plants all three cases: tracked rows
+    -- (modified_at = o_orderdate), feed-only rows (stale literal feed
+    -- ts -> dropped), and untracked rows (both NULL -> kept).
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN CAST(o_orderdate AS TIMESTAMP) END AS modified_at,
+             CASE WHEN o_orderkey % 5 <> 0
+                  THEN TIMESTAMP '1996-01-01 00:00:00' END AS feed_timestamp
+      FROM orders
+    ), k AS (
+      SELECT coalesce(modified_at, feed_timestamp) AS wm, modified_at
+      FROM f
+      WHERE coalesce(modified_at, feed_timestamp) IS NULL
+         OR coalesce(modified_at, feed_timestamp) >= TIMESTAMP '1996-06-01 00:00:00'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(count(modified_at) AS BIGINT) AS n_row_level,
+           CAST(sum(CASE WHEN wm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_untracked,
+           min(wm) AS min_wm,
+           max(wm) AS max_wm
+    FROM k
+    """,
+)
+def incremental_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier incremental watermark (--since) through the SAME
+    ``registry.incremental_filter`` the orchestrator runs: row-level
+    ``modified_at`` (XD ItemDataLastModifiedDateTime / Sanmar
+    lastChangeDate class, SupplierSpec.watermark_field) preferred over
+    the feed-level ``feed_timestamp``, untracked rows kept."""
+    from pim_etl_spark.pipeline.registry import incremental_filter
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderdate").cast("timestamp")).alias(
+            "modified_at"
+        ),
+        # feed-level ts arrives as a STRING column in real feeds —
+        # incremental_filter must normalize it itself
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit("1996-01-01 00:00:00")).alias(
+            "feed_timestamp"
+        ),
+    )
+    kept = incremental_filter(f, "1996-06-01 00:00:00")
+    wm = F.coalesce(F.to_timestamp("modified_at"), F.to_timestamp("feed_timestamp"))
+    return kept.select(wm.alias("wm"), "modified_at").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count("modified_at").alias("n_row_level"),
+        F.sum(F.when(F.col("wm").isNull(), 1).otherwise(0)).alias("n_untracked"),
+        F.min("wm").cast("timestamp_ntz").alias("min_wm"),
+        F.max("wm").cast("timestamp_ntz").alias("max_wm"),
+    )

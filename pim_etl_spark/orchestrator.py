@@ -89,13 +89,11 @@ def run_sync(
     unified = registry.run_sync(spark, feeds_by_supplier)
     unified = unified.withColumn("last_sync", F.current_timestamp())
     if since:
-        # incremental: only products whose feed timestamp moved past
-        # the cutoff (etl/orchestrator.py:354-359 --since semantics)
-        ts = F.coalesce(
-            F.to_timestamp(F.col("feed_timestamp")),
-            F.col("modified_at") if "modified_at" in unified.columns else F.lit(None).cast("timestamp"),
-        )
-        unified = unified.filter(ts >= F.lit(since).cast("timestamp"))
+        # incremental: per-supplier row-level modified_at where the
+        # dialect surfaces one (SupplierSpec.watermark_field), feed-level
+        # feed_timestamp fallback, keep-if-untracked
+        # (etl/orchestrator.py:354-359 --since semantics)
+        unified = registry.incremental_filter(unified, since)
 
     # Bootstrap fallback applies ONLY when gold genuinely does not
     # exist yet — any other read failure propagates. A bare except here

@@ -33,6 +33,17 @@ class SupplierSpec:
     # feeds the transform can work without (e.g. extra-language
     # fetches) — the orchestrator skips them when not landed
     optional_feeds: tuple = ()
+    # incremental-sync watermark: the dialect's row-level modified-time
+    # field in its feed (raw name, e.g. XD's
+    # ItemDataLastModifiedDateTime, `sample data/XD Sample Data.jsonc:7`;
+    # Sanmar's lastChangeDate, `sample data/Sanmar Sample Data.jsonc:236`),
+    # which the transform surfaces as the unified ``modified_at``
+    # timestamp column. None = the feed has no row-level change
+    # tracking; --since falls back to the feed-level ``feed_timestamp``
+    # (MidOcean's per-feed ``timestamp``), and rows with neither are
+    # KEPT — a feed that can't prove a row unchanged degrades to full
+    # sync rather than silently dropping products.
+    watermark_field: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -96,6 +107,34 @@ def run_sync(
         for df in dfs
     ]
     return reduce(DataFrame.union, aligned)
+
+
+def incremental_filter(df: DataFrame, since: str) -> DataFrame:
+    """``--since`` incremental-sync semantics (reference intent:
+    etl/orchestrator.py:354-359): keep rows whose normalized watermark
+    is at/after the cutoff.
+
+    The watermark is the per-supplier row-level ``modified_at`` where
+    the dialect surfaces one (SupplierSpec.watermark_field), falling
+    back to the feed-level ``feed_timestamp``. Rows with NO watermark
+    at all are kept: a feed without change tracking cannot prove a row
+    unchanged, so incremental degrades to full sync for that supplier
+    instead of silently dropping its products.
+
+    At scale this filter sits directly above the feed scan, so when the
+    watermark is a physical column Catalyst pushes the comparison into
+    the parquet reader (min/max row-group pruning).
+    """
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    parts = [
+        F.to_timestamp(F.col(c)) for c in ("modified_at", "feed_timestamp") if c in cols
+    ]
+    if not parts:
+        return df
+    wm = F.coalesce(*parts)
+    return df.filter(wm.isNull() | (wm >= F.lit(since).cast("timestamp")))
 
 
 def _register_midocean() -> None:

@@ -417,6 +417,8 @@ SANMAR_SKUS = StructType(
         _s("SkuID"),
         _s("PiecePrice"),  # "4.59" plain decimal
         _s("CaseQty"),
+        # per-SKU change tracking (`sample data/Sanmar Sample Data.jsonc:236`)
+        _s("lastChangeDate"),
     ]
 )
 
@@ -454,6 +456,9 @@ def transform_sanmar(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
             F.round(F.min(F.col("PiecePrice").cast("double")), 2).alias("base_price"),
             F.array_sort(F.collect_set("ColorName")).alias("colors_available"),
             F.array_sort(F.collect_set("SizeName")).alias("sizes_available"),
+            # product watermark = newest SKU change: a product must
+            # resync when ANY of its SKUs moved (incremental --since)
+            F.max(F.to_timestamp(F.col("lastChangeDate"))).alias("modified_at"),
         )
         .select(
             pf.synth_product_id("sanmar", F.col("StyleNumber")).alias("product_id"),
@@ -467,6 +472,7 @@ def transform_sanmar(feeds: dict[str, DataFrame], spark: SparkSession) -> DataFr
             "variants_flat",
             "colors_available",
             "sizes_available",
+            "modified_at",
         )
     )
 
@@ -666,6 +672,7 @@ def _register_all() -> None:
             required_fields=("ItemCode", "ItemName"),
             feed_schemas={"xd_products": XD_PRODUCTS},
             transform=transform_xd,
+            watermark_field="ItemDataLastModifiedDateTime",
         )
     )
     register_supplier(
@@ -690,6 +697,7 @@ def _register_all() -> None:
             display_name="SanMar",
             feed_schemas={"sanmar_skus": SANMAR_SKUS},
             transform=transform_sanmar,
+            watermark_field="lastChangeDate",
         )
     )
     register_supplier(

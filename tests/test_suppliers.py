@@ -105,6 +105,66 @@ def test_all_suppliers_registered():
     assert get_supplier("xd").display_name == "XD Connects"
 
 
+def test_watermark_fields_declared():
+    """Dialects with row-level change tracking declare their raw field
+    (surfaced as the unified modified_at); feed-level-only dialects
+    declare None and fall back to feed_timestamp in --since."""
+    assert get_supplier("xd").watermark_field == "ItemDataLastModifiedDateTime"
+    assert get_supplier("sanmar").watermark_field == "lastChangeDate"
+    # MidOcean's products feed carries only a feed-level `timestamp`
+    # (normalized to feed_timestamp); stock rows have their own
+    # modified_at handled by the stock stream
+    assert get_supplier("midocean").watermark_field is None
+
+
+def test_incremental_filter_semantics(spark):
+    """--since keeps: row-level-fresh, feed-level-fresh (no row-level),
+    and untracked rows; drops stale rows — and the row-level watermark
+    takes precedence over a fresher feed-level one."""
+    from pim_etl_spark.pipeline.registry import incremental_filter
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2025-05-01 00:00:00", "2025-01-01 00:00:00"),  # row fresh -> kept
+            ("b", "2025-01-02 00:00:00", "2025-06-01 00:00:00"),  # row stale beats fresh feed -> dropped
+            ("c", None, "2025-06-01 00:00:00"),  # feed fresh -> kept
+            ("d", None, "2025-01-01 00:00:00"),  # feed stale -> dropped
+            ("e", None, None),  # untracked -> kept (can't prove unchanged)
+        ],
+        "k string, modified_at string, feed_timestamp string",
+    )
+    kept = {r.k for r in incremental_filter(df, "2025-03-01 00:00:00").collect()}
+    assert kept == {"a", "c", "e"}
+
+
+def test_xd_watermark_since_filter(spark):
+    """XD's ItemDataLastModifiedDateTime flows through transform_xd as
+    modified_at and drives the incremental cutoff per row."""
+    from pim_etl_spark.pipeline import fixtures
+    from pim_etl_spark.pipeline.registry import incremental_filter
+
+    feeds = fixtures.all_supplier_feeds(spark, n_masters=4)
+    out = suppliers.transform_xd(feeds["xd"], spark)
+    # fixture dates are 2025-02-01 .. 2025-02-06 (one per item)
+    kept = incremental_filter(out, "2025-02-04 00:00:00")
+    codes = sorted(r.supplier_product_code for r in kept.collect())
+    assert codes == ["XD203", "XD204", "XD205"]
+
+
+def test_sanmar_watermark_since_filter(spark):
+    from pim_etl_spark.pipeline.registry import incremental_filter
+
+    rows = [
+        ("ST100", "Heavy Tee", "BrandS", "Black", "M", "ST100-BK-M", "4.59", "72", "2023-10-19 16:25:48"),
+        ("ST100", "Heavy Tee", "BrandS", "Black", "S", "ST100-BK-S", "4.59", "72", "2023-11-02 09:00:00"),
+        ("ST200", "Polo", "BrandS", "Navy", "L", "ST200-NV-L", "9.99", "36", "2024-01-05 12:00:00"),
+    ]
+    feeds = {"sanmar_skus": spark.createDataFrame(rows, suppliers.SANMAR_SKUS)}
+    out = suppliers.transform_sanmar(feeds, spark)
+    kept = [r.supplier_product_code for r in incremental_filter(out, "2023-12-01 00:00:00").collect()]
+    assert kept == ["ST200"]
+
+
 def test_pfconcept_column_name_unpivot(spark):
     row = {
         "ItemNumber": "PF1", "ItemName": "Tote", "CategoryName": "Bags",
@@ -123,16 +183,19 @@ def test_pfconcept_column_name_unpivot(spark):
 
 def test_sanmar_flat_to_nested_rollup(spark):
     rows = [
-        ("ST100", "Heavy Tee", "BrandS", "Black", "M", "ST100-BK-M", "4.59", "72"),
-        ("ST100", "Heavy Tee", "BrandS", "Black", "S", "ST100-BK-S", "4.59", "72"),
-        ("ST100", "Heavy Tee", "BrandS", "White", "M", "ST100-WH-M", "4.39", "72"),
-        ("ST200", "Polo", "BrandS", "Navy", "L", "ST200-NV-L", "9.99", "36"),
+        ("ST100", "Heavy Tee", "BrandS", "Black", "M", "ST100-BK-M", "4.59", "72", "2023-10-19 16:25:48"),
+        ("ST100", "Heavy Tee", "BrandS", "Black", "S", "ST100-BK-S", "4.59", "72", "2023-11-02 09:00:00"),
+        ("ST100", "Heavy Tee", "BrandS", "White", "M", "ST100-WH-M", "4.39", "72", "2023-09-01 08:00:00"),
+        ("ST200", "Polo", "BrandS", "Navy", "L", "ST200-NV-L", "9.99", "36", "2024-01-05 12:00:00"),
     ]
     feeds = {"sanmar_skus": spark.createDataFrame(rows, suppliers.SANMAR_SKUS)}
     out = {r.supplier_product_code: r for r in suppliers.transform_sanmar(feeds, spark).collect()}
     assert set(out) == {"ST100", "ST200"}
     t = out["ST100"]
     assert t.base_price == pytest.approx(4.39)
+    # product watermark = newest SKU lastChangeDate (Sanmar Sample
+    # Data.jsonc:236) so --since resyncs a style when ANY SKU moved
+    assert str(t.modified_at) == "2023-11-02 09:00:00"
     # variants sorted by (color, garment size order XS<S<M<...):
     # Black/S, Black/M, then White/M
     got = [(v.color_name, v.size) for v in t.variants_flat]
