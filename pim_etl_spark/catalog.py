@@ -145,6 +145,7 @@ _EARLY = (
     "stream_dedup_event_counts",
     "stream_hourly_event_counts",
     "stream_attribution_interval_join",
+    "stream_session_windows",
 )
 
 

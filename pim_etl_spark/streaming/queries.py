@@ -247,3 +247,50 @@ def incremental_upsert_stream(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    -- batch gaps-and-islands twin of the native streaming
+    -- session_window: session_end = last event + the 30-min gap
+    -- (session_window's close semantics); microsecond arithmetic for
+    -- exact gap comparison on both engines
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (``F.session_window``, 30-min
+    inactivity gap) executed for real through the micro-batch engine
+    and hash-checked against the batch gaps-and-islands twin — the
+    strongest stream/batch-consistency proof in the catalog alongside
+    ``stream_hourly_event_counts``. State is per (user, open session)
+    and evicted as the watermark closes sessions; at scale the state
+    store shuffle is keyed by user_id, so skewed power-users are the
+    knob to watch (AQE does not re-plan stateful exchanges)."""
+    from pim_etl_spark.streaming.stateful import sessionized_events_stream
+
+    events = stream_events(spark, sf_dir)
+    sess = sessionized_events_stream(events, gap="30 minutes", watermark="1 day")
+    result = run_stream_to_memory(spark, sess, mode="complete", state_partitions=8)
+    return result.orderBy("user_id", "session_start")
