@@ -146,6 +146,7 @@ _EARLY = (
     "stream_hourly_event_counts",
     "stream_attribution_interval_join",
     "stream_session_windows",
+    "stream_latest_event_per_user",
 )
 
 

@@ -294,3 +294,50 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionized_events_stream(events, gap="30 minutes", watermark="1 day")
     result = run_stream_to_memory(spark, sess, mode="complete", state_partitions=8)
     return result.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_latest_event_per_user",
+    oracle="""
+    -- batch twin of the arbitrary-stateful keep-latest operator:
+    -- last event per user under the total (ts, event_id) order
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState) under the
+    driver's hash gate: continuous keep-latest-event-per-user, executed
+    through the micro-batch engine and checked against the batch
+    ROW_NUMBER dedup. The memory sink is append-only, so the update-
+    mode emissions are folded with the same (ts, event_id) order an
+    upsert sink would apply per key — with availableNow over one file
+    that fold is a no-op, but it keeps the entry correct if the replay
+    ever splits into multiple micro-batches."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.streaming.stateful import latest_event_per_user_stream
+
+    events = stream_events(spark, sf_dir)
+    latest = latest_event_per_user_stream(events)
+    result = run_stream_to_memory(spark, latest, mode="update", state_partitions=8)
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_event_id"))
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "last_event_id",
+            "last_event_type",
+            "last_value",
+        )
+        .orderBy("user_id")
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -303,6 +304,71 @@ def latest_per_key_with_ttl_stream_v2(stock_stream: DataFrame, ttl: str = "7 day
             outputMode="Append",
             timeMode="EventTime",
         )
+    )
+
+
+LATEST_EVENT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+LATEST_EVENT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("last_ts", TimestampType(), True),
+        StructField("last_event_id", LongType(), True),
+        StructField("last_event_type", StringType(), True),
+        StructField("last_value", DoubleType(), True),
+    ]
+)
+
+
+def _latest_event_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold micro-batches into the per-user latest event. Duplicate
+    timestamps exist in the synthetic data, so the order is the total
+    (ts, event_id) — same tiebreak as the batch oracle's ROW_NUMBER."""
+    best = state.get if state.exists else None
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        row = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        cand = (row["ts"], int(row["event_id"]), row["event_type"], float(row["value"]))
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+            changed = True
+    if changed:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts": [best[0]],
+                "last_event_id": [best[1]],
+                "last_event_type": [best[2]],
+                "last_value": [best[3]],
+            }
+        )
+
+
+def latest_event_per_user_stream(events: DataFrame) -> DataFrame:
+    """Continuous keep-latest-event-per-user via applyInPandasWithState
+    — the generic form of ``latest_per_key_stream`` over the events
+    table, so the arbitrary-stateful operator class gets a DuckDB-
+    oracled catalog entry (stream_latest_event_per_user). State is one
+    row per live user: store size scales with user cardinality, not
+    stream volume."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_event_fn,
+        outputStructType=LATEST_EVENT_OUT_SCHEMA,
+        stateStructType=LATEST_EVENT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
