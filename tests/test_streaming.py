@@ -65,6 +65,54 @@ def test_stream_batch_source_parity(spark, sf_dir):
     assert 2000 <= s.lo.year <= 2100, f"stream event-times implausible: {s.lo}"
 
 
+def test_nanos_encoding_normalizes_identically(spark, tmp_path):
+    """Both physical ts encodings must normalize to the same instant:
+    a TIMESTAMP(NANOS) parquet file (the older testdata generation,
+    read back as bigint under nanosAsLong) and a timestamp[us] file
+    must produce identical batch AND stream values through
+    normalize_event_ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pim_etl_spark.sources import load_table
+    from pim_etl_spark.streaming.queries import stream_events
+
+    base_us = 1_700_000_000 * 1_000_000  # 2023-11-14 22:13:20 UTC
+    rows_us = [base_us, base_us + 61_000_000, base_us + 3_700_000_123]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view", "click"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array([None, None, None], pa.string()),
+    }
+    for name, ts_arr in (
+        ("nanos", pa.array([u * 1000 for u in rows_us], pa.timestamp("ns"))),
+        ("micros", pa.array(rows_us, pa.timestamp("us"))),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({"event_id": cols["event_id"], "ts": ts_arr, **{k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+    got = {}
+    for name in ("nanos", "micros"):
+        sf_dir = str(tmp_path / name)
+        batch = load_table(spark, sf_dir, "events")
+        assert dict(batch.dtypes)["ts"] == "timestamp_ntz"
+        got[name, "batch"] = sorted(str(r.ts) for r in batch.select("ts").collect())
+        streamed = run_stream_to_memory(
+            spark,
+            stream_events(spark, sf_dir).select(F.col("ts").cast("timestamp_ntz").alias("ts")),
+            mode="append",
+        )
+        got[name, "stream"] = sorted(str(r.ts) for r in streamed.collect())
+    assert got["nanos", "batch"] == got["micros", "batch"]
+    assert got["nanos", "stream"] == got["micros", "stream"]
+    assert got["micros", "batch"] == got["micros", "stream"]
+    assert got["micros", "batch"][0].startswith("2023-11-14")
+
+
 def test_incremental_upsert_stream(spark, tmp_path):
     """Micro-batch incremental sync: second feed drop overrides rows on
     the key (ReplaceOne semantics through foreachBatch)."""
