@@ -212,6 +212,83 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_w", IntegerType(), True),
+        StructField("frame_luma", DoubleType(), True),
+        StructField("resized_w", IntegerType(), True),
+        StructField("resized_luma", DoubleType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame-sampling + resize over the PPM lake (SURVEY §2.10's
+    video-shaped ops): a payload's h pixel rows are treated as a
+    sequence of w×1 RGB frames; every ``every``-th frame is sampled,
+    its BT.601 luminance computed, and a 2:1 average-pool resize
+    applied (the real downsample arithmetic a video pipeline runs).
+
+    One input row fans out to ceil(h/every) output rows inside
+    mapInPandas — the Arrow batch shape a frame extractor has at
+    scale: payload bytes stay inside the partition, only per-frame
+    stats (a few scalars per frame) ever cross the network.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                m = PPM_HEADER_RE.match(buf)
+                if m is None:
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=m.end())
+                frames = px.reshape(h, w, 3).astype(np.float64)
+                for fi in range(0, h, every):
+                    frame = frames[fi]  # (w, 3)
+                    luma = frame @ _LUMA_WEIGHTS
+                    half_w = w // 2
+                    # 2:1 nearest-pair average pool (drop an odd tail px)
+                    pooled = (
+                        frame[: half_w * 2].reshape(half_w, 2, 3).mean(axis=1) @ _LUMA_WEIGHTS
+                        if half_w
+                        else np.array([])
+                    )
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_w"].append(w)
+                    out["frame_luma"].append(float(luma.mean()))
+                    out["resized_w"].append(half_w)
+                    out["resized_luma"].append(float(pooled.mean()) if half_w else None)
+            yield pd.DataFrame(out).astype(
+                {"frame_idx": "int32", "frame_w": "int32", "resized_w": "int32"}
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+@query("media_frame_sample")  # rows-only: per-frame byte math is not SQL-expressible
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize rollup: per media, count of sampled
+    frames and mean frame/resized luminance. Exact per-frame values
+    are pinned in tests/test_llm_ops.py::test_media_frame_sample_values."""
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("frame_luma"), 4).alias("avg_frame_luma"),
+            F.round(F.avg("resized_luma"), 4).alias("avg_resized_luma"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @query(
     "media_decode_features",
     oracle="""

@@ -108,6 +108,36 @@ def test_media_decode_ppm_real_values(spark, sf_dir):
         assert 0.0 < r.mean_luma < 255.0
 
 
+def test_media_frame_sample_values(spark, sf_dir):
+    """Sampled-frame luminance and 2:1 average-pool resize must match
+    an independent numpy computation from the raw payload bytes."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import documents_as_ppm_media, sample_frames
+
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents")).limit(10)
+    weights = np.array([0.299, 0.587, 0.114])
+    expected = {}
+    for r in media.collect():
+        payload = bytes(r.payload)
+        nl = payload.index(b"\n", 3)
+        w, h = map(int, payload[3:nl].split())
+        px = np.frombuffer(payload, np.uint8, offset=nl + 5).reshape(h, w, 3).astype(float)
+        for fi in range(0, h, 4):
+            frame = px[fi]
+            luma = float((frame @ weights).mean())
+            hw = w // 2
+            pooled = float(((frame[: hw * 2].reshape(hw, 2, 3).mean(axis=1)) @ weights).mean())
+            expected[(r.media_id, fi)] = (w, luma, hw, pooled)
+    got = sample_frames(media, every=4).collect()
+    assert len(got) == len(expected) > 0
+    for r in got:
+        w, luma, hw, pooled = expected[(r.media_id, r.frame_idx)]
+        assert r.frame_w == w and r.resized_w == hw
+        assert abs(r.frame_luma - luma) < 1e-9
+        assert abs(r.resized_luma - pooled) < 1e-9
+
+
 def test_exact_dedup_keeps_min_doc_id(spark, planted):
     from pim_etl_spark.llm_ops.dedup import _norm_text
 
