@@ -36,6 +36,23 @@ def test_sync_and_status(spark, landed, tmp_path):
     assert result2["products_in_gold"] == 12
 
 
+def test_incremental_since_watermark(spark, landed, tmp_path):
+    """--since end-to-end through registry.incremental_filter: a
+    future cutoff syncs nothing new (gold unchanged), a past cutoff
+    re-syncs everything; incremental always requires an existing gold."""
+    gold = str(tmp_path / "gold.parquet")
+    with pytest.raises(FileNotFoundError, match="requires an existing gold"):
+        run_sync(spark, landed, gold, supplier_id="midocean", since="2000-01-01")
+
+    run_sync(spark, landed, gold, supplier_id="midocean")
+    future = run_sync(spark, landed, gold, supplier_id="midocean", since="2099-01-01")
+    assert future["status"] == "success"
+    assert future["products_in_gold"] == 12  # nothing matched, gold intact
+
+    past = run_sync(spark, landed, gold, supplier_id="midocean", since="2000-01-01")
+    assert past["products_in_gold"] == 12  # full re-sync under upsert
+
+
 def test_validate(spark, landed):
     out = run_validate(spark, landed)["validation"]
     assert out["midocean"] == "ok"
