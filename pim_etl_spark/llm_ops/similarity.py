@@ -656,3 +656,110 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    -- hybrid retrieval: reciprocal-rank fusion (k=60) of a term-hit
+    -- text ranking over documents and a cosine ranking over the
+    -- parallel embeddings table (doc_id = vec_id in this warehouse).
+    -- floor(rrf*1e6), not round(): sums of small exact fractions can
+    -- land on rounding boundaries where the engines disagree.
+    WITH tscored AS (
+      SELECT doc_id,
+             (CASE WHEN lower(text) LIKE '%spark%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%stream%' THEN 1 ELSE 0 END
+            + CASE WHEN lower(text) LIKE '%window%' THEN 1 ELSE 0 END) AS score
+      FROM documents
+    ), ttop AS (
+      SELECT doc_id, trank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+        FROM tscored WHERE score > 0
+      ) WHERE trank <= 50
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), vscored AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 4) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ), vtop AS (
+      SELECT vec_id, vrank FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vrank
+        FROM vscored
+      ) WHERE vrank <= 50
+    )
+    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,
+           CAST(floor((coalesce(1.0 / (60 + trank), 0)
+                     + coalesce(1.0 / (60 + vrank), 0)) * 1000000) AS BIGINT) AS rrf_e6
+    FROM ttop t FULL OUTER JOIN vtop v ON t.doc_id = v.vec_id
+    ORDER BY rrf_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical ranking
+    (term hits over documents, the text_search_ranked scoring) and a
+    vector ranking (cosine vs the fixed query embedding) fuse as
+    sum(1/(60+rank)) — the standard RRF retrieval combiner.
+
+    Scale shape: each side reduces to its top-50 FIRST via distributed
+    top-k (TakeOrderedAndProject — per-partition heaps, no global
+    sort), and ranks are then assigned by a window over the 50-row
+    results, so the single-partition window only ever sees k rows.
+    The fusion join is 50×50-row — broadcast territory."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    score = sum(
+        (F.when(low.contains(t), 1).otherwise(0) for t in ("spark", "stream", "window")),
+        start=F.lit(0),
+    )
+    ttop = (
+        docs.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    from pyspark.sql import Window
+
+    ttop = ttop.withColumn(
+        "trank", F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    ).select("doc_id", "trank")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    vtop = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qv")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    vtop = vtop.withColumn(
+        "vrank", F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+    ).select("vec_id", "vrank")
+
+    fused = ttop.join(vtop, ttop.doc_id == vtop.vec_id, "full_outer").select(
+        F.coalesce(ttop.doc_id, vtop.vec_id).alias("doc_id"),
+        F.floor(
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("trank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vrank")), F.lit(0.0))
+            )
+            * 1_000_000
+        ).alias("rrf_e6"),
+    )
+    return fused.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc()).limit(20)
