@@ -7,12 +7,15 @@ Both arrival paths become ONE Spark-native source here: the
 partition per feed document and parses JSONC per partition — executors
 fetch/parse in parallel, nothing flows through the driver.
 
-Live HTTP stays out of scope per SURVEY §7.3 (no network in the test
-environment): the transport is injectable, and the default transport
-reads landed files. A real deployment passes a ``transport=http``
-implementation with the same signature; everything else — planning,
-partitioning, schema enforcement, JSONC tolerance — is exercised for
-real by tests/test_custom_source.py.
+Both transports ship (round 3): ``transport=file`` (default) reads
+landed files; ``transport=http`` performs the GET executor-side with
+optional bearer auth — the reference's REST pull
+(etl/extractors/midocean_extractor.py:140-173, ``x-Gateway-APIKey``/
+bearer headers). External endpoints are still out of oracle scope per
+SURVEY §7.3, but the HTTP path itself is exercised for real against a
+loopback server in tests/test_custom_source.py; planning,
+partitioning, schema enforcement, and JSONC tolerance are shared by
+both transports.
 """
 
 from __future__ import annotations
@@ -41,6 +44,21 @@ def file_transport(location: str) -> str:
         return f.read()
 
 
+def http_transport(location: str, token: str | None = None, timeout_s: float = 30.0) -> str:
+    """HTTP(S) GET transport, executor-side: one request per feed
+    partition, so a 9-supplier sync issues its fetches in parallel
+    from the executors — the driver never proxies feed bytes. Bearer
+    auth mirrors the reference's API-key header scheme."""
+    import urllib.request
+
+    req = urllib.request.Request(location)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — URL comes from operator config
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset)
+
+
 class FeedPartition(InputPartition):
     def __init__(self, location: str):
         self.location = location
@@ -54,13 +72,25 @@ class FeedReader(DataSourceReader):
             self.paths = [options["path"]]
         if not self.paths:
             raise ValueError("pim_feed requires option 'path' or comma-separated 'paths'")
+        transport = options.get("transport") or (
+            "http" if self.paths[0].startswith(("http://", "https://")) else "file"
+        )
+        if transport not in ("file", "http"):
+            raise ValueError(f"pim_feed transport must be 'file' or 'http', got {transport!r}")
+        self.transport = transport
+        # bearer token for transport=http (reference auth header scheme)
+        self.token = options.get("token")
+        self.timeout_s = float(options.get("timeout_s", "30"))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per feed document → per-supplier parallelism
         return [FeedPartition(p) for p in self.paths]
 
     def read(self, partition: FeedPartition) -> Iterator[tuple]:
-        text = file_transport(partition.location)
+        if self.transport == "http":
+            text = http_transport(partition.location, token=self.token, timeout_s=self.timeout_s)
+        else:
+            text = file_transport(partition.location)
         names = [f.name for f in self.schema.fields]
         for row in parse_jsonc_document(text):
             yield tuple(row.get(n) for n in names)

@@ -47,3 +47,59 @@ def test_pim_feed_requires_path(spark, tmp_path):
     spark.dataSource.register(FeedDataSource)
     with pytest.raises(Exception, match="path"):
         spark.read.format("pim_feed").schema(MO_PRICELIST).load().collect()
+
+
+def test_pim_feed_http_transport_with_bearer_auth(spark):
+    """The http transport must fetch and parse a feed from a real
+    (loopback) HTTP server executor-side, sending the bearer token —
+    the reference's REST pull (midocean_extractor.py:140-173)."""
+    import http.server
+    import threading
+
+    seen_auth = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            seen_auth.append(self.headers.get("Authorization"))
+            body = FEED_A.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence per-request noise
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        spark.dataSource.register(FeedDataSource)
+        df = (
+            spark.read.format("pim_feed")
+            .schema(MO_PRICELIST)
+            .option("path", f"http://127.0.0.1:{port}/mo_pricelist.jsonc")
+            .option("token", "test-token-123")
+            .load()
+        )
+        rows = {r.sku: r.price for r in df.collect()}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert rows == {"A-1": "3,63", "A-2": "9,10"}
+    assert seen_auth == ["Bearer test-token-123"]
+
+
+def test_pim_feed_rejects_unknown_transport(spark):
+    spark.dataSource.register(FeedDataSource)
+    with pytest.raises(Exception, match="transport"):
+        (
+            spark.read.format("pim_feed")
+            .schema(MO_PRICELIST)
+            .option("path", "x.jsonc")
+            .option("transport", "ftp")
+            .load()
+            .collect()
+        )
