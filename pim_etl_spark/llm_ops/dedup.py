@@ -378,3 +378,108 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("bucket")
     )
+
+
+# --- incremental near-dup gate: new batch vs existing corpus --------------
+
+
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """(band, band_hash, doc_id) triples for a document set — the
+    probe-side AND the stored-index-side representation of the LSH
+    near-dup structure. At scale the corpus side is a persisted
+    artifact (like the IVF/PQ/text indexes) rebuilt only on corpus
+    growth; signatures are ~32 longs/doc, so the store is O(corpus
+    rows), not O(corpus bytes)."""
+    sigs = minhash_signatures(docs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def neardup_gate(
+    corpus: DataFrame, incoming: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Incremental ingestion near-dup gate: which INCOMING documents
+    near-duplicate the EXISTING corpus (the check a training-data
+    pipeline runs on every batch before admitting it).
+
+    Bucket-join the incoming band hashes against the corpus index,
+    then verify only the collided pairs with exact token-set Jaccard —
+    candidate verification never leaves the bucket-join's output, so
+    the expensive text comparison runs on O(collisions), not
+    O(incoming × corpus).
+
+    Returns one row per incoming doc with a bucket collision:
+    (doc_id, best_match_id, best_jaccard, is_neardup).
+    """
+    cand = (
+        banded_signatures(incoming)
+        .join(
+            banded_signatures(corpus).select(
+                F.col("doc_id").alias("corpus_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    inc_toks = incoming.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok_in")
+    )
+    corp_toks = corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.array_distinct(_tokens(F.col("text"))).alias("tok_c")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("tok_in"), F.col("tok_c"))).cast("double")
+        / F.size(F.array_union(F.col("tok_in"), F.col("tok_c"))),
+        4,
+    )
+    scored = (
+        cand.join(inc_toks, "doc_id")
+        .join(corp_toks, "corpus_id")
+        .select("doc_id", "corpus_id", jac.alias("jaccard"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            (F.col("jaccard") >= jaccard_threshold).alias("is_neardup"),
+        )
+    )
+
+
+@query("incremental_neardup_gate")  # rows-only: minhash banding is not SQL-expressible
+def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup gate over a deterministic split of the
+    documents table (doc_id % 7 == 3 plays the incoming batch). The
+    planted-duplicate behavior is pinned in
+    tests/test_llm_ops.py::test_neardup_gate_catches_planted_copy."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    gated = neardup_gate(corpus, incoming)
+    return (
+        gated.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("is_neardup").cast("int")).alias("n_confirmed"),
+            F.round(F.avg("best_jaccard"), 4).alias("avg_best_jaccard"),
+        )
+    )

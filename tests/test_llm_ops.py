@@ -79,6 +79,23 @@ def test_media_decode_stub_dimensions(spark, sf_dir):
         assert r.media_type in {"image", "audio", "video"}
 
 
+def test_neardup_gate_catches_planted_copy(spark):
+    """An incoming doc that lightly mutates a corpus doc must be
+    flagged by the batch-vs-corpus gate; a novel doc must not."""
+    from pim_etl_spark.llm_ops.dedup import neardup_gate
+
+    corpus_rows = [(i, BASE + f" corpus tail {i} {i}") for i in range(10)]
+    near_copy = (100, BASE + " corpus tail 3 3 mutated")
+    novel = (101, "completely different content about pottery glazes and kiln temperature curves nothing shared")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame([near_copy, novel], "doc_id long, text string")
+    out = {r.doc_id: r for r in neardup_gate(corpus, incoming).collect()}
+    assert 100 in out and out[100].is_neardup
+    assert out[100].best_match_id == 3
+    assert out[100].best_jaccard > 0.8
+    assert 101 not in out or not out[101].is_neardup
+
+
 def test_media_decode_ppm_real_values(spark, sf_dir):
     """The PPM decoder must reproduce dimensions and BT.601 luminance
     computed independently (positional byte parse in the test process)
