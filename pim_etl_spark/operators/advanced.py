@@ -509,3 +509,99 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "string_agg_rollup",
+    oracle="""
+    -- ordered string aggregation (LISTAGG / string_agg): the unified
+    -- schema's denormalized display strings (e.g. colors_available)
+    SELECT n_name,
+           string_agg(c_name, '|' ORDER BY c_name) AS members,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def string_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group. Spark-side this is
+    collect_list → array_sort → array_join, which keeps the
+    aggregation two-phase (partial collect map-side); the explicit
+    sort makes the concatenation order deterministic across any
+    partitioning — never rely on collect_list arrival order."""
+    cust = load_table(spark, sf_dir, "customer").select("c_name", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "gap_fill_forward",
+    oracle="""
+    -- time-series gap fill: per-user daily date spine, forward-fill
+    -- missing days with the last observed value (sensor/stock
+    -- densification — the read-side twin of the stock snapshot feed)
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      -- list-returning generate_series + unnest: the table-function
+      -- form can't take lateral column args in DuckDB
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), j AS (
+      SELECT s.user_id, s.d, daily.v
+      FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    )
+    -- d output as TIMESTAMP: Spark DATE collects to pandas object
+    -- cells while DuckDB DATE is datetime64 — timestamp on both sides
+    -- keeps the driver canonicalizer's dtype kinds aligned
+    SELECT user_id, CAST(d AS TIMESTAMP) AS day_ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM j ORDER BY user_id, day_ts
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily densification with forward fill: per-user date spine via
+    sequence()+explode (generated where the user's rows already live —
+    no extra shuffle for the spine), left join of observed days, then
+    last(ignorenulls) over an unbounded-preceding window. The fill
+    window shuffles (user, day, value) triples only; at 100 TB the
+    spine explode is the cheap side and the window partitions by the
+    entity key, so skew follows entity activity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("d").cast("timestamp_ntz").alias("day_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    ).orderBy("user_id", "day_ts")
