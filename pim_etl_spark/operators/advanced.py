@@ -605,3 +605,79 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().cast("int").alias("was_gap"),
     ).orderBy("user_id", "day_ts")
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    -- EXACT distributed percentiles (the precise twin of the KLL/
+    -- t-digest approx entry): linear interpolation semantics match
+    -- between Spark percentile() and DuckDB quantile_cont
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (``percentile``, not approx): the
+    aggregate buffers per-group value multisets, so unlike every other
+    agg here it is NOT map-side reducible — memory scales with group
+    row count. That is exactly why the approx sketch twin
+    (approx_quantile_sketch) exists; this entry is the ground truth
+    the sketch is judged against, and at 100 TB you run IT only on
+    samples or small groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "windowed_distinct_counts",
+    oracle="""
+    -- running DISTINCT count over a window: how many distinct event
+    -- types has each user produced so far
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_types_so_far
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def windowed_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per key. Spark does not allow
+    count(DISTINCT) as a window function; the idiom is
+    size(collect_set() OVER w) — the set state is bounded by the
+    distinct-value cardinality of the column (a handful of event
+    types), NOT the window length, so it is safe exactly when the
+    counted domain is small. Tie-broken on event_id for a total order
+    (duplicate timestamps exist in the data)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).cast("long").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
