@@ -104,10 +104,14 @@ def main() -> None:
     # engine benchmark: noise is strictly additive.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     queries = get_queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    failed_queries: list[str] = []
     total = 0.0
     for name in sorted(queries):
         fn = queries[name]
+        # only SUCCESSFUL runs fold into best: a fast exception after an
+        # earlier success must not shadow the real timing, and a query
+        # that never succeeded reports null, not a bogus time
         best: float | None = None
         failed = False
         for _ in range(runs):
@@ -118,12 +122,13 @@ def main() -> None:
             except Exception as exc:  # keep the bench line parseable on failure
                 print(f"FAILED {name}: {exc}", file=sys.stderr)
                 failed = True
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            if failed:
-                break
-        timings[name] = round(best, 3)
-        if not failed:
+        timings[name] = round(best, 3) if best is not None else None
+        if failed:
+            failed_queries.append(name)
+        if best is not None:
             total += best
 
     payload = {
@@ -131,6 +136,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "failed": failed_queries,
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
     }

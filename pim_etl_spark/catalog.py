@@ -78,11 +78,15 @@ def load_catalog() -> None:
     _loaded = True
 
 
-# Names a driver round has verified green (CORRECTNESS_r01/r02.json,
+# Names a driver round has verified green (CORRECTNESS_r01/r02/r03.json,
 # hash_match=true). The driver checks a prefix of the catalog in
 # iteration order, so queries it has NEVER checked — plus any past
 # reds, now fixed — are ordered FIRST and these proven entries last;
 # otherwise a per-round query cap would starve the long tail forever.
+# Maintenance rule (round-3 ADVICE): whenever an entry's
+# implementation is substantially rewritten AFTER the round that
+# proved it, DROP it from this set so the driver re-samples the new
+# code first.
 _DRIVER_GREEN = frozenset({
     # round 1 (CORRECTNESS_r01.json)
     "asof_last_event_before_cutoff", "big_spenders_semi",
@@ -124,11 +128,31 @@ _DRIVER_GREEN = frozenset({
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_excess_shipment_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    # q21_waiting_suppliers: r2-green but REWRITTEN in round 3
+    # (commit b329834) — deliberately left out so the driver
+    # re-verifies the new single-scan plan.
+    "q22_idle_customer_balance",
     "regression_aggregates", "salted_skew_agg", "sessionize_events",
     "shipping_tier_resolution", "stream_dedup_event_counts",
     "string_case_ops", "string_pad_trim_ops", "thousands_int_parse",
     "try_cast_permissive",
+    # round 3 (CORRECTNESS_r03.json) — all 37 sampled oracled entries
+    # hash-green (three were r1 re-proofs already listed above).
+    "stream_hourly_event_counts", "stream_attribution_interval_join",
+    "stream_session_windows", "stream_latest_event_per_user",
+    "string_agg_rollup", "gap_fill_forward", "exact_percentiles",
+    "windowed_distinct_counts", "price_validity_filter",
+    "upsert_merge_dedup", "incremental_watermark_filter",
+    "exact_dedup_docs", "ngram_jaccard_pairs", "doc_chunking_overlap",
+    "repetition_topgram_stats", "corpus_boilerplate_ngrams",
+    "pii_redaction_stats", "udtf_chunk_spans",
+    "benchmark_contamination_check", "mixture_weight_sampler",
+    "line_level_dedup", "hash_split_assignment",
+    "cosine_topk_bruteforce", "embedding_neardup_pairs",
+    "batched_topk_multiquery", "hybrid_search_rrf",
+    "text_search_ranked", "text_stats_by_lang", "doc_quality_scores",
+    "doc_fingerprints", "bpe_token_counts", "lang_id_heuristic",
+    "media_metadata_stats", "media_decode_features",
 })
 
 

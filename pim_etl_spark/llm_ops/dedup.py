@@ -441,10 +441,16 @@ def neardup_gate(
     corp_toks = corpus.select(
         F.col("doc_id").alias("corpus_id"), F.array_distinct(_tokens(F.col("text"))).alias("tok_c")
     )
-    jac = F.round(
-        F.size(F.array_intersect(F.col("tok_in"), F.col("tok_c"))).cast("double")
-        / F.size(F.array_union(F.col("tok_in"), F.col("tok_c"))),
-        4,
+    # coalesce the 0/0 case: two empty token sets are not near-dups of
+    # anything textual — force a deterministic 0.0 so is_neardup is a
+    # real false (never NULL) and NULL ordering can't pick best_match_id
+    jac = F.coalesce(
+        F.round(
+            F.size(F.array_intersect(F.col("tok_in"), F.col("tok_c"))).cast("double")
+            / F.size(F.array_union(F.col("tok_in"), F.col("tok_c"))),
+            4,
+        ),
+        F.lit(0.0),
     )
     scored = (
         cand.join(inc_toks, "doc_id")

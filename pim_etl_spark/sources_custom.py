@@ -44,24 +44,44 @@ def file_transport(location: str) -> str:
         return f.read()
 
 
+def _is_loopback_url(location: str) -> bool:
+    from urllib.parse import urlparse
+
+    host = urlparse(location).hostname or ""
+    return host in ("localhost", "127.0.0.1", "::1")
+
+
 def http_transport(location: str, token: str | None = None, timeout_s: float = 30.0) -> str:
     """HTTP(S) GET transport, executor-side: one request per feed
     partition, so a 9-supplier sync issues its fetches in parallel
     from the executors — the driver never proxies feed bytes. Bearer
-    auth mirrors the reference's API-key header scheme."""
+    auth mirrors the reference's API-key header scheme.
+
+    Scheme is validated here (not just at plan time): a configured
+    ``file://``/``ftp://`` location must not reach urlopen, and the
+    bearer token is only attached where it can't leak in cleartext —
+    https, or the loopback interface (local test rigs)."""
     import urllib.request
 
+    if not location.startswith(("http://", "https://")):
+        raise ValueError(f"http transport requires an http(s):// URL, got {location!r}")
     req = urllib.request.Request(location)
     if token:
+        if not (location.startswith("https://") or _is_loopback_url(location)):
+            raise ValueError(
+                "refusing to send a bearer token over cleartext http to a "
+                f"non-loopback host: {location!r} (use https)"
+            )
         req.add_header("Authorization", f"Bearer {token}")
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — URL comes from operator config
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 — scheme validated above
         charset = resp.headers.get_content_charset() or "utf-8"
         return resp.read().decode(charset)
 
 
 class FeedPartition(InputPartition):
-    def __init__(self, location: str):
+    def __init__(self, location: str, transport: str = "file"):
         self.location = location
+        self.transport = transport
 
 
 class FeedReader(DataSourceReader):
@@ -72,22 +92,34 @@ class FeedReader(DataSourceReader):
             self.paths = [options["path"]]
         if not self.paths:
             raise ValueError("pim_feed requires option 'path' or comma-separated 'paths'")
-        transport = options.get("transport") or (
-            "http" if self.paths[0].startswith(("http://", "https://")) else "file"
-        )
-        if transport not in ("file", "http"):
+        transport = options.get("transport")
+        if transport is not None and transport not in ("file", "http"):
             raise ValueError(f"pim_feed transport must be 'file' or 'http', got {transport!r}")
-        self.transport = transport
+        # transport is resolved PER PATH (a mixed http+file list must
+        # not silently fetch every partition with paths[0]'s transport);
+        # an explicit option must agree with every path's scheme.
+        inferred = [
+            "http" if p.startswith(("http://", "https://")) else "file" for p in self.paths
+        ]
+        if transport is not None:
+            mismatched = [p for p, t in zip(self.paths, inferred) if t != transport]
+            if mismatched:
+                raise ValueError(
+                    f"pim_feed transport={transport!r} conflicts with path scheme(s): "
+                    f"{mismatched[:3]!r}"
+                )
+        self.transports = inferred
+        self.transport = transport or inferred[0]
         # bearer token for transport=http (reference auth header scheme)
         self.token = options.get("token")
         self.timeout_s = float(options.get("timeout_s", "30"))
 
     def partitions(self) -> list[InputPartition]:
         # one partition per feed document → per-supplier parallelism
-        return [FeedPartition(p) for p in self.paths]
+        return [FeedPartition(p, t) for p, t in zip(self.paths, self.transports)]
 
     def read(self, partition: FeedPartition) -> Iterator[tuple]:
-        if self.transport == "http":
+        if partition.transport == "http":
             text = http_transport(partition.location, token=self.token, timeout_s=self.timeout_s)
         else:
             text = file_transport(partition.location)
