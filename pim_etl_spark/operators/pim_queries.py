@@ -57,12 +57,70 @@ def prepare_pipelines(spark: SparkSession) -> None:
     _multi_supplier_plan(spark)
 
 
-@query("pim_full_pipeline")  # rows-only: feed fixtures are engine-side
+@query(
+    "pim_full_pipeline",
+    # The feed fixtures are closed-form functions of the master index m
+    # (pipeline/fixtures.py:42-176), so the expected flat projection of
+    # the unified output is re-DERIVED here independently, straight from
+    # the fixture arithmetic + the documented transform semantics
+    # (reference: etl/transformers/midocean_transformer.py:125-188):
+    # - variant v of master m is discontinued iff (m+v)%7==0 (real
+    #   discontinued date, not the 2099-12-31 sentinel) or (m+v)%11==0
+    #   (PLC "END OF LIFE - DISCONTINUED"); product status falls to
+    #   'discontinued' only when EVERY variant is discontinued;
+    # - base_price = first variant's parsed EU-decimal price, absent
+    #   when m%7==3 (that SKU is missing from the pricelist);
+    # - print positions: 1+m%3 printdata rows, minus rows whose
+    #   technique code is the unknown 'XX' ((m+p)%10==9) dropped by the
+    #   decode inner join; all rows dropped -> NULL (left join + size);
+    # - 9 decodable techniques -> 9 product-agnostic print options;
+    # - languages: base 'en' + 'de' for all, 'fr' when m%3==0.
+    oracle="""
+    WITH masters AS (SELECT CAST(r.range AS INT) AS m FROM range(0, 40) r),
+    vstat AS (
+      SELECT m.m,
+             CAST(count(*) AS INT) AS n_var,
+             bool_and(((m.m + v.range) % 7 = 0) OR ((m.m + v.range) % 11 = 0)) AS all_disc
+      FROM masters m, range(0, 6) v
+      WHERE v.range < 2 + (m.m % 5)
+      GROUP BY m.m
+    ),
+    pos AS (
+      SELECT m.m,
+             CAST(count(*) FILTER (WHERE (m.m + p.range) % 10 <> 9) AS INT) AS n_pos
+      FROM masters m, range(0, 3) p
+      WHERE p.range <= m.m % 3
+      GROUP BY m.m
+    )
+    SELECT
+      'midocean_PR' || CAST(1000 + m.m AS VARCHAR) AS product_id,
+      'midocean' AS supplier_id,
+      CASE WHEN vs.all_disc THEN 'discontinued' ELSE 'active' END AS status,
+      (m.m % 4) IN (0, 2) AS is_printable,
+      CASE WHEN m.m % 7 = 3 THEN NULL
+           ELSE round(1.5 + ((m.m * 7) % 200) / 7.0, 2) END AS base_price,
+      CAST(CASE WHEN m.m % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_languages,
+      vs.n_var AS n_variants,
+      CAST(CASE WHEN m.m % 4 = 2 THEN 2 ELSE 3 END AS INT) AS n_categories,
+      CASE WHEN p.n_pos = 0 THEN NULL ELSE p.n_pos END AS n_print_positions_built,
+      CAST(9 AS INT) AS n_print_options,
+      CASE WHEN m.m % 6 = 5 THEN round(0.04 + m.m / 30.0, 3)
+           ELSE round(0.05 + m.m / 25.0, 3) END AS weight_value,
+      CAST(CASE WHEN m.m % 9 = 0 THEN 1000 + m.m * 10
+                ELSE 40 + (m.m % 60) END AS INT) AS carton_quantity
+    FROM masters m
+    JOIN vstat vs ON vs.m = m.m
+    JOIN pos p ON p.m = m.m
+    ORDER BY product_id
+    """,
+)
 def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete PIM dataflow (SURVEY §3.1): five feed endpoints →
     unified nested products → flat gold projection. Runs on the
     deterministic feed fixtures (FIXTURES.md §B shapes); correctness of
-    every stage is asserted field-by-field in tests/test_pipeline.py.
+    every stage is asserted field-by-field in tests/test_pipeline.py,
+    and the flat projection hash-matches the independently derived
+    closed-form oracle above (round-4 gate upgrade).
     """
     unified = _unified_pipeline_plan(spark)
     return unified.select(
@@ -81,7 +139,43 @@ def pim_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("product_id")
 
 
-@query("pim_multi_supplier_sync")  # rows-only: feed fixtures are engine-side
+@query(
+    "pim_multi_supplier_sync",
+    # Independently derived from the dialect fixture arithmetic
+    # (pipeline/fixtures.py:268-324) + each dialect's documented
+    # base_price semantics (pipeline/suppliers.py):
+    # - midocean (20 masters): base_price as in pim_full_pipeline's
+    #   derivation, missing when m%7==3;
+    # - laltex (6): parse_money("£{1+0.25i}") -> 1+0.25i, all present;
+    # - xd (6): first price tier = Qty1=50 at "5,00" EU-decimal -> 5.0;
+    # - keramikos (5): emits NO base_price column, so the union
+    #   null-fills it (pydantic Optional semantics) -> count 0, sum 0.
+    oracle="""
+    WITH mo AS (
+      SELECT count(*) AS n,
+             count(CASE WHEN m % 7 <> 3 THEN 1 END) AS nbp,
+             round(sum(CASE WHEN m % 7 = 3 THEN 0.0
+                            ELSE round(1.5 + ((m * 7) % 200) / 7.0, 2) END), 2) AS tot
+      FROM (SELECT CAST(r.range AS INT) AS m FROM range(0, 20) r)
+    ),
+    lx AS (
+      SELECT round(sum(1.0 + 0.25 * CAST(r.range AS INT)), 2) AS tot FROM range(0, 6) r
+    )
+    SELECT supplier_id,
+           CAST(n_products AS BIGINT) AS n_products,
+           CAST(n_with_base_price AS BIGINT) AS n_with_base_price,
+           CAST(base_price_total AS DOUBLE) AS base_price_total
+    FROM (
+      SELECT 'keramikos' AS supplier_id, 5 AS n_products,
+             0 AS n_with_base_price, 0.0 AS base_price_total
+      UNION ALL SELECT 'laltex', 6, 6, (SELECT tot FROM lx)
+      UNION ALL SELECT 'midocean', (SELECT n FROM mo), (SELECT nbp FROM mo),
+                       (SELECT tot FROM mo)
+      UNION ALL SELECT 'xd', 6, 6, 30.0
+    )
+    ORDER BY supplier_id
+    """,
+)
 def pim_multi_supplier_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-registry sync (SURVEY §3.1 / U2): all four supplier
     dialects transform and union into one gold-shaped output — the
