@@ -53,15 +53,19 @@ def test_simhash_identical_docs_equal(planted):
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.llm_ops.similarity import lsh_topk_results
 
     qs = get_queries()
     exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
-    approx = [r.vec_id for r in qs["ann_lsh_topk"](spark, sf_dir).collect()]
+    approx = [r.vec_id for r in lsh_topk_results(spark, sf_dir).collect()]
     # this corpus is near-random (max cosine ≈0.33) so LSH locality is
     # weak by construction; require overlap well above the random
     # baseline (TOP_K²/N ≈ 0.2 for N=500)
     overlap = len(set(exact) & set(approx))
     assert overlap >= 3, f"ANN recall too low: {overlap}/{TOP_K}"
+    # the catalog entry folds this floor into its oracled summary row
+    summary = qs["ann_lsh_topk"](spark, sf_dir).collect()
+    assert len(summary) == 1 and summary[0].recall_ok
 
 
 def test_media_decode_requires_decoder(spark, sf_dir):
@@ -192,14 +196,17 @@ def test_filter_quality(spark):
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.llm_ops.similarity import ivf_topk_results
 
     qs = get_queries()
     exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
-    ivf = [r.vec_id for r in qs["ann_ivf_topk"](spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in ivf_topk_results(spark, sf_dir).collect()]
     # near-random corpus: requires overlap clearly above the ~0.2
     # random baseline; probing 3/10 cells bounds achievable recall
     overlap = len(set(exact) & set(ivf))
     assert overlap >= 2, f"IVF recall too low: {overlap}/{TOP_K}"
+    summary = qs["ann_ivf_topk"](spark, sf_dir).collect()
+    assert len(summary) == 1 and summary[0].recall_ok
 
 
 def test_batched_topk_agrees_with_single_query(spark, sf_dir):
@@ -250,14 +257,18 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     from pim_etl_spark.catalog import get_queries
     from pim_etl_spark.llm_ops.similarity import TOP_K
 
+    from pim_etl_spark.llm_ops.similarity import pq_topk_results
+
     qs = get_queries()
     exact = [r.vec_id for r in qs["cosine_topk_bruteforce"](spark, sf_dir).collect()]
-    pq = [r.vec_id for r in qs["pq_adc_topk"](spark, sf_dir).collect()]
+    pq = [r.vec_id for r in pq_topk_results(spark, sf_dir).collect()]
     assert len(pq) == TOP_K
     overlap = len(set(exact) & set(pq))
     # compressed-domain candidates + exact re-rank: loose floor on a
     # near-random corpus with sampled (untrained) codebooks
     assert overlap >= 2, f"PQ recall too low: {overlap}/{TOP_K}"
+    summary = qs["pq_adc_topk"](spark, sf_dir).collect()
+    assert len(summary) == 1 and summary[0].recall_ok
 
 
 def test_lsh_bucket_join_finds_planted_neardup(spark, sf_dir):
