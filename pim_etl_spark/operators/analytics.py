@@ -139,6 +139,75 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "aqe_skew_join",
+    oracle="""
+    -- planted-skew join: ~75% of lineitem rows collapse onto one hot
+    -- join key; the rollup is skew-agnostic so the oracle is a plain
+    -- join+group regardless of how the engine splits the hot partition
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey ELSE 1 END AS jk,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(f.l_quantity), 2) AS total_qty,
+           min(o.o_orderkey) AS min_orderkey,
+           max(o.o_orderkey) AS max_orderkey
+    FROM f JOIN orders o ON o.o_orderkey = f.jk
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join twin of ``salted_skew_agg`` (SURVEY §4's remaining
+    untested mitigation): three quarters of the fact rows share ONE
+    join key, the planted hot-partition shape that melts a reducer on
+    a 1000-executor shuffle join. The mitigation is AQE's runtime
+    skew-join split (``spark.sql.adaptive.skewJoin``) — no salting in
+    the query text; the engine re-plans the hot partition into chunks.
+    tests/test_scale_features.py::test_aqe_skew_join_splits_skewed_partition
+    pins the ``skew=true`` re-plan under a forced shuffle join; under
+    driver defaults the tiny-SF dim side simply broadcasts, and the
+    result is identical either way — which is what this oracle checks.
+    """
+    return skewed_join_rollup(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def skewed_join_rollup(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """The planted-skew join core shared by the catalog entry and the
+    AQE-split test (which feeds a multi-file landing of lineitem: AQE
+    subdivides a hot reduce partition along MAP-output boundaries, so
+    a single-file test scan — one mapper — is structurally unsplittable
+    however skewed; a 1000-executor scan always has many mappers)."""
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_orderkey"))
+        .otherwise(F.lit(1))
+        .alias("jk"),
+        "l_quantity",
+    )
+    joined = fact.join(orders, fact["jk"] == orders["o_orderkey"])
+    # NOTE deliberately no countDistinct here: a partial-distinct
+    # aggregate downstream of the join re-uses the join's hash
+    # partitioning, so splitting the hot partition would cost an extra
+    # Exchange and AQE's cost evaluator rejects the skew split (the
+    # escape hatch is spark.sql.adaptive.forceOptimizeSkewedJoin —
+    # verified both ways while building this entry). min/max/sum/count
+    # impose no distribution requirement, so the split is free.
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "fuzzy_levenshtein_pairs",
     oracle="""
     -- product-name reconciliation kernel: edit distance between

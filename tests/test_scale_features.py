@@ -61,6 +61,66 @@ def test_bucketed_gold_upsert_avoids_exchange(spark, sf_dir, tmp_path):
     assert deduped.count() > 0
 
 
+def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir, tmp_path):
+    """The planted-skew join (aqe_skew_join catalog entry) must trigger
+    AQE's runtime skew-join split once the join is forced onto the
+    shuffle path: the executed adaptive plan carries ``skew=true`` on
+    the shuffle join node, and the split changes no values (compared
+    against the default-config run of the same query).
+
+    The fact side is landed as an 8-file parquet first: AQE splits a
+    hot reduce partition along MAP-output boundaries, so the stock
+    single-file test scan (one mapper) is structurally unsplittable —
+    while any real cluster scan has thousands of mappers.
+    """
+    from pim_etl_spark.operators.analytics import aqe_skew_join, skewed_join_rollup
+
+    baseline = aqe_skew_join(spark, sf_dir).collect()
+
+    li_multi = str(tmp_path / "lineitem8")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8).write.parquet(li_multi)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    knobs = {
+        # force the shuffle join (tiny-SF dim would broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scale the skew thresholds down to test-SF partition sizes;
+        # ratios (factor 2, advisory < threshold) mirror production
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the hot partition is (constant-key, double) rows — shuffle
+        # compression squeezes it hard, so the threshold scales to KBs
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        # stop FilePartition packing from re-merging the 8 files into
+        # one scan task (one mapper = structurally unsplittable again)
+        "spark.sql.files.maxPartitionBytes": "32KB",
+        "spark.sql.files.openCostInBytes": "0",
+    }
+    saved = {}
+    for k in knobs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        df = skewed_join_rollup(spark.read.parquet(li_multi), orders)
+        skewed = df.collect()  # execute so AQE finalizes the re-plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the planted hot partition:\n" + plan[:3000]
+        )
+        assert skewed == baseline, "skew-split changed the join result"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_gold_prunes(spark, tmp_path):
     """Supplier-partitioned gold: a supplier filter prunes partitions
     at planning time (SURVEY §4 partition pruning)."""
