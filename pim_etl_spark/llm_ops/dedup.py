@@ -424,14 +424,28 @@ def neardup_gate(
     Returns one row per incoming doc with a bucket collision:
     (doc_id, best_match_id, best_jaccard, is_neardup).
     """
+    index_sigs = banded_signatures(corpus).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_hash"
+    )
+    return gate_against_index(index_sigs, incoming, corpus, jaccard_threshold)
+
+
+def gate_against_index(
+    index_sigs: DataFrame,
+    incoming: DataFrame,
+    corpus: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup gate against a PRE-BUILT banded-signature index
+    (``(corpus_id, band, band_hash)`` — a persisted artifact at scale,
+    appended as documents are admitted; the streaming ingest gate in
+    streaming/queries.py maintains exactly that store). Only collided
+    pairs are verified with exact token-set Jaccard against the corpus
+    text, so per-batch cost is O(batch + collisions), never
+    O(batch × corpus)."""
     cand = (
         banded_signatures(incoming)
-        .join(
-            banded_signatures(corpus).select(
-                F.col("doc_id").alias("corpus_id"), "band", "band_hash"
-            ),
-            ["band", "band_hash"],
-        )
+        .join(index_sigs, ["band", "band_hash"])
         .select("doc_id", "corpus_id")
         .distinct()
     )

@@ -215,3 +215,59 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir):
     )
     b = {(str(r.window_start), r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
     assert s == b
+
+
+def test_neardup_gated_ingest_rejects_batch2_dup(spark, tmp_path):
+    """Streaming near-dup admission gate (round-4 VERDICT #6): a near
+    copy of a batch-1 document arriving in batch 2 must be rejected
+    against the batch-1 corpus via the persisted signature index; a
+    genuinely novel batch-2 document must be admitted."""
+    from pim_etl_spark.streaming.queries import neardup_gated_ingest
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType(), True), StructField("text", StringType(), True)]
+    )
+    feed = tmp_path / "docs_feed"
+    feed.mkdir()
+    store = str(tmp_path / "store")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "engineers review streaming dedup gates in the data lake"
+    )
+
+    batch1 = spark.createDataFrame(
+        [(i, base + f" corpus tail {i} {i}") for i in range(10)], doc_schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(feed))
+    neardup_gated_ingest(spark, str(feed), store, doc_schema)
+    assert spark.read.parquet(f"{store}/corpus.parquet").count() == 10
+
+    dup = (100, base + " corpus tail 3 3 mutated")
+    novel = (
+        101,
+        "completely different content about pottery glazes and kiln "
+        "temperature curves nothing shared with the corpus at all",
+    )
+    spark.createDataFrame([dup, novel], doc_schema).coalesce(1).write.mode("append").parquet(
+        str(feed)
+    )
+    neardup_gated_ingest(spark, str(feed), store, doc_schema)
+
+    admitted = {r.doc_id for r in spark.read.parquet(f"{store}/corpus.parquet").collect()}
+    assert admitted == set(range(10)) | {101}, admitted
+    rej = spark.read.parquet(f"{store}/rejected.parquet").collect()
+    assert len(rej) == 1
+    assert rej[0].doc_id == 100 and rej[0].best_match_id == 3 and rej[0].is_neardup
+    # the checkpoint carries micro-batch ids ACROSS trigger runs:
+    # batch 0 was the first run's admit-all, so the dup lands in 1
+    assert rej[0].rejected_in_batch == 1
+    # the signature index holds exactly the admitted docs — the
+    # rejected doc's signatures must never pollute the store
+    idx_ids = {
+        r.corpus_id
+        for r in spark.read.parquet(f"{store}/band_index.parquet")
+        .select("corpus_id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == admitted
