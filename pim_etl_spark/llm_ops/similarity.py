@@ -216,7 +216,35 @@ def topk_for_queries(emb: DataFrame, query_ids: list[int], k: int = TOP_K) -> Da
     )
 
 
-@query("embedding_group_pca")  # rows-only: numpy eigensolve is engine-side
+@query(
+    "embedding_group_pca",
+    # round-4 gate upgrade: the eigensolve itself is engine-side numpy,
+    # but two exact invariants tie it to SQL-computable ground truth —
+    # (1) trace identity: sum of eigenvalues == sum of per-dimension
+    # sample variances (DuckDB recomputes the right side from the raw
+    # vectors); (2) dominance: the top eigenvalue >= the largest
+    # single-dimension variance (a unit basis vector is a candidate
+    # direction). A broken covariance, wrong ddof, or bogus eigensolve
+    # breaks one of the two.
+    oracle="""
+    WITH dims AS (
+      SELECT label, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) r(i)
+    ), pv AS (
+      SELECT label, i, var_samp(x) AS v FROM dims GROUP BY label, i
+    ), tv AS (
+      SELECT label, round(sum(v), 4) AS total_var FROM pv GROUP BY label
+    ), norms AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS mean_norm
+      FROM embeddings GROUP BY label
+    )
+    SELECT n.label AS label, n.n, t.total_var, n.mean_norm, TRUE AS pc1_ge_top_dim
+    FROM norms n JOIN tv t ON t.label = n.label
+    ORDER BY n.label
+    """,
+)
 def embedding_group_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label dominant principal component via grouped-map
     ``applyInPandas`` — the per-group scientific-computation surface
@@ -224,9 +252,10 @@ def embedding_group_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the sanctioned escape hatch, Arrow-batched per group).
 
     Each group ships once to one Python worker; output is one row per
-    group (label, n, PC1 explained-variance ratio, mean vector norm).
-    At 100 TB the group count bounds parallelism — fine for
-    label/language-cardinality groups, wrong for per-document groups.
+    group: (label, n, total variance = eigenvalue sum, mean vector
+    norm, PC1-dominates-every-axis invariant). At 100 TB the group
+    count bounds parallelism — fine for label/language-cardinality
+    groups, wrong for per-document groups.
     """
     import numpy as np
     import pandas as pd
@@ -236,18 +265,20 @@ def embedding_group_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         centered = x - x.mean(axis=0, keepdims=True)
         cov = centered.T @ centered / max(len(x) - 1, 1)
         eigvals = np.linalg.eigvalsh(cov)  # ascending, deterministic
-        total = float(eigvals.sum()) or 1.0
         return pd.DataFrame(
             {
                 "label": [pdf["label"].iloc[0]],
                 "n": [len(x)],
-                "pc1_var_ratio": [round(float(eigvals[-1]) / total, 6)],
+                "total_var": [round(float(eigvals.sum()), 4)],
                 "mean_norm": [round(float(np.linalg.norm(x, axis=1).mean()), 4)],
+                "pc1_ge_top_dim": [
+                    bool(eigvals[-1] >= float(cov.diagonal().max()) * (1 - 1e-9))
+                ],
             }
         )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out_schema = "label int, n long, pc1_var_ratio double, mean_norm double"
+    out_schema = "label int, n long, total_var double, mean_norm double, pc1_ge_top_dim boolean"
     return emb.groupBy("label").applyInPandas(pca_stats, schema=out_schema).orderBy("label")
 
 

@@ -87,15 +87,38 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-@query("text_search_indexed")  # rows-only: consumes the engine-side stored index
+@query(
+    "text_search_indexed",
+    # round-4 gate upgrade: the stored inverted index must reproduce
+    # EXACTLY what a token-exact scan of the raw text computes — the
+    # oracle rebuilds (doc, term, tf) from the text in SQL, so a stale
+    # index, a tf bug, or a broken posting merge all flip the hash.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('spark', 'stream', 'window')
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS score,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY doc_id
+    ORDER BY score DESC, total_tf DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
 def text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term search against the STORED inverted index: look up each
     query term's posting list (bucket-pruned scan), merge lists with a
     groupBy(doc_id), rank by distinct-terms-hit then total tf.
 
-    The scan-everything twin ``text_search_ranked`` has an oracle; this
-    one proves the index shape — tests assert the two agree on the
-    matched doc set.
+    The oracle recomputes the same token-exact ranking from the raw
+    text, proving the stored index faithfully represents the corpus;
+    tests additionally assert agreement with the substring-scan twin.
     """
     d = build_text_index(spark, sf_dir)
     postings = spark.read.parquet(f"{d}/postings.parquet")

@@ -311,7 +311,8 @@ def test_embedding_group_pca(spark, sf_dir):
     }
     assert {k: v.n for k, v in out.items()} == counts
     for r in out.values():
-        assert 0.0 < r.pc1_var_ratio <= 1.0
+        assert r.total_var > 0
+        assert r.pc1_ge_top_dim  # top eigval dominates every single axis
         assert r.mean_norm > 0
 
 
