@@ -121,6 +121,60 @@ def test_aqe_skew_join_splits_skewed_partition(spark, sf_dir, tmp_path):
                 spark.conf.set(k, v)
 
 
+def test_merge_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: a batch touching one supplier must leave
+    every other supplier's partition files byte-identical on disk (no
+    read, no rewrite), while the touched partition applies ReplaceOne
+    upsert semantics."""
+    import os
+
+    from pim_etl_spark.pipeline.gold import merge_partitioned
+
+    path = str(tmp_path / "gold")
+    schema = "product_id string, supplier_id string, base_price double, version long"
+    boot = spark.createDataFrame(
+        [
+            ("a1", "alpha", 1.0, 1),
+            ("a2", "alpha", 2.0, 1),
+            ("b1", "beta", 3.0, 1),
+            ("b2", "beta", 4.0, 1),
+        ],
+        schema,
+    )
+    stats = merge_partitioned(spark, path, boot, keys=["product_id"], order_col="version")
+    assert stats == {"partitions_touched": 2, "partitions_total": 2}
+
+    def listing(part: str) -> dict[str, tuple[int, float]]:
+        d = f"{path}/supplier_id={part}"
+        return {
+            f: (os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in sorted(os.listdir(d))
+            if not f.startswith((".", "_"))
+        }
+
+    beta_before = listing("beta")
+
+    batch = spark.createDataFrame(
+        [("a2", "alpha", 20.0, 2), ("a3", "alpha", 5.0, 1)], schema
+    )
+    stats = merge_partitioned(spark, path, batch, keys=["product_id"], order_col="version")
+    assert stats == {"partitions_touched": 1, "partitions_total": 2}
+
+    # beta partition: byte-identical files, same mtimes — never touched
+    assert listing("beta") == beta_before
+    got = {
+        r.product_id: (r.supplier_id, r.base_price, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        "a1": ("alpha", 1.0, 1),
+        "a2": ("alpha", 20.0, 2),  # replaced
+        "a3": ("alpha", 5.0, 1),  # inserted
+        "b1": ("beta", 3.0, 1),
+        "b2": ("beta", 4.0, 1),
+    }
+
+
 def test_partitioned_gold_prunes(spark, tmp_path):
     """Supplier-partitioned gold: a supplier filter prunes partitions
     at planning time (SURVEY §4 partition pruning)."""
