@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.pipeline import registry
 from pim_etl_spark.pipeline.bronze import read_feed
-from pim_etl_spark.pipeline.gold import apply_upsert
 
 
 def load_supplier_feeds(spark: SparkSession, feeds_dir: str, supplier_id: str) -> dict[str, DataFrame]:
@@ -99,47 +98,65 @@ def run_sync(
     # exist yet — any other read failure propagates. A bare except here
     # would let a transient/corrupt read silently shrink gold to the
     # incoming subset (fatal in --since mode) and still report success.
-    from pim_etl_spark.pipeline.gold import atomic_overwrite, read_table_recovering
+    from pim_etl_spark.pipeline.gold import atomic_overwrite, merge_partitioned
 
     gold_exists = os.path.exists(gold_path) or os.path.exists(gold_path + ".__old__")
     if gold_exists:
-        existing = read_table_recovering(spark, gold_path)
-        merged = apply_upsert(existing, unified, keys=["product_id"], order_col="last_sync")
+        # Partition-scoped MERGE (round 4): rewrite ONLY the synced
+        # suppliers' partitions — O(touched partitions + delta), never
+        # a full-gold rewrite. The ETLResult counters aggregate the
+        # DELTA directly (feed-sized — the cheap side at 100 TB; the
+        # old full-rewrite path measured them for free inside its
+        # whole-table write, which no longer exists).
+        counters = unified.agg(
+            F.count(F.lit(1)).alias("processed"),
+            F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
+        ).first()
+        n_errors = int(counters["null_keys"] or 0)
+        merge_stats = merge_partitioned(
+            spark,
+            gold_path,
+            unified,
+            keys=["product_id"],
+            order_col="last_sync",
+            partition_col="supplier_id",
+        )
     elif since:
         raise FileNotFoundError(
             f"incremental sync (--since {since}) requires an existing gold table at "
             f"{gold_path}; run a full sync first"
         )
     else:
-        merged = unified
+        # first-ever sync: full write; counters measured inside the
+        # write job via Observation — no second scan of the transform
+        from pyspark.sql import Observation
 
-    # ETLResult counters (SURVEY A4, etl/base.py:236-237) measured
-    # inside the write job itself via Observation — no second scan
-    from pyspark.sql import Observation
-
-    obs = Observation("etl_metrics")
-    merged = merged.observe(
-        obs,
-        F.count(F.lit(1)).alias("processed"),
-        F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
-    )
-    atomic_overwrite(merged, gold_path, partition_by=("supplier_id",))
-    metrics = obs.get
-    n_before = metrics["processed"]
+        obs = Observation("etl_metrics")
+        observed = unified.observe(
+            obs,
+            F.count(F.lit(1)).alias("processed"),
+            F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
+        )
+        atomic_overwrite(observed, gold_path, partition_by=("supplier_id",))
+        n_errors = int(obs.get["null_keys"] or 0)
+        merge_stats = None
     per_supplier = {
         r["supplier_id"]: r["n"]
         for r in spark.read.parquet(gold_path).groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    return {
+    result = {
         "status": "success",
         "action": "incremental" if since else "sync",
         "suppliers": targets,
-        "products_in_gold": n_before,
-        "error_count": int(metrics["null_keys"] or 0),
+        "products_in_gold": sum(per_supplier.values()),
+        "error_count": n_errors,
         "quarantined": quarantined_counts,
         "per_supplier": per_supplier,
         "duration_sec": round(time.time() - t0, 2),
     }
+    if merge_stats is not None:
+        result["partitions_rewritten"] = merge_stats["partitions_touched"]
+    return result
 
 
 def run_status(spark: SparkSession, gold_path: str) -> dict:
