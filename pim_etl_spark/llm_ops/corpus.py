@@ -614,3 +614,160 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+SEQ_LEN = 2048  # training sequence length for concatenation packing
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    -- GPT-style concatenation packing: per language, documents
+    -- concatenate in doc_id order into one token stream cut every
+    -- SEQ_LEN tokens; a document overlaps every bin its [start, end)
+    -- token span touches. Pure prefix-sum arithmetic on both engines.
+    WITH t AS (
+      SELECT lang, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc
+      FROM documents
+    ), o AS (
+      SELECT lang, doc_id, tc,
+             sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM t
+    ), s AS (
+      SELECT lang, doc_id, tc, end_off, end_off - tc AS start_off
+      FROM o WHERE tc > 0
+    ), e AS (
+      SELECT lang, doc_id, start_off, end_off,
+             unnest(generate_series(CAST(floor(start_off / {SEQ_LEN}.0) AS BIGINT),
+                                    CAST(floor((end_off - 1) / {SEQ_LEN}.0) AS BIGINT))) AS bin_id
+      FROM s
+    )
+    SELECT lang, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(end_off, (bin_id + 1) * {SEQ_LEN})
+                    - greatest(start_off, bin_id * {SEQ_LEN})) AS BIGINT) AS tokens_in_bin,
+           min(doc_id) AS first_doc_id,
+           CAST(sum(CASE WHEN start_off < bin_id * {SEQ_LEN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling
+    FROM e GROUP BY lang, bin_id ORDER BY lang, bin_id
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-example assembly (the GPT-style
+    concatenate-and-cut form): per language, documents concatenate in
+    doc_id order and the token stream is cut into SEQ_LEN bins; the
+    output maps bins to the documents overlapping them (straddle count
+    = docs crossing into the bin from the previous one).
+
+    All arithmetic: one windowed prefix sum + a sequence() explode of
+    each doc onto the bins its token span covers — no Python, no UDF.
+
+    Scale note: the window partitions by ``lang``, so parallelism is
+    language-cardinality — right for per-language packing. A single
+    global stream would serialize into ONE window partition (the
+    classic ordered-prefix-sum trap); the 100 TB form is two-phase:
+    per-partition local pack + a tiny exchange of per-partition token
+    totals to offset the bin ids, same arithmetic.
+    """
+    from pim_etl_spark import functions as pf
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    staged = (
+        docs.select("lang", "doc_id", pf.token_count(F.col("text")).alias("tc"))
+        .withColumn("end_off", F.sum("tc").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("tc"))
+        .filter(F.col("tc") > 0)
+    )
+    binned = staged.select(
+        "lang",
+        "doc_id",
+        "start_off",
+        "end_off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_off") / SEQ_LEN),
+                F.floor((F.col("end_off") - 1) / SEQ_LEN),
+            )
+        ).alias("bin_id"),
+    )
+    overlap = F.least(F.col("end_off"), (F.col("bin_id") + 1) * SEQ_LEN) - F.greatest(
+        F.col("start_off"), F.col("bin_id") * SEQ_LEN
+    )
+    return (
+        binned.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(overlap).alias("tokens_in_bin"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.sum(
+                F.when(F.col("start_off") < F.col("bin_id") * SEQ_LEN, 1).otherwise(0)
+            ).alias("n_straddling"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+STRATUM_QUOTA = 30
+
+
+@query(
+    "stratified_sample_quota",
+    oracle=f"""
+    -- exact-quota stratified sampling: per language, the QUOTA docs
+    -- with the smallest salted md5 rank — deterministic under any
+    -- partitioning/arrival order (the complement of
+    -- mixture_weight_sampler's probabilistic gate)
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '-strat'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked WHERE rk <= {STRATUM_QUOTA}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: each language
+    contributes precisely STRATUM_QUOTA documents, chosen by salted
+    md5 rank — reproducible across engines, partitionings, and data
+    arrival orders, unlike ``df.sample``/``sampleBy`` (seeded RNG over
+    partition layout). The checked output identifies the exact sampled
+    set per stratum (count + min/max/sum of ids).
+
+    At scale: WindowGroupLimit keeps only quota rows per stratum
+    before the shuffle, so the exchange carries O(strata × quota),
+    not the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-strat")))
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id"))
+    sampled = (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_QUOTA)
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("lang")
+    )

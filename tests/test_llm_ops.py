@@ -348,3 +348,43 @@ def test_chunking_overlap_property(spark):
     # overlap: last 16 of chunk k == first 16 of chunk k+1
     assert long_chunks[0][-16:] == long_chunks[1][:16]
     assert by_doc[1] == {0: ["a", "b", "c"]}
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Every token lands in exactly one bin: per language, the bin
+    fills sum to the corpus token total, every non-final bin is full,
+    and straddle counts equal (docs overlapping >1 bin) per lang."""
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark import functions as pf
+    from pim_etl_spark.llm_ops.corpus import SEQ_LEN
+
+    bins = get_queries()["sequence_packing_bins"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.lang: r.total
+        for r in docs.groupBy("lang").agg(
+            F.sum(pf.token_count(F.col("text"))).alias("total")
+        ).collect()
+    }
+    by_lang: dict = {}
+    for r in bins:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.bin_id)
+        assert sum(r.tokens_in_bin for r in rows) == totals[lang]
+        assert [r.bin_id for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.tokens_in_bin == SEQ_LEN, f"non-final bin not full: {r}"
+
+
+def test_stratified_sample_quota_exact_and_stable(spark, sf_dir):
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.llm_ops.corpus import STRATUM_QUOTA
+
+    q = get_queries()["stratified_sample_quota"]
+    first = [tuple(r) for r in q(spark, sf_dir).collect()]
+    again = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert first == again  # deterministic under re-execution
+    for row in first:
+        assert row[1] == STRATUM_QUOTA  # exact quota per stratum
