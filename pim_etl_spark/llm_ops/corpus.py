@@ -771,3 +771,100 @@ def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SPAN_K = 8  # n-gram width for exact duplicated-span detection
+
+
+@query(
+    "duplicated_span_removal",
+    oracle=f"""
+    -- exact duplicated-substring removal (the Lee et al.
+    -- "Deduplicating Training Data Makes Language Models Better"
+    -- shape, token-level): any {SPAN_K}-gram appearing in MORE THAN
+    -- ONE document flags its {SPAN_K}-token span in every document
+    -- containing it; per affected doc, the union of flagged positions
+    -- gives the post-removal token count.
+    WITH t AS (
+      SELECT doc_id, {{norm}} AS toks FROM documents
+    ), tt AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_K}
+    ), g AS (
+      SELECT doc_id, unnest(generate_series(1, n - {SPAN_K - 1})) AS i, toks FROM tt
+    ), gr AS (
+      SELECT doc_id, i, array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS gram FROM g
+    ), dup AS (
+      SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ), fl AS (
+      SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (gram)
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(i, i + {SPAN_K - 1})) AS p FROM fl
+    ), pf AS (
+      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_flagged_tokens
+      FROM pos GROUP BY doc_id
+    ), sp AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans FROM fl GROUP BY doc_id
+    )
+    SELECT tt.doc_id, CAST(tt.n AS INT) AS n_tokens, sp.n_dup_spans,
+           pf.n_flagged_tokens,
+           CAST(tt.n - pf.n_flagged_tokens AS BIGINT) AS tokens_after
+    FROM tt JOIN sp ON sp.doc_id = tt.doc_id JOIN pf ON pf.doc_id = tt.doc_id
+    ORDER BY tt.doc_id
+    """.replace("{{norm}}", "{norm}").format(norm=_NORM_SQL),
+)
+def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection/removal accounting — the
+    token-level form of suffix-array exact-substring dedup (Lee et
+    al. 2022): cross-document duplicated {K}-grams flag their spans,
+    overlapping spans union per document, and the output accounts
+    tokens before/after removal for every affected document.
+
+    Plan: explode each doc's {K}-gram starts (one slice per exploded
+    row — NOT per-index lambdas in one projection, which ProjectCollapse
+    turns quadratic; NOTES.md trap), aggregate gram → distinct-doc
+    count, join the duplicated-gram set back (broadcast here — at
+    100 TB this is a shuffle join keyed by gram hash, and the gram
+    table is the frequency-truncated sketch a suffix-array pass
+    produces), then union flagged positions per doc. Only (doc_id,
+    gram, position) triples ever shuffle — text stays in the scan.
+    """
+    K = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= K
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (K - 1))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id", "i", F.array_join(F.slice("toks", F.col("i"), K), " ").alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    flagged = g.join(F.broadcast(dup), "gram")
+    per_doc_flag = (
+        flagged.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (K - 1))).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("n_flagged_tokens"))
+    )
+    spans = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    base = t.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        base.join(spans, "doc_id")
+        .join(per_doc_flag, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "n_flagged_tokens",
+            (F.col("n_tokens") - F.col("n_flagged_tokens")).alias("tokens_after"),
+        )
+        .orderBy("doc_id")
+    )

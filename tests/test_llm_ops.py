@@ -388,3 +388,31 @@ def test_stratified_sample_quota_exact_and_stable(spark, sf_dir):
     assert first == again  # deterministic under re-execution
     for row in first:
         assert row[1] == STRATUM_QUOTA  # exact quota per stratum
+
+
+def test_duplicated_span_union_semantics(spark):
+    """A phrase shared verbatim by two docs must flag the union of its
+    overlapping 8-gram spans (10 shared tokens -> 3 starts -> 10
+    flagged positions, not 24), and a doc with no cross-doc 8-gram
+    must be absent from the output."""
+    from pim_etl_spark.llm_ops.corpus import SPAN_K, duplicated_span_removal
+
+    assert SPAN_K == 8
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    rows = [
+        (0, shared + " one unique ending here now", "en"),
+        (1, "different opening words precede " + shared, "en"),
+        (2, "totally unrelated content with no phrase overlap at all whatsoever", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    import pim_etl_spark.llm_ops.corpus as corpus_mod
+    from unittest import mock
+
+    with mock.patch.object(corpus_mod, "load_table", lambda s, d, t: docs):
+        out = {r.doc_id: r for r in duplicated_span_removal(spark, "ignored").collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_dup_spans == 3  # starts at shared-token offsets 1..3
+        assert r.n_flagged_tokens == 10  # union of overlapping spans
+        assert r.tokens_after == r.n_tokens - 10
