@@ -868,3 +868,133 @@ def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "temperature_resample_copies",
+    oracle="""
+    -- temperature-style UPSAMPLING (the complement of
+    -- mixture_weight_sampler's downsampling gate): each source tier
+    -- gets a fractional epoch count; every doc is emitted
+    -- floor(epochs) times plus one extra copy behind a deterministic
+    -- md5 gate on the fractional part. Row-level exploded output so
+    -- the hash proves the fan-out itself, not just the arithmetic.
+    WITH gated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN 2
+                  ELSE 3 END AS base_copies,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN '00'
+                  WHEN CAST(substr(source, 4) AS INT) < 10 THEN '80'
+                  WHEN CAST(substr(source, 4) AS INT) < 15 THEN '80'
+                  ELSE '40' END AS frac_threshold,
+             substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, source,
+             base_copies + CASE WHEN bucket < frac_threshold THEN 1 ELSE 0 END AS n_copies
+      FROM gated
+    )
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(u.copy_id AS BIGINT) AS copy_id
+    FROM counted, unnest(generate_series(1, n_copies)) AS u(copy_id)
+    ORDER BY doc_id, copy_id
+    """,
+)
+def temperature_resample_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture UPSAMPLING: low-resource source tiers
+    are repeated fractional-epoch counts (1.0 / 1.5 / 2.5 / 3.25 here)
+    — the standard way a pretraining mix over-represents small
+    high-quality sources. Integer part via row fan-out, fractional
+    part via a salted md5 gate so the extra copy is deterministic
+    under any partitioning (``df.sample`` is not).
+
+    Scale shape: the copy count is a scan-local expression and the
+    fan-out is a generator (explode of a ``sequence``) — no shuffle at
+    all; output partitions simply carry more rows. The salt
+    (``temp:``) is decorrelated from the split (``split:``) and
+    downsampling (``mix:``) hashes so repeated epochs never bias
+    either. Reference analogue: none (the reference syncs a PIM
+    catalog); this is the §2.10 training-data surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    base = F.when(src_num < 10, 1).when(src_num < 15, 2).otherwise(3)
+    frac_threshold = (
+        F.when(src_num < 5, "00").when(src_num < 15, "80").otherwise("40")
+    )
+    bucket = F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 2)
+    n_copies = (base + F.when(bucket < frac_threshold, 1).otherwise(0)).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias("copy_id"),
+        )
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+N_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "global_shuffle_shards",
+    oracle=f"""
+    -- deterministic global corpus shuffle + sharding: order is the
+    -- salted md5 of the doc id; the shard is the first hex nibble
+    -- (16-way), the within-shard position is the rank of the full
+    -- hash inside the shard. Reading shards in (shard, pos) order
+    -- yields a reproducible global permutation of the corpus.
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1 AS INT) AS shard,
+           CAST(row_number() OVER (
+                 PARTITION BY substr(sort_key, 1, 1)
+                 ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+    FROM keyed
+    ORDER BY shard, pos_in_shard
+    """,
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch loader
+    wants the corpus in a reproducible pseudo-random order, sharded
+    into N files. The sort key is a salted md5 of the doc id; the
+    shard is the key's first nibble, so shard assignment is
+    scan-local (no global sort, no driver state) and the within-shard
+    order is the key itself.
+
+    Scale shape: this IS how a distributed shuffle materializes a
+    100 TB permutation — hash-range shards written independently, each
+    internally sorted (``repartitionByRange`` on the key +
+    ``sortWithinPartitions``); a global ``row_number`` would serialize
+    on one partition. The explicit ``pos_in_shard`` window here is
+    per-shard for the hash gate; at scale you skip it (the sort key is
+    the position) or recover global offsets with the two-phase
+    count-prefix scheme documented for ``sequence_packing_bins``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias("sort_key"),
+    )
+    nibble = F.substring(F.col("sort_key"), 1, 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(nibble).orderBy("sort_key", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("int").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )

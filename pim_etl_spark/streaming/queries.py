@@ -412,3 +412,58 @@ def stream_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_static_enrich_join",
+    oracle="""
+    -- batch twin of the stream-static enrichment join
+    SELECT n.n_name AS nation, c.c_mktsegment AS mktsegment,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a streamed fact (events) enriched against a
+    static dimension (customer⋈nation) inside the micro-batch engine,
+    then aggregated — the canonical Structured Streaming enrichment
+    pattern (reference analogue: the cached side-data getters applied
+    during incremental sync, /root/reference/etl/base.py:198-243, here
+    executed per micro-batch instead of per row).
+
+    Scale notes: the static side is broadcast, so the join is
+    stateless — no join state store, no watermark requirement; the only
+    stateful operator is the final aggregation, whose state is bounded
+    by the (nation, segment, event_type) key domain, not the event
+    volume. Spark re-resolves the static side per micro-batch, so on a
+    long-running cluster the dimension can be refreshed by swapping the
+    underlying files without restarting the query.
+    """
+    from pim_etl_spark.sources import load_table
+
+    events = stream_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    enriched = events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+    agg = enriched.groupBy("nation", "mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    result = run_stream_to_memory(spark, agg, mode="complete", state_partitions=8)
+    return result.orderBy("nation", "mktsegment", "event_type")
