@@ -55,6 +55,7 @@ def run_sync(
     supplier_id: str | None = None,
     since: str | None = None,
     quarantine: str | None = None,
+    versioned: bool = False,
 ) -> dict:
     """Full or incremental sync → upsert into gold (ReplaceOne
     semantics via window dedup), ETLResult-style summary out.
@@ -99,6 +100,43 @@ def run_sync(
     # would let a transient/corrupt read silently shrink gold to the
     # incoming subset (fatal in --since mode) and still report success.
     from pim_etl_spark.pipeline.gold import atomic_overwrite, merge_partitioned
+
+    if versioned:
+        # commit-log store: every sync is one transactional snapshot —
+        # file-granular copy-on-write MERGE, time-travel/rollback free
+        from pim_etl_spark.pipeline import versioned as V
+
+        if since and V.current_version(gold_path) == 0:
+            raise FileNotFoundError(
+                f"incremental sync (--since {since}) requires an existing versioned "
+                f"gold table at {gold_path}; run a full sync first"
+            )
+        counters = unified.agg(
+            F.count(F.lit(1)).alias("processed"),
+            F.sum(F.when(F.col("product_id").isNull(), 1).otherwise(0)).alias("null_keys"),
+        ).first()
+        n_errors = int(counters["null_keys"] or 0)
+        vstats = V.merge_files(
+            spark, gold_path, unified, keys=["product_id"], order_col="last_sync"
+        )
+        gold_df = V.read_version(spark, gold_path)
+        per_supplier = {
+            r["supplier_id"]: r["n"]
+            for r in gold_df.groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return {
+            "status": "success",
+            "action": "incremental" if since else "sync",
+            "suppliers": targets,
+            "products_in_gold": sum(per_supplier.values()),
+            "error_count": n_errors,
+            "quarantined": quarantined_counts,
+            "per_supplier": per_supplier,
+            "version": vstats["version"],
+            "files_rewritten": vstats["files_rewritten"],
+            "files_kept": vstats["files_kept"],
+            "duration_sec": round(time.time() - t0, 2),
+        }
 
     gold_exists = os.path.exists(gold_path) or os.path.exists(gold_path + ".__old__")
     if gold_exists:
@@ -160,8 +198,17 @@ def run_sync(
 
 
 def run_status(spark: SparkSession, gold_path: str) -> dict:
-    """Catalog stats (SURVEY A1–A3, etl/loaders/mongodb_loader.py:271-299)."""
-    gold = spark.read.parquet(gold_path)
+    """Catalog stats (SURVEY A1–A3, etl/loaders/mongodb_loader.py:271-299).
+    Transparently handles both plain partition-dir gold and the
+    manifest-versioned store (reads the latest committed snapshot)."""
+    from pim_etl_spark.pipeline import versioned as V
+
+    if V.current_version(gold_path) > 0:
+        gold = V.read_version(spark, gold_path)
+        extra = {"version": V.current_version(gold_path)}
+    else:
+        gold = spark.read.parquet(gold_path)
+        extra = {}
     by_supplier = {
         r["supplier_id"]: r["n"]
         for r in gold.groupBy("supplier_id").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -173,6 +220,7 @@ def run_status(spark: SparkSession, gold_path: str) -> dict:
         "total_products": gold.count(),
         "by_supplier": by_supplier,
         "by_status": by_status,
+        **extra,
     }
 
 
@@ -228,8 +276,22 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="PIM ETL orchestrator (PySpark)")
     parser.add_argument(
         "--action",
-        choices=["sync", "incremental", "status", "validate", "create-config", "compact"],
+        choices=[
+            "sync", "incremental", "status", "validate", "create-config", "compact",
+            "history", "rollback", "vacuum",
+        ],
         default="sync",
+    )
+    parser.add_argument(
+        "--versioned",
+        action="store_true",
+        help="sync into a manifest-versioned store (transactional MERGE, time travel)",
+    )
+    parser.add_argument(
+        "--to-version", type=int, default=None, help="rollback: snapshot to restore"
+    )
+    parser.add_argument(
+        "--keep-last", type=int, default=2, help="vacuum: snapshots to retain"
     )
     parser.add_argument(
         "--target-file-mb",
@@ -264,6 +326,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.supplier is None and cfg["suppliers"]:
         args.supplier = cfg["suppliers"][0] if len(cfg["suppliers"]) == 1 else None
 
+    # manifest-only actions need no SparkSession at all
+    if args.action in ("history", "rollback", "vacuum"):
+        from pim_etl_spark.pipeline import versioned as V
+
+        if args.action == "history":
+            out = {"status": "success", "history": V.history(args.gold)}
+        elif args.action == "rollback":
+            if args.to_version is None:
+                parser.error("--action rollback requires --to-version")
+            new_v = V.rollback(args.gold, to_version=args.to_version)
+            out = {"status": "success", "restored": args.to_version, "version": new_v}
+        else:
+            out = {"status": "success", **V.vacuum(args.gold, keep_last=args.keep_last)}
+        print(json.dumps(out, default=str))
+        return 0
+
     from pim_etl_spark.session import get_spark
 
     spark = get_spark(app_name=f"pim-etl-{args.action}")
@@ -273,6 +351,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.feeds_dir, args.gold, args.supplier,
             since=args.since if args.action == "incremental" else None,
             quarantine=args.quarantine,
+            versioned=args.versioned,
         )
     elif args.action == "status":
         out = run_status(spark, args.gold)

@@ -125,3 +125,40 @@ def test_cli_compact_action(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_versioned_sync_history_rollback(spark, landed, tmp_path):
+    """--versioned routes syncs through the manifest store: each sync
+    is one transactional snapshot; history/status/rollback work through
+    the CLI surface."""
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "vgold")
+    r1 = run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    assert r1["status"] == "success" and r1["version"] == 1
+    assert r1["products_in_gold"] == 12
+
+    # incremental with a future cutoff: empty delta, but still a
+    # consistent new snapshot with all files carried
+    r2 = run_sync(
+        spark, landed, gold, supplier_id="midocean", since="2099-01-01", versioned=True
+    )
+    assert r2["version"] == 2 and r2["products_in_gold"] == 12
+    assert r2["files_rewritten"] == 0
+
+    status = run_status(spark, gold)
+    assert status["total_products"] == 12 and status["version"] == 2
+
+    # CLI: history then rollback to v1 (a NEW commit), then history again
+    assert main(["--action", "rollback", "--gold", gold, "--to-version", "1"]) == 0
+    assert V.current_version(gold) == 3
+    assert [m["op"] for m in V.history(gold)][-1] == "rollback(v1)"
+    assert V.read_version(spark, gold).count() == 12
+
+    # incremental before any snapshot exists must fail loudly
+    with pytest.raises(FileNotFoundError, match="versioned"):
+        run_sync(
+            spark, landed, str(tmp_path / "nope"), supplier_id="midocean",
+            since="2000-01-01", versioned=True,
+        )
