@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "pim_etl_spark.llm_ops.similarity",
     "pim_etl_spark.llm_ops.text",
     "pim_etl_spark.llm_ops.multimodal",
+    "pim_etl_spark.llm_ops.membership",
     "pim_etl_spark.streaming.queries",
     "pim_etl_spark.pipeline.versioned",
 )

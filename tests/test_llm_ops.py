@@ -416,3 +416,24 @@ def test_duplicated_span_union_semantics(spark):
         assert r.n_dup_spans == 3  # starts at shared-token offsets 1..3
         assert r.n_flagged_tokens == 10  # union of overlapping spans
         assert r.tokens_after == r.n_tokens - 10
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom gate split semantics: a corpus key can NEVER land in
+    definitely_new (structural guarantee); novel keys overwhelmingly
+    land there (FP rate bound)."""
+    from pim_etl_spark.llm_ops.membership import bloom_prefilter_new_keys
+
+    corpus = spark.range(0, 2000).selectExpr("concat('url:', id) AS key")
+    # incoming: 500 known re-crawls + 500 genuinely novel URLs
+    incoming = spark.range(1500, 2500).selectExpr("concat('url:', id) AS key")
+    new, known = bloom_prefilter_new_keys(corpus, incoming, "key")
+    new_ids = {r.key for r in new.collect()}
+    known_ids = {r.key for r in known.collect()}
+    corpus_ids = {f"url:{i}" for i in range(2000)}
+    # every known key must be routed to the verify path
+    assert {f"url:{i}" for i in range(1500, 2000)} <= known_ids
+    assert not (new_ids & corpus_ids)
+    # novel keys mostly skip the verify path (generous FP allowance)
+    assert len(new_ids) >= 450
+    assert new_ids | known_ids == {f"url:{i}" for i in range(1500, 2500)}
