@@ -82,29 +82,59 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def _write_data_files(df: DataFrame, path: str, version: int) -> list[str]:
+def _write_data_files(
+    df: DataFrame, path: str, version: int, stats_cols: Sequence[str] = ()
+) -> tuple[list[str], dict]:
     """Materialize ``df`` as immutable data files; returns their names
-    (relative to ``<table>/data/``). The Spark job writes to a staging
-    dir, then each part-file is renamed (same filesystem — a move, not
-    a copy) into ``data/`` under a version+token prefix so names never
-    collide across commits."""
+    (relative to ``<table>/data/``) and, when ``stats_cols`` is set,
+    per-file min/max stats for those columns (the manifest-level
+    data-skipping index — Delta's file statistics). The Spark job
+    writes to a staging dir, then each part-file is renamed (same
+    filesystem — a move, not a copy) into ``data/`` under a
+    version+token prefix so names never collide across commits."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(path, _DATA)
     os.makedirs(data_dir, exist_ok=True)
     token = uuid.uuid4().hex[:8]
     names = []
+    renames = {}
     for i, f in enumerate(sorted(os.listdir(staging))):
         if not f.endswith(".parquet"):
             continue
         name = f"v{version:06d}-{token}-{i:05d}.parquet"
-        os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
+        renames[f] = name
         names.append(name)
+    stats: dict = {}
+    if stats_cols and names:
+        # one scan of the NEW files only (never the table), grouped by
+        # physical file — the stats ride in the manifest from birth
+        spark = df.sparkSession
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        for r in (
+            spark.read.parquet(staging)
+            .withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        ):
+            fname = renames.get(r["__f"])
+            if fname:
+                stats[fname] = {
+                    c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+                }
+    for src, name in renames.items():
+        os.rename(os.path.join(staging, src), os.path.join(data_dir, name))
     shutil.rmtree(staging, ignore_errors=True)
-    return names
+    return names, stats
 
 
-def _commit(path: str, files: list[str], op: str, stats: dict) -> int:
+def _commit(
+    path: str, files: list[str], op: str, stats: dict, file_stats: dict | None = None
+) -> int:
     """Atomically publish a new snapshot naming exactly ``files``."""
     parent = current_version(path)
     version = parent + 1
@@ -115,29 +145,39 @@ def _commit(path: str, files: list[str], op: str, stats: dict) -> int:
         "op": op,
         "files": sorted(files),
         "stats": stats,
+        "file_stats": file_stats or {},
     }
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
+        json.dump(manifest, fh, indent=1, default=str)
     os.rename(tmp, _manifest_path(path, version))
     return version
 
 
-def commit_snapshot(df: DataFrame, path: str, op: str = "snapshot") -> int:
+def commit_snapshot(
+    df: DataFrame, path: str, op: str = "snapshot", stats_cols: Sequence[str] = ()
+) -> int:
     """Full-snapshot commit (CTAS / initial load): new files, new
     manifest referencing only them."""
     version = current_version(path) + 1
-    files = _write_data_files(df, path, version)
-    return _commit(path, files, op, {"files_written": len(files)})
+    files, fstats = _write_data_files(df, path, version, stats_cols=stats_cols)
+    return _commit(path, files, op, {"files_written": len(files)}, file_stats=fstats)
 
 
-def commit_append(df: DataFrame, path: str) -> int:
+def commit_append(df: DataFrame, path: str, stats_cols: Sequence[str] = ()) -> int:
     """Blind append (O(batch)): parent's files carry over by name,
     only the new rows are written."""
     parent = current_version(path)
     carried = read_manifest(path, parent)["files"] if parent else []
-    files = _write_data_files(df, path, parent + 1)
-    return _commit(path, carried + files, "append", {"files_written": len(files), "files_carried": len(carried)})
+    carried_stats = read_manifest(path, parent).get("file_stats", {}) if parent else {}
+    files, fstats = _write_data_files(df, path, parent + 1, stats_cols=stats_cols)
+    return _commit(
+        path,
+        carried + files,
+        "append",
+        {"files_written": len(files), "files_carried": len(carried)},
+        file_stats={**carried_stats, **fstats},
+    )
 
 
 def snapshot_files(path: str, version: int | None = None) -> list[str]:
@@ -175,42 +215,196 @@ def merge_files(
        ``apply_upsert``); pure inserts ride along in the same write;
     3. commit a manifest carrying every untouched file by name.
 
-    Sync cost is O(touched files + batch); with the table clustered by
-    key (``compact_table(cluster_by=keys)``) a narrow batch touches few
-    files and parquet min/max stats keep even step 1 cheap. Returns
-    observability stats including the new version number.
+    Sync cost is O(touched files + batch); per-file min/max stats of
+    ``keys[0]`` ride in every manifest, so step 1 first SKIPS any file
+    whose key range provably contains no batch key (manifest-level
+    data skipping — the candidate scan never opens those files at
+    all), then resolves exact touched files among the candidates.
+    Returns observability stats including the new version number.
     """
+    stats_cols = (keys[0],)
     parent = current_version(path)
     if parent == 0:
         merged = upsert_latest(incoming, keys=keys, order_col=order_col)
-        version = _commit(path, _write_data_files(merged, path, 1), "merge", {"files_rewritten": 0, "files_kept": 0})
-        return {"version": version, "files_rewritten": 0, "files_kept": 0}
+        files, fstats = _write_data_files(merged, path, 1, stats_cols=stats_cols)
+        version = _commit(
+            path, files, "merge", {"files_rewritten": 0, "files_kept": 0}, file_stats=fstats
+        )
+        return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
-    files = snapshot_files(path, parent)
-    with_file = spark.read.parquet(*files).withColumn("__file", F.input_file_name())
-    touched = [
-        os.path.basename(r[0])
-        for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    ]
-    touched_set = set(touched)
-    kept = [f for f in read_manifest(path, parent)["files"] if f not in touched_set]
+    manifest = read_manifest(path, parent)
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
     data_dir = os.path.join(path, _DATA)
+
+    # manifest-level data skipping: a file whose [min, max] of the
+    # prune key contains NO batch key cannot be touched — exact
+    # per-file test via a broadcast join of the (file, lo, hi) stats
+    # table (file-count-sized) against the batch's distinct keys
+    prune_col = keys[0]
+    stats_rows = [
+        (f, parent_fstats[f][prune_col][0], parent_fstats[f][prune_col][1])
+        for f in parent_files
+        if f in parent_fstats and prune_col in parent_fstats[f]
+    ]
+    unstatted = [f for f in parent_files if f not in {r[0] for r in stats_rows}]
+    if stats_rows:
+        key_type = dict(incoming.dtypes)[prune_col]
+        stats_df = spark.createDataFrame(stats_rows, ["__f", "__lo", "__hi"]).select(
+            "__f",
+            F.col("__lo").cast(key_type).alias("__lo"),
+            F.col("__hi").cast(key_type).alias("__hi"),
+        )
+        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        candidates = [
+            r[0]
+            for r in bkeys.join(
+                F.broadcast(stats_df),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        ] + unstatted
+    else:
+        candidates = list(parent_files)
+    skipped = len(parent_files) - len(candidates)
+
+    if candidates:
+        with_file = spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in candidates]
+        ).withColumn("__file", F.input_file_name())
+        touched = [
+            os.path.basename(r[0])
+            for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+    else:
+        touched = []
+    touched_set = set(touched)
+    kept = [f for f in parent_files if f not in touched_set]
     if touched:
         existing_touched = spark.read.parquet(*[os.path.join(data_dir, f) for f in touched])
         merged = apply_upsert(existing_touched, incoming, keys=keys, order_col=order_col)
     else:
         merged = upsert_latest(incoming, keys=keys, order_col=order_col)
-    new_files = _write_data_files(merged, path, parent + 1)
+    new_files, new_fstats = _write_data_files(merged, path, parent + 1, stats_cols=stats_cols)
     version = _commit(
         path,
         kept + new_files,
         "merge",
-        {"files_rewritten": len(touched), "files_kept": len(kept), "files_written": len(new_files)},
+        {
+            "files_rewritten": len(touched),
+            "files_kept": len(kept),
+            "files_written": len(new_files),
+            "files_skipped": skipped,
+        },
+        file_stats={
+            **{f: parent_fstats[f] for f in kept if f in parent_fstats},
+            **new_fstats,
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(kept),
+        "files_skipped": skipped,
+    }
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+    """Copy-on-write DELETE (the GDPR/retention op): rewrite only the
+    files that contain matching rows, without them; every other file
+    carries into the new manifest by name. ``predicate`` is a Column.
+    Cost is O(matching files); readers of prior versions still see the
+    deleted rows (time travel), which is exactly what makes the op
+    auditable — ``vacuum`` is the point of actual disposal."""
+    parent = current_version(path)
+    manifest = read_manifest(path, parent)
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
+    data_dir = os.path.join(path, _DATA)
+    with_file = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in parent_files]
+    ).withColumn("__file", F.input_file_name())
+    touched = [
+        os.path.basename(r[0])
+        for r in with_file.filter(predicate).select("__file").distinct().collect()
+    ]
+    touched_set = set(touched)
+    kept = [f for f in parent_files if f not in touched_set]
+    new_files: list[str] = []
+    new_fstats: dict = {}
+    n_deleted = 0
+    if touched:
+        survivors = spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in touched]
+        ).filter(~predicate)
+        stats_cols = tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
+        new_files, new_fstats = _write_data_files(survivors, path, parent + 1, stats_cols=stats_cols)
+    version = _commit(
+        path,
+        kept + new_files,
+        "delete",
+        {"files_rewritten": len(touched), "files_kept": len(kept)},
+        file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
     )
     return {"version": version, "files_rewritten": len(touched), "files_kept": len(kept)}
+
+
+def changes_between(
+    spark: SparkSession, path: str, keys: Sequence[str], from_version: int, to_version: int
+) -> DataFrame:
+    """CDC change feed between two snapshots: one row per changed key
+    with ``change_type`` insert/update/delete.
+
+    Manifest-aware: files present in BOTH manifests are identical by
+    construction (data files are immutable) and provably contribute no
+    change — only each side's exclusive files are read and joined, so
+    the diff costs O(changed files), not O(table). The join is a
+    full-outer on the keys with null-safe column comparison deciding
+    update-vs-identical (a MERGE that rewrote a row byte-identically
+    is NOT a change)."""
+    ma, mb = read_manifest(path, from_version), read_manifest(path, to_version)
+    common = set(ma["files"]) & set(mb["files"])
+    a_only = [f for f in ma["files"] if f not in common]
+    b_only = [f for f in mb["files"] if f not in common]
+    data_dir = os.path.join(path, _DATA)
+
+    def _side(files, template_version):
+        if files:
+            return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+        return read_version(spark, path, template_version).limit(0)
+
+    a = _side(a_only, from_version)
+    b = _side(b_only, to_version)
+    cols = [c for c in b.columns if c not in keys]
+    a_pref = a.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__in_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in cols],
+    )
+    b_pref = b.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__in_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in cols],
+    )
+    joined = a_pref.join(b_pref, list(keys), "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+    change = (
+        F.when(F.col("__in_a").isNull(), "insert")
+        .when(F.col("__in_b").isNull(), "delete")
+        .when(differs, "update")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -218,7 +412,13 @@ def rollback(path: str, to_version: int) -> int:
     log — an audit-safe undo). Zero data movement: the new manifest
     simply references the old version's files."""
     old = read_manifest(path, to_version)
-    return _commit(path, old["files"], f"rollback(v{to_version})", {"restored": to_version})
+    return _commit(
+        path,
+        old["files"],
+        f"rollback(v{to_version})",
+        {"restored": to_version},
+        file_stats=old.get("file_stats", {}),
+    )
 
 
 def vacuum(path: str, keep_last: int = 2) -> dict:
@@ -335,3 +535,74 @@ def gold_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, total_price double"
     ).orderBy("version")
+
+
+@query(
+    "gold_change_feed",
+    oracle="""
+    -- closed-form twin of the CDC feed over the versioned store:
+    -- v1 = pre-1998 orders; v2 = MERGE (post-1998 inserts + doubled
+    -- price for keys % 7 = 0); v3 = copy-on-write DELETE of keys
+    -- % 5 = 0. Every (from,to,type) count is pure arithmetic.
+    WITH base AS (SELECT o_orderkey, o_orderdate FROM orders)
+    SELECT CAST(1 AS INT) AS from_v, CAST(2 AS INT) AS to_v,
+           'insert' AS change_type, CAST(count(*) AS BIGINT) AS n_keys
+    FROM base WHERE o_orderdate >= DATE '1998-01-01'
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(2 AS INT), 'update', CAST(count(*) AS BIGINT)
+    FROM base WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(3 AS INT), 'delete', CAST(count(*) AS BIGINT)
+    FROM base WHERE o_orderkey % 5 = 0
+    ORDER BY from_v, change_type
+    """,
+)
+def gold_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed under the hash gate: run the full lifecycle
+    (bootstrap → file-granular MERGE → copy-on-write DELETE) on a
+    run-scoped store, then diff consecutive snapshots with
+    ``changes_between``. The manifest-aware diff reads only each
+    side's exclusive files; rewritten-but-identical rows must NOT
+    surface as updates (null-safe column compare), which the oracle's
+    exact counts enforce — a whole-file rewrite that leaked unchanged
+    rows into the feed would overshoot 'update' immediately."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-cdc-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01")
+        v1 = pre.select(
+            "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(4, "o_orderkey")
+        commit_snapshot(v1, tbl, op="bootstrap", stats_cols=("o_orderkey",))
+
+        inserts = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            "o_orderkey", "o_totalprice", F.lit(2).cast("long").alias("version")
+        )
+        updates = pre.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+        )
+        merge_files(
+            spark, tbl, inserts.unionByName(updates), keys=["o_orderkey"], order_col="version"
+        )
+        delete_where(spark, tbl, F.col("o_orderkey") % 5 == 0)
+
+        rows = []
+        for from_v, to_v in ((1, 2), (2, 3)):
+            for r in (
+                changes_between(spark, tbl, ["o_orderkey"], from_v, to_v)
+                .groupBy("change_type")
+                .agg(F.count(F.lit(1)).alias("n_keys"))
+                .collect()
+            ):
+                rows.append((from_v, to_v, r["change_type"], r["n_keys"]))
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "from_v int, to_v int, change_type string, n_keys bigint"
+    ).orderBy("from_v", "change_type")

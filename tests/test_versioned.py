@@ -26,7 +26,7 @@ def _bootstrap(spark, path, n=40, files=4):
         )
         .repartitionByRange(files, "product_id")
     )
-    return V.commit_snapshot(df, path, op="bootstrap")
+    return V.commit_snapshot(df, path, op="bootstrap", stats_cols=("product_id",))
 
 
 def test_snapshot_commit_and_read(spark, tmp_path):
@@ -124,3 +124,81 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
     # expired manifest gone from history, head unchanged
     assert [m["version"] for m in V.history(path)] == [2, 3]
     assert V.current_version(path) == 3
+
+
+def test_merge_data_skipping_from_manifest_stats(spark, tmp_path):
+    """Per-file min/max stats ride in the manifest; a merge batch whose
+    keys fall inside one file's range must SKIP the others without
+    opening them (files_skipped), and stats must carry across commits
+    so the next merge skips too."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    m1 = V.read_manifest(path, 1)
+    assert len(m1["file_stats"]) == 4
+    for st in m1["file_stats"].values():
+        assert "product_id" in st
+
+    batch = spark.createDataFrame([(2, 200.0, 2), (3, 300.0, 2)], SCHEMA)
+    stats = V.merge_files(spark, path, batch, keys=["product_id"], order_col="version")
+    assert stats["files_rewritten"] == 1
+    assert stats["files_skipped"] == 3  # provably untouchable, never scanned
+
+    # kept files carried their stats → the next merge still skips
+    m2 = V.read_manifest(path, 2)
+    assert len(m2["file_stats"]) == len(m2["files"])
+    batch2 = spark.createDataFrame([(35, 3500.0, 3)], SCHEMA)
+    stats2 = V.merge_files(spark, path, batch2, keys=["product_id"], order_col="version")
+    assert stats2["files_skipped"] >= 3
+    got = _rows(V.read_version(spark, path))
+    assert got[2] == (200.0, 2) and got[35] == (3500.0, 3) and got[10] == (10.0, 1)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only files containing matching rows; prior
+    versions still show the rows (auditable time travel)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    res = V.delete_where(spark, path, F.col("product_id") < 5)
+    assert res["files_rewritten"] == 1 and res["files_kept"] == 3
+    assert V.read_version(spark, path).count() == 35
+    assert V.read_version(spark, path, 1).count() == 40
+    # stats carried + recomputed → a later merge still skips
+    m2 = V.read_manifest(path, 2)
+    assert len(m2["file_stats"]) == len(m2["files"])
+
+
+def test_changes_between_reads_only_differing_files(spark, tmp_path):
+    """CDC: insert/update/delete classified; identical carried files
+    contribute nothing and are never read (manifest-aware diff)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    # v2: update key 3, insert 100; v3: delete key 38
+    V.merge_files(
+        spark,
+        path,
+        spark.createDataFrame([(3, 333.0, 2), (100, 100.0, 2)], SCHEMA),
+        keys=["product_id"],
+        order_col="version",
+    )
+    V.delete_where(spark, path, F.col("product_id") == 38)
+
+    d12 = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 1, 2).collect()
+    }
+    assert d12 == {(3, "update"), (100, "insert")}
+    d23 = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 2, 3).collect()
+    }
+    assert d23 == {(38, "delete")}
+    # full-range diff composes
+    d13 = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 1, 3).collect()
+    }
+    assert d13 == {(3, "update"), (100, "insert"), (38, "delete")}
