@@ -133,11 +133,25 @@ def _write_data_files(
 
 
 def _commit(
-    path: str, files: list[str], op: str, stats: dict, file_stats: dict | None = None
+    path: str,
+    files: list[str],
+    op: str,
+    stats: dict,
+    file_stats: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
-    """Atomically publish a new snapshot naming exactly ``files``."""
+    """Atomically publish a new snapshot naming exactly ``files``.
+
+    ``txn=(app_id, txn_version)`` records idempotence state (Delta's
+    txnAppId/txnVersion): the manifest carries a map of the highest
+    committed transaction version per writer app, merged forward on
+    EVERY commit, so a replayed micro-batch can be detected and
+    skipped (``last_txn_version``)."""
     parent = current_version(path)
     version = parent + 1
+    parent_txn = read_manifest(path, parent).get("txn", {}) if parent else {}
+    if txn:
+        parent_txn = {**parent_txn, txn[0]: txn[1]}
     os.makedirs(_manifest_dir(path), exist_ok=True)
     manifest = {
         "version": version,
@@ -146,6 +160,7 @@ def _commit(
         "files": sorted(files),
         "stats": stats,
         "file_stats": file_stats or {},
+        "txn": parent_txn,
     }
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -195,7 +210,26 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     files = snapshot_files(path, version)
     if not files:
         raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
-    return spark.read.parquet(*files)
+    # mergeSchema: a snapshot may reference files from commits that
+    # widened the schema (schema evolution); older files surface the
+    # added columns as NULL. (At 100 TB store the schema in the
+    # manifest instead of footer-probing every file — Delta does; the
+    # footer read here is per-file metadata, not data.)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution: add each side's missing columns as typed
+    NULLs so the MERGE union lines up (Delta's mergeSchema write)."""
+    a_types = dict(a.dtypes)
+    b_types = dict(b.dtypes)
+    for c, t in b_types.items():
+        if c not in a_types:
+            a = a.withColumn(c, F.lit(None).cast(t))
+    for c, t in a_types.items():
+        if c not in b_types:
+            b = b.withColumn(c, F.lit(None).cast(t))
+    return a, b.select(*a.columns)
 
 
 def merge_files(
@@ -204,6 +238,7 @@ def merge_files(
     incoming: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """File-granular copy-on-write MERGE (Delta's MERGE INTO shape):
 
@@ -228,7 +263,8 @@ def merge_files(
         merged = upsert_latest(incoming, keys=keys, order_col=order_col)
         files, fstats = _write_data_files(merged, path, 1, stats_cols=stats_cols)
         version = _commit(
-            path, files, "merge", {"files_rewritten": 0, "files_kept": 0}, file_stats=fstats
+            path, files, "merge", {"files_rewritten": 0, "files_kept": 0},
+            file_stats=fstats, txn=txn,
         )
         return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
@@ -286,8 +322,13 @@ def merge_files(
     touched_set = set(touched)
     kept = [f for f in parent_files if f not in touched_set]
     if touched:
-        existing_touched = spark.read.parquet(*[os.path.join(data_dir, f) for f in touched])
-        merged = apply_upsert(existing_touched, incoming, keys=keys, order_col=order_col)
+        existing_touched = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(data_dir, f) for f in touched]
+        )
+        # schema evolution: a batch may add columns (old rows get NULL)
+        # or omit columns (batch rows get NULL) — align both sides
+        existing_touched, incoming_aligned = _align_schemas(existing_touched, incoming)
+        merged = apply_upsert(existing_touched, incoming_aligned, keys=keys, order_col=order_col)
     else:
         merged = upsert_latest(incoming, keys=keys, order_col=order_col)
     new_files, new_fstats = _write_data_files(merged, path, parent + 1, stats_cols=stats_cols)
@@ -305,6 +346,7 @@ def merge_files(
             **{f: parent_fstats[f] for f in kept if f in parent_fstats},
             **new_fstats,
         },
+        txn=txn,
     )
     return {
         "version": version,
@@ -380,6 +422,7 @@ def changes_between(
 
     a = _side(a_only, from_version)
     b = _side(b_only, to_version)
+    a, b = _align_schemas(a, b)  # diff across a schema-evolution commit
     cols = [c for c in b.columns if c not in keys]
     a_pref = a.select(
         *[F.col(k) for k in keys],
@@ -606,3 +649,40 @@ def gold_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "from_v int, to_v int, change_type string, n_keys bigint"
     ).orderBy("from_v", "change_type")
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest transaction version committed by ``app_id``; -1 if none.
+    The replay guard for exactly-once streaming sinks."""
+    v = current_version(path)
+    if v == 0:
+        return -1
+    return int(read_manifest(path, v).get("txn", {}).get(app_id, -1))
+
+
+def merge_files_txn(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    app_id: str,
+    txn_version: int,
+) -> dict:
+    """Idempotent transactional MERGE: if ``txn_version`` was already
+    committed by ``app_id`` (micro-batch replay after a sink failure,
+    restarted query re-delivering the last batch), the call is a
+    NO-OP — the foundation of exactly-once ``foreachBatch`` sinks.
+    Otherwise a normal ``merge_files`` whose commit atomically records
+    the (app_id, txn_version) watermark WITH the data — replay and
+    data can never disagree."""
+    if txn_version <= last_txn_version(path, app_id):
+        return {
+            "version": current_version(path),
+            "skipped_replay": True,
+            "files_rewritten": 0,
+            "files_kept": 0,
+        }
+    result = merge_files(spark, path, incoming, keys=keys, order_col=order_col, txn=(app_id, txn_version))
+    result["skipped_replay"] = False
+    return result

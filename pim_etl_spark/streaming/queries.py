@@ -467,3 +467,48 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_stream_to_memory(spark, agg, mode="complete", state_partitions=8)
     return result.orderBy("nation", "mktsegment", "event_type")
+
+
+def versioned_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    keys: list[str],
+    order_col: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    app_id: str = "versioned-upsert-stream",
+) -> None:
+    """Exactly-once streaming MERGE into the manifest-versioned store:
+    foreachBatch → ``merge_files_txn`` with the micro-batch id as the
+    transaction version.
+
+    foreachBatch alone is at-least-once — after a sink failure or a
+    restart from checkpoint the engine RE-DELIVERS the last batch. The
+    (app_id, batch_id) watermark rides in the SAME atomic manifest
+    commit as the data, so a replayed batch is detected and skipped —
+    data and replay state can never disagree (Delta's
+    txnAppId/txnVersion pattern on our commit log). One snapshot per
+    micro-batch also gives streaming-time time travel for free.
+    """
+    from pim_etl_spark.pipeline.versioned import merge_files_txn
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_files_txn(
+            spark,
+            table_path,
+            batch_df,
+            keys=keys,
+            order_col=order_col,
+            app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -271,3 +271,49 @@ def test_neardup_gated_ingest_rejects_batch2_dup(spark, tmp_path):
         .collect()
     }
     assert idx_ids == admitted
+
+
+def test_versioned_upsert_stream_exactly_once(spark, tmp_path):
+    """Streaming MERGE into the commit-log store: each micro-batch is
+    one snapshot; a restart with a FRESH checkpoint re-delivers every
+    file as batch 0, and the txn watermark in the manifest makes that
+    replay a no-op — the table state is exactly-once."""
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.streaming.queries import versioned_upsert_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    tbl = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("p1", "active", 1), ("p2", "active", 1)], ROW_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    versioned_upsert_stream(
+        spark, str(feed), tbl, keys=["product_id"], order_col="version",
+        schema=ROW_SCHEMA, checkpoint_dir=ckpt,
+    )
+    assert V.current_version(tbl) == 1
+    assert V.last_txn_version(tbl, "versioned-upsert-stream") == 0
+
+    # second drop: same checkpoint → only the new file, batch_id 1
+    spark.createDataFrame(
+        [("p2", "discontinued", 2), ("p3", "active", 1)], ROW_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    versioned_upsert_stream(
+        spark, str(feed), tbl, keys=["product_id"], order_col="version",
+        schema=ROW_SCHEMA, checkpoint_dir=ckpt,
+    )
+    assert V.current_version(tbl) == 2
+    got = {r.product_id: (r.status, r.version) for r in V.read_version(spark, tbl).collect()}
+    assert got == {"p1": ("active", 1), "p2": ("discontinued", 2), "p3": ("active", 1)}
+
+    # checkpoint loss: everything re-delivered as batch 0 → replay
+    # detected against the manifest txn watermark → NOTHING commits
+    versioned_upsert_stream(
+        spark, str(feed), tbl, keys=["product_id"], order_col="version",
+        schema=ROW_SCHEMA, checkpoint_dir=str(tmp_path / "ckpt-fresh"),
+    )
+    assert V.current_version(tbl) == 2  # no new snapshot
+    got2 = {r.product_id: (r.status, r.version) for r in V.read_version(spark, tbl).collect()}
+    assert got2 == got

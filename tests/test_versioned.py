@@ -202,3 +202,55 @@ def test_changes_between_reads_only_differing_files(spark, tmp_path):
         for r in V.changes_between(spark, path, ["product_id"], 1, 3).collect()
     }
     assert d13 == {(3, "update"), (100, "insert"), (38, "delete")}
+
+
+def test_txn_replay_is_noop(spark, tmp_path):
+    """Exactly-once sink guard: a replayed (app_id, txn_version) MERGE
+    commits nothing; the txn watermark survives unrelated commits."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    b1 = spark.createDataFrame([(0, 100.0, 2)], SCHEMA)
+    r1 = V.merge_files_txn(
+        spark, path, b1, keys=["product_id"], order_col="version",
+        app_id="sync-stream", txn_version=0,
+    )
+    assert not r1["skipped_replay"] and V.current_version(path) == 2
+    # unrelated commit in between must not lose the watermark
+    V.commit_append(spark.createDataFrame([(300, 3.0, 1)], SCHEMA), path)
+    replay = V.merge_files_txn(
+        spark, path, spark.createDataFrame([(0, 999.0, 9)], SCHEMA),
+        keys=["product_id"], order_col="version",
+        app_id="sync-stream", txn_version=0,
+    )
+    assert replay["skipped_replay"] and V.current_version(path) == 3
+    assert _rows(V.read_version(spark, path))[0] == (100.0, 2)  # replay data ignored
+    # next batch goes through
+    r2 = V.merge_files_txn(
+        spark, path, spark.createDataFrame([(1, 111.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+        app_id="sync-stream", txn_version=1,
+    )
+    assert not r2["skipped_replay"] and V.last_txn_version(path, "sync-stream") == 1
+
+
+def test_schema_evolution_merge_and_read(spark, tmp_path):
+    """A batch adding a column merges cleanly; old rows read NULL for
+    it; pre-evolution snapshots are untouched; CDC across the
+    evolution commit classifies correctly."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    evolved = spark.createDataFrame(
+        [(0, 42.0, 2, "EUR"), (100, 1.0, 2, "USD")],
+        "product_id long, base_price double, version long, currency string",
+    )
+    V.merge_files(spark, path, evolved, keys=["product_id"], order_col="version")
+    latest = V.read_version(spark, path)
+    assert "currency" in latest.columns
+    got = {r.product_id: r.currency for r in latest.collect()}
+    assert got[0] == "EUR" and got[100] == "USD" and got[5] is None
+    assert "currency" not in V.read_version(spark, path, 1).columns
+    d = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 1, 2).collect()
+    }
+    assert d == {(0, "update"), (100, "insert")}
