@@ -304,6 +304,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="compact: comma-separated sort-within-file columns for min/max pruning",
     )
+    parser.add_argument(
+        "--zorder-by",
+        default=None,
+        help="compact: comma-separated columns for Z-ORDER (Morton) multi-column clustering",
+    )
     parser.add_argument("--config", default=None, help="JSON config file (see create-config)")
     parser.add_argument("--supplier", default=None)
     parser.add_argument("--feeds-dir", default=None)
@@ -363,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
             args.gold,
             target_file_mb=args.target_file_mb,
             cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else (),
+            zorder_by=tuple(args.zorder_by.split(",")) if args.zorder_by else (),
         )
         out["status"] = "success"
     else:

@@ -176,6 +176,7 @@ def compact_table(
     target_file_mb: int = 256,
     partition_by: Sequence[str] = (),
     cluster_by: Sequence[str] = (),
+    zorder_by: Sequence[str] = (),
 ) -> dict:
     """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
     table into ~``target_file_mb`` files, optionally sorted within
@@ -203,8 +204,23 @@ def compact_table(
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = read_table_recovering(spark, path)
-    if cluster_by:
-        df = df.repartition(n_files).sortWithinPartitions(*cluster_by)
+    if zorder_by:
+        # Z-ORDER clustering: range-partition + sort on the Morton
+        # value so file AND row-group min/max stats prune on every
+        # zorder_by column, not just a leading one
+        df = (
+            with_zorder(df, zorder_by)
+            .repartitionByRange(n_files, "__zval")
+            .sortWithinPartitions("__zval")
+            .drop("__zval")
+        )
+    elif cluster_by:
+        # range-partition on the cluster keys, then sort within files:
+        # GLOBAL clustering, so file-level (not just row-group) min/max
+        # stats are tight on the leading column. Round-robin
+        # repartition + local sort would leave every file spanning the
+        # whole key range — zero file-level pruning.
+        df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(*cluster_by)
     else:
         df = df.repartition(n_files)
     atomic_overwrite(df, path, partition_by=partition_by)
@@ -213,3 +229,47 @@ def compact_table(
         "files_after": len(_parquet_files(path)),
         "bytes": total_bytes,
     }
+
+
+
+Z_BITS = 16
+
+
+def with_zorder(df: DataFrame, cols: Sequence[str], bits: int = Z_BITS) -> DataFrame:
+    """Adds ``__zval``: the Z-order (Morton) curve value over ``cols``.
+
+    Each dimension is width-bucketed into 2^bits cells between its
+    observed min/max (one model-sized agg collect), then the cells'
+    bits are interleaved. Sorting by ``__zval`` gives MULTI-column
+    locality — every file's min/max range is tight on EVERY clustered
+    column at once, where a lexicographic sort is tight only on the
+    leading column. The interleave is one native expression
+    (bits×k shifted terms, whole-stage codegen) — no UDF, and no
+    shuffle beyond the clustering sort itself.
+    """
+    bits = min(bits, 62 // len(cols))  # keep the interleave clear of the sign bit
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).first()
+    out = df
+    for i, c in enumerate(cols):
+        lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
+        if lo is None or hi is None or lo == hi:
+            cell = F.lit(0).cast("long")
+        else:
+            cell = (
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit((1 << bits) - 1)
+                )
+                - 1
+            ).cast("long")
+        out = out.withColumn(f"__z_cell_{i}", cell)
+    k = len(cols)
+    terms = [
+        f"shiftleft(shiftright(__z_cell_{i}, {j}) & CAST(1 AS BIGINT), {j * k + i})"
+        for j in range(bits)
+        for i in range(k)
+    ]
+    out = out.withColumn("__zval", F.expr(" + ".join(terms)))
+    return out.drop(*[f"__z_cell_{i}" for i in range(k)])

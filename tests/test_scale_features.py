@@ -190,3 +190,68 @@ def test_partitioned_gold_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(supplier_id" in plan or "supplier_id=midocean" in plan.replace(
         "#", ""
     ), plan[:1500]
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """Z-ORDER vs lexicographic clustering: after z-order compaction on
+    (x, y), file-level min/max stats must prune a narrow range query on
+    EACH dimension; a linear sort on x prunes only on x (y ranges span
+    everything in every file)."""
+    import pyarrow.parquet as pq
+
+    from pim_etl_spark.pipeline.gold import compact_table, write_gold
+
+    # 200k points on a 500x400 grid, uncorrelated dims; md5 payload
+    # keeps the files from compressing below the file-size target
+    df = spark.range(500_000).selectExpr(
+        "id",
+        "CAST(id % 1000 AS DOUBLE) AS x",
+        "CAST(CAST(id / 1000 AS INT) AS DOUBLE) AS y",
+        "md5(CAST(id AS STRING)) AS payload",
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for root, _dirs, files in __import__("os").walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(f"{root}/{f}")
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == col and c.statistics is not None:
+                            los.append(c.statistics.min)
+                            his.append(c.statistics.max)
+                out.append((min(los), max(his)))
+        return out
+
+    def pruned_fraction(ranges, lo, hi):
+        n_skip = sum(1 for flo, fhi in ranges if fhi < lo or flo > hi)
+        return n_skip / len(ranges)
+
+    target_mb = 1  # force ~16 small files from ~1 MB of data
+    linear = str(tmp_path / "linear")
+    write_gold(df.repartition(16), linear, partition_by=())
+    compact_table(spark, linear, target_file_mb=target_mb, cluster_by=("x",))
+
+    zordered = str(tmp_path / "zordered")
+    write_gold(df.repartition(16), zordered, partition_by=())
+    compact_table(spark, zordered, target_file_mb=target_mb, zorder_by=("x", "y"))
+
+    n_files = len(file_ranges(zordered, "x"))
+    assert n_files >= 12, "need multiple files for pruning to be meaningful"
+
+    # query: x/y in [0, 25] — ~5% of each axis
+    lin_x = pruned_fraction(file_ranges(linear, "x"), 0.0, 50.0)
+    lin_y = pruned_fraction(file_ranges(linear, "y"), 0.0, 25.0)
+    z_x = pruned_fraction(file_ranges(zordered, "x"), 0.0, 50.0)
+    z_y = pruned_fraction(file_ranges(zordered, "y"), 0.0, 25.0)
+
+    assert lin_x >= 0.75  # leading-column sort prunes x...
+    assert lin_y == 0.0  # ...but not y
+    assert z_x >= 0.5 and z_y >= 0.5, (z_x, z_y)  # z-order prunes BOTH
+
+    # clustering is pure maintenance: content identical
+    assert spark.read.parquet(zordered).count() == 500_000
