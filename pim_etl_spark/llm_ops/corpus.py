@@ -998,3 +998,76 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos_in_shard")
     )
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle="""
+    -- closed-form twin of URL canonicalization: the messy URL is a
+    -- pure function of doc_id (case noise, :443 port, utm/ref
+    -- tracking params, #fragment, trailing slash), so the CANONICAL
+    -- form is derived directly from the id arithmetic — the oracle
+    -- never parses. id collisions (doc_id % 100) make real dup
+    -- groups for the crawl-dedup rollup.
+    WITH canon AS (
+      SELECT doc_id,
+             'https://source' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com/docs/' || CAST(doc_id % 17 AS VARCHAR)
+               || '/page?id=' || CAST(doc_id % 100 AS VARCHAR) AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup (the first dedup pass of any
+    web pipeline, upstream of content hashing): lowercase scheme/host,
+    strip ``www.`` and the default port, drop tracking params
+    (``utm_*``, ``ref``) and fragments, strip trailing slashes, then
+    keep the lowest doc id per canonical URL.
+
+    The messy URL is synthesized deterministically from ``doc_id`` so
+    the oracle can derive the expected canonical form closed-form; the
+    engine side must earn it by actually PARSING (``parse_url`` —
+    JVM-side, codegen) and filtering the query string with native
+    array ops. Everything before the final rollup is scan-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Source"), (d % 5).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 2 == 0, ":443").otherwise(""),
+        F.lit("/docs/"), (d % 17).cast("string"), F.lit("/page"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+        F.lit("?"),
+        F.when(d % 2 == 0, F.concat(F.lit("id="), (d % 100).cast("string"), F.lit("&utm_source=feed")))
+        .otherwise(F.concat(F.lit("utm_source=feed&id="), (d % 100).cast("string"))),
+        F.when(d % 3 == 0, "&ref=tw").otherwise(""),
+        F.when(d % 7 == 0, "#frag").otherwise(""),
+    )
+    u = docs.select("doc_id", messy.alias("url"))
+    host = F.regexp_replace(F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", "")
+    path = F.regexp_replace(F.parse_url(F.col("url"), F.lit("PATH")), r"/$", "")
+    kept_params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.parse_url(F.col("url"), F.lit("QUERY")), "&"),
+                lambda p: ~p.startswith("utm_") & ~p.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(F.lit("https://"), host, path, F.lit("?"), kept_params)
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
