@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "pim_etl_spark.llm_ops.membership",
     "pim_etl_spark.streaming.queries",
     "pim_etl_spark.pipeline.versioned",
+    "pim_etl_spark.pipeline.expectations",
 )
 
 _loaded = False

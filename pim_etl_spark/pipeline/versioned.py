@@ -139,6 +139,7 @@ def _commit(
     stats: dict,
     file_stats: dict | None = None,
     txn: tuple[str, int] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically publish a new snapshot naming exactly ``files``.
 
@@ -161,6 +162,7 @@ def _commit(
         "stats": stats,
         "file_stats": file_stats or {},
         "txn": parent_txn,
+        **(extra or {}),
     }
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -239,6 +241,7 @@ def merge_files(
     keys: Sequence[str],
     order_col: str,
     txn: tuple[str, int] | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """File-granular copy-on-write MERGE (Delta's MERGE INTO shape):
 
@@ -264,7 +267,7 @@ def merge_files(
         files, fstats = _write_data_files(merged, path, 1, stats_cols=stats_cols)
         version = _commit(
             path, files, "merge", {"files_rewritten": 0, "files_kept": 0},
-            file_stats=fstats, txn=txn,
+            file_stats=fstats, txn=txn, extra=extra,
         )
         return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
@@ -347,6 +350,7 @@ def merge_files(
             **new_fstats,
         },
         txn=txn,
+        extra=extra,
     )
     return {
         "version": version,

@@ -254,3 +254,48 @@ def test_schema_evolution_merge_and_read(spark, tmp_path):
         for r in V.changes_between(spark, path, ["product_id"], 1, 2).collect()
     }
     assert d == {(0, "update"), (100, "insert")}
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a failed audit aborts BEFORE any commit (live table
+    byte-identical); drop-mode publishes only clean rows and records
+    the audit verdict atomically in the manifest."""
+    import pytest
+
+    from pim_etl_spark.pipeline.expectations import Expect, merge_files_audited
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    exps = [
+        Expect("price_positive", "row", condition="base_price > 0"),
+        Expect("key_unique", "unique", columns=("product_id",)),
+    ]
+    dirty = spark.createDataFrame(
+        [(3, -1.0, 2), (100, 5.0, 2)], SCHEMA  # one violating row
+    )
+
+    with pytest.raises(ValueError, match="audit failed"):
+        merge_files_audited(
+            spark, path, dirty, keys=["product_id"], order_col="version",
+            expectations=exps, on_violation="fail",
+        )
+    assert V.current_version(path) == 1  # nothing published
+
+    res = merge_files_audited(
+        spark, path, dirty, keys=["product_id"], order_col="version",
+        expectations=exps, on_violation="drop",
+    )
+    assert res["version"] == 2 and res["audit"]["rows_dropped"] == 1
+    got = _rows(V.read_version(spark, path))
+    assert got[100] == (5.0, 2) and got[3] == (3.0, 1)  # dirty update dropped
+    m = V.read_manifest(path, 2)
+    assert m["audit"]["violations"]["price_positive"] == 1
+    assert m["audit"]["violations"]["key_unique"] == 0
+
+    # clean batch in fail mode publishes and records a passing audit
+    clean = spark.createDataFrame([(101, 7.0, 3)], SCHEMA)
+    res2 = merge_files_audited(
+        spark, path, clean, keys=["product_id"], order_col="version",
+        expectations=exps, on_violation="fail",
+    )
+    assert res2["audit"]["passed"] and V.read_manifest(path, 3)["audit"]["passed"]
