@@ -505,15 +505,19 @@ from pim_etl_spark.sources import load_table  # noqa: E402
     -- orders; v2 = MERGE (post-1998 inserts + doubled price for
     -- pre-1998 keys divisible by 7); v3 = rollback to v1. The store's
     -- per-version (rows, sum) must equal this pure arithmetic.
-    WITH v1 AS (
-      SELECT o_orderkey, o_totalprice FROM orders
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderkey % 4 = 1
+    ),
+    v1 AS (
+      SELECT o_orderkey, o_totalprice FROM scoped
       WHERE o_orderdate < DATE '1998-01-01'
     ),
     v2 AS (
       SELECT o_orderkey,
              CASE WHEN o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
                   THEN o_totalprice * 2 ELSE o_totalprice END AS p
-      FROM orders
+      FROM scoped
     )
     SELECT CAST(1 AS INT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
            round(sum(o_totalprice), 2) AS total_price
@@ -542,8 +546,11 @@ def gold_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 1)  # deterministic quarter:
+        # the entry proves lifecycle semantics, not write throughput
     )
     tbl = tempfile.mkdtemp(prefix="pim-vstore-")
     try:
@@ -591,7 +598,8 @@ def gold_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- v1 = pre-1998 orders; v2 = MERGE (post-1998 inserts + doubled
     -- price for keys % 7 = 0); v3 = copy-on-write DELETE of keys
     -- % 5 = 0. Every (from,to,type) count is pure arithmetic.
-    WITH base AS (SELECT o_orderkey, o_orderdate FROM orders)
+    WITH base AS (SELECT o_orderkey, o_orderdate FROM orders
+                  WHERE o_orderkey % 4 = 1)
     SELECT CAST(1 AS INT) AS from_v, CAST(2 AS INT) AS to_v,
            'insert' AS change_type, CAST(count(*) AS BIGINT) AS n_keys
     FROM base WHERE o_orderdate >= DATE '1998-01-01'
@@ -615,8 +623,10 @@ def gold_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows into the feed would overshoot 'update' immediately."""
     import tempfile
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderdate"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 1)  # see gold_time_travel_diff
     )
     tbl = tempfile.mkdtemp(prefix="pim-cdc-")
     try:
