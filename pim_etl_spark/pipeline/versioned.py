@@ -401,7 +401,12 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
 
 
 def changes_between(
-    spark: SparkSession, path: str, keys: Sequence[str], from_version: int, to_version: int
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int,
+    with_values: bool = False,
 ) -> DataFrame:
     """CDC change feed between two snapshots: one row per changed key
     with ``change_type`` insert/update/delete.
@@ -447,11 +452,17 @@ def changes_between(
         .when(F.col("__in_b").isNull(), "delete")
         .when(differs, "update")
     )
-    return (
-        joined.withColumn("change_type", change)
-        .filter(F.col("change_type").isNotNull())
-        .select(*keys, "change_type")
-    )
+    out = joined.withColumn("change_type", change).filter(F.col("change_type").isNotNull())
+    if with_values:
+        # old_/new_ value columns power downstream consumers that need
+        # the payload, e.g. incremental rollup maintenance (+new-old)
+        return out.select(
+            *keys,
+            "change_type",
+            *[F.col(f"__a_{c}").alias(f"old_{c}") for c in cols],
+            *[F.col(f"__b_{c}").alias(f"new_{c}") for c in cols],
+        )
+    return out.select(*keys, "change_type")
 
 
 def rollback(path: str, to_version: int) -> int:
@@ -700,3 +711,161 @@ def merge_files_txn(
     result = merge_files(spark, path, incoming, keys=keys, order_col=order_col, txn=(app_id, txn_version))
     result["skipped_replay"] = False
     return result
+
+
+def incremental_rollup_update(
+    rollup: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a CDC feed
+    (``changes_between(..., with_values=True)``) into an existing
+    additive rollup WITHOUT rescanning the base table.
+
+    Each change row contributes delta rows: an insert adds its new
+    values under the new group; a delete subtracts its old values
+    under the old group; an update does both — which also handles
+    GROUP MIGRATION (an update that moves a row between groups) with
+    no special case. The delta aggregate is O(changes); the final
+    combine is a union + re-aggregate over (groups present in the
+    delta) — at 100 TB this is the difference between maintaining a
+    dashboard per sync and re-scanning the lake per sync. Only works
+    for additive measures (count/sum); min/max need a re-scan of the
+    affected groups.
+    """
+    minus = [
+        F.struct(
+            *[F.col(f"old_{g}").alias(g) for g in group_cols],
+            F.lit(-1).cast("long").alias("__cnt"),
+            *[(-F.coalesce(F.col(f"old_{m}"), F.lit(0))).alias(m) for m in sum_cols],
+        )
+    ]
+    plus = [
+        F.struct(
+            *[F.col(f"new_{g}").alias(g) for g in group_cols],
+            F.lit(1).cast("long").alias("__cnt"),
+            *[F.coalesce(F.col(f"new_{m}"), F.lit(0)).alias(m) for m in sum_cols],
+        )
+    ]
+    contributions = (
+        F.when(F.col("change_type") == "insert", F.array(*plus))
+        .when(F.col("change_type") == "delete", F.array(*minus))
+        .otherwise(F.array(*plus, *minus))
+    )
+    delta = (
+        changes.select(F.explode(contributions).alias("c"))
+        .select("c.*")
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__cnt").alias(count_col),
+            *[F.sum(m).alias(m) for m in sum_cols],
+        )
+    )
+    combined = rollup.unionByName(delta)
+    return (
+        combined.groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).cast("long").alias(count_col),
+            *[F.sum(m).alias(m) for m in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+
+
+@query(
+    "incremental_rollup_maintenance",
+    oracle="""
+    -- direct aggregation of the FINAL store state; the engine must
+    -- reach the identical rollup by folding two CDC deltas into the
+    -- v1 aggregate (never rescanning the base) — wrong delta math
+    -- (missed update old-value subtraction, deletes not negated,
+    -- group migration) diverges immediately.
+    WITH final_state AS (
+      SELECT o_orderkey % 10 AS grp,
+             CASE WHEN o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS total_price
+    FROM final_state
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance under the hash gate:
+    aggregate ONCE over snapshot v1, then maintain the rollup through
+    the v1→v2 MERGE and v2→v3 DELETE purely from the CDC value feed
+    (``changes_between(with_values=True)`` →
+    ``incremental_rollup_update``). The oracle aggregates the final
+    state directly, so the maintained view must be value-identical to
+    a full recompute while having processed only the changes."""
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).alias("grp"),
+            "o_totalprice",
+            "o_orderdate",
+        )
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-ivm-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01")
+        v1 = pre.select(
+            "o_orderkey", "grp", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(4, "o_orderkey")
+        commit_snapshot(v1, tbl, op="bootstrap", stats_cols=("o_orderkey",))
+        rollup = (
+            read_version(spark, tbl, 1)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("o_totalprice").alias("o_totalprice"),
+            )
+        )
+
+        inserts = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            "o_orderkey", "grp", "o_totalprice", F.lit(2).cast("long").alias("version")
+        )
+        updates = pre.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "grp",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+        )
+        merge_files(
+            spark, tbl, inserts.unionByName(updates), keys=["o_orderkey"], order_col="version"
+        )
+        delete_where(spark, tbl, F.col("o_orderkey") % 5 == 0)
+
+        for from_v, to_v in ((1, 2), (2, 3)):
+            changes = changes_between(
+                spark, tbl, ["o_orderkey"], from_v, to_v, with_values=True
+            )
+            rollup = incremental_rollup_update(
+                rollup, changes, group_cols=("grp",), sum_cols=("o_totalprice",),
+                count_col="n_orders",
+            )
+
+        # the maintained view is small (one row per group): collect it
+        # before the run-scoped store is deleted
+        rows = [
+            (r["grp"], r["n_orders"], float(r["o_totalprice"]))
+            for r in rollup.collect()
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "grp bigint, n_orders bigint, total_price double")
+        .select("grp", "n_orders", F.round("total_price", 2).alias("total_price"))
+        .orderBy("grp")
+    )

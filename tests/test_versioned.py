@@ -299,3 +299,32 @@ def test_write_audit_publish(spark, tmp_path):
         expectations=exps, on_violation="fail",
     )
     assert res2["audit"]["passed"] and V.read_manifest(path, 3)["audit"]["passed"]
+
+
+def test_incremental_rollup_handles_group_migration(spark, tmp_path):
+    """An update that MOVES a row between groups must subtract from
+    the old group and add to the new one — the case naive view
+    maintenance misses."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.pipeline.versioned import incremental_rollup_update
+
+    rollup = spark.createDataFrame(
+        [(0, 2, 30.0), (1, 1, 5.0)], "grp long, n_rows long, val double"
+    )
+    changes = spark.createDataFrame(
+        # key 7 migrates grp 0 → 1 and changes value 10 → 12
+        [("update", 0, 1, 10.0, 12.0),
+         ("insert", None, 0, None, 100.0),
+         ("delete", 1, None, 5.0, None)],
+        "change_type string, old_grp long, new_grp long, old_val double, new_val double",
+    )
+    got = {
+        r.grp: (r.n_rows, r.val)
+        for r in incremental_rollup_update(
+            rollup, changes, group_cols=("grp",), sum_cols=("val",), count_col="n_rows"
+        ).collect()
+    }
+    # grp0: 2 rows (30) - migrated (10) + insert (100) = 2 rows, 120
+    # grp1: 1 row (5) - deleted (5) + migrated-in (12) = 1 row, 12
+    assert got == {0: (2, 120.0), 1: (1, 12.0)}
