@@ -287,3 +287,70 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
     )
+
+
+@query(
+    "unigram_rank_surprisal",
+    oracle=r"""
+    -- two-pass "language model" quality score with exact integer
+    -- math: corpus unigram frequency ranks (rank 1 = most common)
+    -- then per-doc mean token rank ×10000 via integer division —
+    -- rare/garbled text scores high, plain prose low. No
+    -- transcendentals, so both engines agree bit-for-bit.
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST((sum(r.rnk) * 10000) // count(*) AS BIGINT) AS avg_rank_x10000
+    FROM toks t JOIN ranked r USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the shape every pretraining
+    pipeline uses (KenLM perplexity, fastText quality): pass 1 builds
+    the "model" — corpus unigram frequency ranks, a model-sized
+    artifact; pass 2 scores every document against the broadcast
+    model. Mean token RANK stands in for mean surprisal so the score
+    is exact integer arithmetic (log-probabilities are transcendental
+    and engine-divergent; the ordering they induce is the same).
+
+    Scale shape: the vocabulary aggregate is one shuffle keyed by
+    token; the scoring join broadcasts the rank table (cap it to
+    top-K + an OOV default rank at 100 TB); the per-doc rollup is
+    scan-local after the join. Same ordering as a real LM filter:
+    keep-lowest-surprisal selection composes with
+    ``stratified_sample_quota``."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = vocab.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return (
+        toks.join(F.broadcast(ranked), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("(sum(rnk) * 10000) div count(*)").alias("avg_rank_x10000"),
+        )
+        .orderBy("doc_id")
+    )
