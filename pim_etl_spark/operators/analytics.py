@@ -292,3 +292,120 @@ def mad_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    -- strict sequential funnel signup → view → purchase: each later
+    -- stage must happen AFTER the user's qualifying earlier stage
+    WITH s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS stage,
+           CAST((SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'view_after_signup', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase_after_view', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    ORDER BY step
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (the product-analytics staple):
+    signup → first view AFTER signup → first purchase AFTER that
+    view, counted per stage. Each stage is a conditional-min rollup
+    keyed by user_id followed by a time-ordered semi-restriction — at
+    scale all three shuffles share the user_id partitioning, so AQE
+    plans stages 2–3 exchange-free after the first. Strict-after
+    (``>``) semantics make the funnel order-proof rather than a mere
+    distinct-type count."""
+    from pim_etl_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.filter(F.col("t1").isNotNull()).count()
+    n2 = s2.count()
+    n3 = s3.count()
+    return spark.createDataFrame(
+        [(1, "signup", n1), (2, "view_after_signup", n2), (3, "purchase_after_view", n3)],
+        "step int, stage string, n_users bigint",
+    ).orderBy("step")
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    -- weekly retention cohorts: users bucketed by first-event week,
+    -- counted in every later week they were active
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM first_week f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the other analytics staple): bucket users by
+    first-active week, then count each cohort's users in every week
+    they returned. Two user-keyed aggregates + one co-partitioned
+    join; the matrix itself is (weeks × weeks)-sized — model-sized
+    output no matter the event volume."""
+    from pim_etl_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_week = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first_week.join(activity, "user_id")
+        .select(
+            F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
