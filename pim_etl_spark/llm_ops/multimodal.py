@@ -368,3 +368,157 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def _le_bytes(col, n_bytes: int):
+    """Little-endian byte encoding of an int column as binary — built
+    from native shifts + format_string + unhex (no UDF)."""
+    parts = "".join("%02x" for _ in range(n_bytes))
+    args = [
+        F.expr(f"shiftright({col}, {8 * i}) & 255") for i in range(n_bytes)
+    ]
+    return F.unhex(F.format_string(parts, *args))
+
+
+def documents_as_wav_media(docs: DataFrame) -> DataFrame:
+    """Fabricate an audio lake whose payloads are REAL RIFF/WAVE PCM
+    files: canonical 44-byte header (PCM, mono, 8-bit) followed by the
+    document's text bytes as unsigned samples. Sample rate varies per
+    doc (8/16/24 kHz). Built entirely with JVM column expressions —
+    the little-endian header ints come from shift+format+unhex, not
+    Python."""
+    padded = F.when(F.length("text") < 64, F.rpad("text", 64, ".")).otherwise(F.col("text"))
+    staged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(padded, "UTF-8").alias("samples"),
+        F.octet_length(F.encode(padded, "UTF-8")).cast("long").alias("n"),
+        ((F.col("doc_id") % 3 + 1) * 8000).cast("long").alias("rate"),
+    )
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes("n + 36", 4),          # RIFF chunk size
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le_bytes("16", 4),              # fmt chunk size
+        _le_bytes("1", 2),               # PCM
+        _le_bytes("1", 2),               # mono
+        _le_bytes("rate", 4),
+        _le_bytes("rate", 4),            # byte rate (1 byte/sample)
+        _le_bytes("1", 2),               # block align
+        _le_bytes("8", 2),               # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        _le_bytes("n", 4),
+    )
+    payload = F.concat(header, F.col("samples"))
+    return staged.select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL RIFF/WAVE parser: validates magic + PCM format fields,
+    reads the sample rate and data size from their little-endian
+    offsets, then computes integer sample statistics over the PCM
+    block. Returns (sample_rate, n_samples, duration_ms,
+    mean_square_e3) — all exact integer math."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:16] != b"WAVEfmt ":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_size, audio_fmt, channels = struct.unpack_from("<IHH", payload, 16)
+    if (fmt_size, audio_fmt, channels) != (16, 1, 1):
+        raise ValueError("unsupported WAV layout")
+    sample_rate = struct.unpack_from("<I", payload, 24)[0]
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    if payload[36:40] != b"data" or bits != 8:
+        raise ValueError("unsupported WAV data block")
+    n_samples = struct.unpack_from("<I", payload, 40)[0]
+    pcm = np.frombuffer(payload, dtype=np.uint8, offset=44)
+    if len(pcm) != n_samples:
+        raise ValueError("data size does not match payload")
+    centered = pcm.astype(np.int64) - 128
+    mean_square_e3 = int(np.sum(centered * centered)) * 1000 // n_samples
+    duration_ms = n_samples * 1000 // sample_rate
+    return sample_rate, n_samples, duration_ms, mean_square_e3
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas over the WAV lake — the audio twin of
+    ``decode_media``; same schema/batching discipline as a real
+    soundfile/ffmpeg decoder would use."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("mean_square_e3", LongType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "mean_square_e3": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, dur, msq = decode_wav(bytes(payload))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(dur)
+                out["mean_square_e3"].append(msq)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(_decode, schema)
+
+
+@query(
+    "audio_decode_stats",
+    oracle="""
+    -- arithmetic twin of the WAV header parse: rate and duration are
+    -- pure functions of the construction rule (rate from doc_id, data
+    -- size from padded text length). A header-layout bug (wrong
+    -- little-endian offset, fmt-field order) breaks every value; the
+    -- PCM mean-square statistic (raw byte math, not SQL-expressible
+    -- over UTF-8) is pinned exactly in pytest instead.
+    WITH m AS (
+      SELECT (doc_id % 3 + 1) * 8000 AS sample_rate,
+             octet_length(encode(CASE WHEN length(text) < 64
+                                      THEN rpad(text, 64, '.')
+                                      ELSE text END)) AS n
+      FROM documents
+    )
+    SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum((n * 1000) // sample_rate) AS BIGINT) AS total_duration_ms
+    FROM m GROUP BY sample_rate ORDER BY sample_rate
+    """,
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode under the hash gate: every payload is a REAL WAV
+    file whose 44-byte header the Python worker parses field-by-field
+    (struct little-endian offsets, format validation) before summing
+    per-rate sample counts and durations. The oracle re-derives those
+    from the construction arithmetic — and the header bytes themselves
+    were built by independent JVM expressions, so encode and decode
+    check each other."""
+    media = documents_as_wav_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_audio(media)
+    return (
+        decoded.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+        .orderBy("sample_rate")
+    )

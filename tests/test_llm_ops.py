@@ -437,3 +437,35 @@ def test_bloom_prefilter_no_false_negatives(spark):
     # novel keys mostly skip the verify path (generous FP allowance)
     assert len(new_ids) >= 450
     assert new_ids | known_ids == {f"url:{i}" for i in range(1500, 2500)}
+
+
+def test_audio_decode_wav_real_values(spark):
+    """The WAV round trip is exact: JVM-built header bytes parse back
+    to the construction parameters, and the PCM mean-square statistic
+    matches an independent Python recomputation byte-for-byte."""
+    from pim_etl_spark.llm_ops.multimodal import decode_audio, decode_wav, documents_as_wav_media
+
+    docs = spark.createDataFrame(
+        [(0, "hello world this is a test document"), (1, "x" * 100), (2, "åäö non-ascii ümlaut text")],
+        "doc_id long, text string",
+    )
+    media = documents_as_wav_media(docs)
+    got = {r.media_id: r for r in decode_audio(media).collect()}
+
+    for doc_id, text in [(0, "hello world this is a test document"), (1, "x" * 100), (2, "åäö non-ascii ümlaut text")]:
+        padded = text if len(text) >= 64 else text.ljust(64, ".")
+        samples = padded.encode("utf-8")
+        rate = (doc_id % 3 + 1) * 8000
+        centered = [b - 128 for b in samples]
+        expect_msq = sum(c * c for c in centered) * 1000 // len(samples)
+        r = got[doc_id]
+        assert r.sample_rate == rate
+        assert r.n_samples == len(samples)
+        assert r.duration_ms == len(samples) * 1000 // rate
+        assert r.mean_square_e3 == expect_msq
+
+    # corrupted payloads fail loudly, never silently mis-decode
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + b"\x00" * 60)
