@@ -361,15 +361,25 @@ def main(argv: list[str] | None = None) -> int:
     elif args.action == "status":
         out = run_status(spark, args.gold)
     elif args.action == "compact":
+        from pim_etl_spark.pipeline import versioned as V
         from pim_etl_spark.pipeline.gold import compact_table
 
-        out = compact_table(
-            spark,
-            args.gold,
-            target_file_mb=args.target_file_mb,
-            cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else (),
-            zorder_by=tuple(args.zorder_by.split(",")) if args.zorder_by else (),
-        )
+        if V.current_version(args.gold) > 0:
+            # commit-log table: OPTIMIZE commits a compacted snapshot
+            out = V.optimize(
+                spark,
+                args.gold,
+                target_file_mb=args.target_file_mb,
+                zorder_by=tuple(args.zorder_by.split(",")) if args.zorder_by else (),
+            )
+        else:
+            out = compact_table(
+                spark,
+                args.gold,
+                target_file_mb=args.target_file_mb,
+                cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else (),
+                zorder_by=tuple(args.zorder_by.split(",")) if args.zorder_by else (),
+            )
         out["status"] = "success"
     else:
         out = run_validate(spark, args.feeds_dir)

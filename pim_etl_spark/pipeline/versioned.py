@@ -869,3 +869,55 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         .select("grp", "n_orders", F.round("total_price", 2).alias("total_price"))
         .orderBy("grp")
     )
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    zorder_by: Sequence[str] = (),
+    stats_cols: Sequence[str] = (),
+) -> dict:
+    """OPTIMIZE for the commit-log store: rewrite the current snapshot
+    into ~``target_file_mb`` files (optionally Z-ordered) and commit
+    the result as a new snapshot — pure maintenance, readers see
+    value-identical data and every prior version remains readable.
+
+    Merge churn leaves one small file per touched range per sync;
+    unmanaged, scan planning and the per-file stats map grow without
+    bound. Because data files are immutable and the manifest is the
+    table, OPTIMIZE is just: read current files → rewrite clustered →
+    commit new file list; old files stay until ``vacuum``. Records
+    fresh per-file stats so data skipping quality RESETS to optimal
+    (post-merge files mix key ranges; post-optimize files are tight).
+    """
+    from pim_etl_spark.pipeline.gold import with_zorder
+
+    parent = current_version(path)
+    files = snapshot_files(path, parent)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if zorder_by:
+        df = (
+            with_zorder(df, zorder_by)
+            .repartitionByRange(n_files, "__zval")
+            .sortWithinPartitions("__zval")
+            .drop("__zval")
+        )
+        stats_cols = tuple(stats_cols) or tuple(zorder_by)
+    else:
+        df = df.repartition(n_files)
+    new_files, fstats = _write_data_files(df, path, parent + 1, stats_cols=stats_cols)
+    version = _commit(
+        path,
+        new_files,
+        "optimize",
+        {"files_before": len(files), "files_after": len(new_files), "bytes": total_bytes},
+        file_stats=fstats,
+    )
+    return {
+        "version": version,
+        "files_before": len(files),
+        "files_after": len(new_files),
+    }

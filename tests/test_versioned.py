@@ -328,3 +328,34 @@ def test_incremental_rollup_handles_group_migration(spark, tmp_path):
     # grp0: 2 rows (30) - migrated (10) + insert (100) = 2 rows, 120
     # grp1: 1 row (5) - deleted (5) + migrated-in (12) = 1 row, 12
     assert got == {0: (2, 120.0), 1: (1, 12.0)}
+
+
+def test_optimize_compacts_and_resets_stats(spark, tmp_path):
+    """OPTIMIZE: many-merge churn → one compact snapshot; content
+    value-identical, prior versions readable, fresh per-file stats
+    restore data skipping."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    for step in range(2, 6):  # four merges → small-file churn
+        V.merge_files(
+            spark,
+            path,
+            spark.createDataFrame([(step * 7, float(step), step)], SCHEMA),
+            keys=["product_id"],
+            order_col="version",
+        )
+    before = _rows(V.read_version(spark, path))
+    n_before = len(V.read_manifest(path, 5)["files"])
+    res = V.optimize(spark, path, target_file_mb=256, stats_cols=("product_id",))
+    assert res["files_after"] < n_before
+    assert _rows(V.read_version(spark, path)) == before  # value-identical
+    assert V.read_version(spark, path, 1).count() == 40  # time travel intact
+    m = V.read_manifest(path, res["version"])
+    assert m["op"] == "optimize" and len(m["file_stats"]) == len(m["files"])
+    # skipping still works after optimize (fresh tight stats)
+    stats = V.merge_files(
+        spark, path,
+        spark.createDataFrame([(0, 0.5, 99)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert stats["files_rewritten"] >= 1
