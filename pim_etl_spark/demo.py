@@ -55,6 +55,24 @@ def main(workdir: str | None = None) -> int:
     for row in sample.collect():
         print(f"  {row.product_id}: {row.name!r} status={row.status} "
               f"base_price={row.base_price} variants={row.n_variants}")
+
+    print("== versioned (commit-log) store: sync → re-sync → history → rollback")
+    vgold = f"{workdir}/vgold"
+    from pim_etl_spark.pipeline import versioned as V
+
+    print(json.dumps(run_sync(spark, f"{workdir}/feeds", vgold, versioned=True)))
+    print(json.dumps(run_sync(spark, f"{workdir}/feeds", vgold, versioned=True)))
+    print("history:", json.dumps([
+        {"v": m["version"], "op": m["op"], "stats": m["stats"]} for m in V.history(vgold)
+    ]))
+    V.rollback(vgold, to_version=1)
+    print(f"rolled back to v1 as v{V.current_version(vgold)}; "
+          f"rows={V.read_version(spark, vgold).count()}")
+    changes = V.changes_between(
+        spark, vgold, ["product_id"], 1, 2, ignore_cols=("last_sync",)
+    ).count()
+    print(f"CDC v1→v2 content changes: {changes} (idempotent re-sync, "
+          f"last_sync watermark ignored ⇒ expect 0)")
     spark.stop()
     return 0
 

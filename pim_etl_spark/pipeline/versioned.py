@@ -407,6 +407,7 @@ def changes_between(
     from_version: int,
     to_version: int,
     with_values: bool = False,
+    ignore_cols: Sequence[str] = (),
 ) -> DataFrame:
     """CDC change feed between two snapshots: one row per changed key
     with ``change_type`` insert/update/delete.
@@ -432,7 +433,9 @@ def changes_between(
     a = _side(a_only, from_version)
     b = _side(b_only, to_version)
     a, b = _align_schemas(a, b)  # diff across a schema-evolution commit
-    cols = [c for c in b.columns if c not in keys]
+    # ignore_cols: audit/watermark columns (last_sync, _ingested_at)
+    # whose refresh should not register as a content change
+    cols = [c for c in b.columns if c not in keys and c not in set(ignore_cols)]
     a_pref = a.select(
         *[F.col(k) for k in keys],
         F.lit(1).alias("__in_a"),
@@ -444,9 +447,18 @@ def changes_between(
         *[F.col(c).alias(f"__b_{c}") for c in cols],
     )
     joined = a_pref.join(b_pref, list(keys), "full_outer")
+    # map columns are not comparable in Spark (<=> rejects MapType) —
+    # compare their canonical JSON rendering instead; arrays/structs
+    # compare natively
+    b_types = dict(b.dtypes)
     differs = F.lit(False)
     for c in cols:
-        differs = differs | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        if b_types.get(c, "").startswith("map<"):
+            differs = differs | ~F.to_json(F.col(f"__a_{c}")).eqNullSafe(
+                F.to_json(F.col(f"__b_{c}"))
+            )
+        else:
+            differs = differs | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
     change = (
         F.when(F.col("__in_a").isNull(), "insert")
         .when(F.col("__in_b").isNull(), "delete")
