@@ -866,3 +866,77 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_e6"),
     )
     return fused.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    -- exact twin of per-vector int8 quantization: codes and the
+    -- reconstruction-error bound are the SAME IEEE expression tree on
+    -- both engines (subtract/divide/multiply/floor are all
+    -- correctly-rounded, so identical inputs give identical bits —
+    -- unlike transcendentals). floor() not round() per the
+    -- rounding-boundary rule.
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, mn, mx,
+             list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS codes
+      FROM m WHERE mx > mn
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - (mn + codes[i] * (mx - mn) / 255)))) * 1000000) AS BIGINT)
+             AS max_err_e6
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization — the 4× memory cut every 100 TB
+    embedding store takes before ANN indexing (and the storage format
+    PQ refines): per-vector min/max affine scale, 0..255 codes, plus
+    the max reconstruction error as the quality bound. Entirely
+    scan-local higher-order-function arithmetic — no shuffle at all
+    except the output sort; at scale this runs as a projection inside
+    whatever scan writes the quantized copy.
+
+    The oracle recomputes codes AND the error bound bit-for-bit: the
+    whole pipeline is add/sub/mul/div/floor on doubles, which IEEE 754
+    defines exactly, so engine agreement is structural — the same
+    trick the exact-integer entries use, extended to float math."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", emb.alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    staged = vecs.select("vec_id", "v", mn.alias("mn"), mx.alias("mx")).filter(
+        F.col("mx") > F.col("mn")
+    )
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast("long"),
+    )
+    q = staged.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, c: F.abs(
+                x - (F.col("mn") + c * (F.col("mx") - F.col("mn")) / 255)
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_codes"),
+        F.floor(err * 1000000).cast("long").alias("max_err_e6"),
+    ).orderBy("vec_id")
