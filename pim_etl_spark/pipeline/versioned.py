@@ -16,9 +16,10 @@ A snapshot is committed by a single atomic ``os.rename`` of the
 manifest (on an object store: a conditional PUT of the same pointer
 object). Readers resolve ``max(vN)`` and read only files that manifest
 names — a crash mid-write leaves at worst orphaned data files that
-``vacuum`` reclaims, never a torn table. Single writer assumed (the
-orchestrator); multi-writer needs the rename to fail on collision,
-which POSIX rename onto an existing name does not — documented limit.
+``vacuum`` reclaims, never a torn table. Concurrent writers are safe:
+the manifest publishes via ``os.link``, which fails atomically if the
+version already exists (``CommitConflict`` — the POSIX analogue of an
+object store's conditional PUT); the loser re-reads and retries.
 
 Why this scales to 100 TB where ``atomic_overwrite`` does not:
 ``merge_files`` rewrites ONLY the data files whose key ranges collide
@@ -44,6 +45,12 @@ from pim_etl_spark.pipeline.gold import apply_upsert, upsert_latest
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot number first; the
+    caller must re-read table state and retry (optimistic concurrency
+    — detected, never silently clobbered)."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -140,6 +147,7 @@ def _commit(
     file_stats: dict | None = None,
     txn: tuple[str, int] | None = None,
     extra: dict | None = None,
+    expect_parent: int | None = None,
 ) -> int:
     """Atomically publish a new snapshot naming exactly ``files``.
 
@@ -147,8 +155,15 @@ def _commit(
     txnAppId/txnVersion): the manifest carries a map of the highest
     committed transaction version per writer app, merged forward on
     EVERY commit, so a replayed micro-batch can be detected and
-    skipped (``last_txn_version``)."""
-    parent = current_version(path)
+    skipped (``last_txn_version``).
+
+    ``expect_parent`` is the compare-and-swap guard: the caller passes
+    the snapshot it READ its inputs from, and the commit lands as
+    exactly ``expect_parent + 1`` — if a concurrent writer got there
+    first, the link-publish collides and ``CommitConflict`` raises
+    instead of silently committing a LOST UPDATE derived from stale
+    state on top of the winner."""
+    parent = current_version(path) if expect_parent is None else expect_parent
     version = parent + 1
     parent_txn = read_manifest(path, parent).get("txn", {}) if parent else {}
     if txn:
@@ -167,7 +182,19 @@ def _commit(
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=str)
-    os.rename(tmp, _manifest_path(path, version))
+    # publish via hardlink, not rename: link() FAILS atomically if the
+    # version was already committed by a concurrent writer (rename
+    # would silently clobber it). This is the POSIX form of an object
+    # store's conditional PUT — optimistic concurrency control.
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"snapshot v{version} of {path!r} was committed concurrently; "
+            f"re-read the table state and retry the operation"
+        ) from exc
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -178,7 +205,10 @@ def commit_snapshot(
     manifest referencing only them."""
     version = current_version(path) + 1
     files, fstats = _write_data_files(df, path, version, stats_cols=stats_cols)
-    return _commit(path, files, op, {"files_written": len(files)}, file_stats=fstats)
+    return _commit(
+        path, files, op, {"files_written": len(files)},
+        file_stats=fstats, expect_parent=version - 1,
+    )
 
 
 def commit_append(df: DataFrame, path: str, stats_cols: Sequence[str] = ()) -> int:
@@ -194,6 +224,7 @@ def commit_append(df: DataFrame, path: str, stats_cols: Sequence[str] = ()) -> i
         "append",
         {"files_written": len(files), "files_carried": len(carried)},
         file_stats={**carried_stats, **fstats},
+        expect_parent=parent,
     )
 
 
@@ -267,7 +298,7 @@ def merge_files(
         files, fstats = _write_data_files(merged, path, 1, stats_cols=stats_cols)
         version = _commit(
             path, files, "merge", {"files_rewritten": 0, "files_kept": 0},
-            file_stats=fstats, txn=txn, extra=extra,
+            file_stats=fstats, txn=txn, extra=extra, expect_parent=0,
         )
         return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
@@ -351,6 +382,7 @@ def merge_files(
         },
         txn=txn,
         extra=extra,
+        expect_parent=parent,
     )
     return {
         "version": version,
@@ -396,6 +428,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
         "delete",
         {"files_rewritten": len(touched), "files_kept": len(kept)},
         file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
+        expect_parent=parent,
     )
     return {"version": version, "files_rewritten": len(touched), "files_kept": len(kept)}
 
@@ -927,6 +960,7 @@ def optimize(
         "optimize",
         {"files_before": len(files), "files_after": len(new_files), "bytes": total_bytes},
         file_stats=fstats,
+        expect_parent=parent,
     )
     return {
         "version": version,

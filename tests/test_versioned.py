@@ -359,3 +359,29 @@ def test_optimize_compacts_and_resets_stats(spark, tmp_path):
         keys=["product_id"], order_col="version",
     )
     assert stats["files_rewritten"] >= 1
+
+
+def test_commit_conflict_detected_not_clobbered(spark, tmp_path):
+    """Optimistic concurrency: if another writer commits the same
+    snapshot number first, the second commit raises CommitConflict and
+    the winner's manifest is untouched."""
+    import json
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    # simulate a concurrent winner landing v2 first
+    winner = dict(V.read_manifest(path, 1))
+    winner["version"] = 2
+    with open(V._manifest_path(path, 2), "w") as fh:
+        json.dump(winner, fh)
+
+    # loser read parent=1, winner landed v2 meanwhile → CAS collision
+    with pytest.raises(V.CommitConflict, match="v2"):
+        V._commit(path, winner["files"], "merge", {}, expect_parent=1)
+    assert json.load(open(V._manifest_path(path, 2)))["version"] == 2  # untouched
+    # no stray tmp files left behind
+    import os
+
+    assert not [f for f in os.listdir(V._manifest_dir(path)) if ".tmp-" in f]
