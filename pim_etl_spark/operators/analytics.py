@@ -409,3 +409,125 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "basket_pair_affinity",
+    oracle="""
+    -- market-basket affinity: part pairs co-occurring in the same
+    -- order, with each part's own order count for support context;
+    -- all integer math, canonical pair orientation (a < b)
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    support AS (
+      SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY 1
+    )
+    SELECT p.part_a, p.part_b, CAST(p.n_co AS BIGINT) AS n_co,
+           CAST(sa.n_orders AS BIGINT) AS n_orders_a,
+           CAST(sb.n_orders AS BIGINT) AS n_orders_b
+    FROM pairs p
+    JOIN support sa ON sa.l_partkey = p.part_a
+    JOIN support sb ON sb.l_partkey = p.part_b
+    WHERE p.n_co >= 2
+    ORDER BY n_co DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the association-rules precursor):
+    part pairs sharing an order, filtered to repeat pairs, each side
+    annotated with its own order support. The pair self-join is keyed
+    by orderkey — the shuffle carries (orderkey, partkey) pairs only,
+    and the ``<`` orientation halves the blow-up; per-order item
+    counts are small (TPC-H ≤ 7), so the join is linear in lineitem.
+    At 100 TB the same shape holds because baskets, not catalogs,
+    bound the fan-out; the n_co >= 2 floor keeps the output the
+    interesting tail rather than the all-pairs long tail."""
+    from pim_etl_spark.sources import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(
+            support.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_orders_a")
+            ),
+            "part_a",
+        )
+        .join(
+            support.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_orders_b")
+            ),
+            "part_b",
+        )
+        .select("part_a", "part_b", "n_co", "n_orders_a", "n_orders_b")
+        .orderBy(F.desc("n_co"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    -- first-order user-journey transition counts: consecutive event
+    -- pairs per user in (ts, event_id) total order
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order journey analysis: counts of consecutive event-type
+    transitions per user (the Markov-chain estimate every product
+    funnel tool draws as a Sankey). One window over the user_id
+    partitioning with the catalog's standard (ts, event_id) total
+    order for tie-proof determinism; output is |types|² regardless of
+    event volume."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
