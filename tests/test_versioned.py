@@ -385,3 +385,67 @@ def test_commit_conflict_detected_not_clobbered(spark, tmp_path):
     import os
 
     assert not [f for f in os.listdir(V._manifest_dir(path)) if ".tmp-" in f]
+
+
+def test_crash_between_stage_and_commit_is_invisible(spark, tmp_path):
+    """Crash simulation: data files staged but the manifest never
+    linked → readers see the old state byte-identically, and vacuum
+    reclaims the orphans. The commit is the ONLY visibility point."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    before = _rows(V.read_version(spark, path))
+
+    # "crash": files written, no commit
+    orphans, _stats = V._write_data_files(
+        spark.createDataFrame([(99, 9.0, 9)], SCHEMA), path, version=2
+    )
+    assert orphans  # staged bytes exist on disk...
+    assert _rows(V.read_version(spark, path)) == before  # ...invisible
+    assert V.current_version(path) == 1
+
+    res = V.vacuum(path, keep_last=5)
+    assert res["data_files_removed"] == len(orphans)
+    assert _rows(V.read_version(spark, path)) == before
+
+
+def test_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: a fixed battery of randomized
+    merge/delete/rollback sequences must leave the store equal to a
+    plain dict replaying the same ops — the store's semantics are
+    exactly 'a versioned dict of rows'."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        path = str(tmp_path / f"t{case}")
+        model: dict[int, float] = {k: float(k) for k in range(12)}
+        snapshots = {}
+        _bootstrap(spark, path, n=12, files=2)
+        snapshots[1] = dict(model)
+        for step in range(2, 8):
+            op = rng.choice(["merge", "delete", "rollback"])
+            if op == "merge":
+                batch = {rng.randrange(20): rng.uniform(1, 9) for _ in range(rng.randint(1, 4))}
+                batch = {k: float(round(v, 2)) for k, v in batch.items()}
+                V.merge_files(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k, v, step) for k, v in batch.items()], SCHEMA
+                    ),
+                    keys=["product_id"], order_col="version",
+                )
+                model.update(batch)
+            elif op == "delete":
+                doom = rng.randrange(4)
+                V.delete_where(spark, path, F.col("product_id") % 4 == doom)
+                model = {k: v for k, v in model.items() if k % 4 != doom}
+            else:
+                target = rng.choice(sorted(snapshots))
+                V.rollback(path, to_version=target)
+                model = dict(snapshots[target])
+            snapshots[step] = dict(model)
+            assert V.current_version(path) == step
+        got = {r.product_id: r.base_price for r in V.read_version(spark, path).collect()}
+        assert got == model, f"case {case} diverged from the model"
