@@ -24,7 +24,12 @@ import json
 import re
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _COMMENT_RE = re.compile(r"(?m)^\s*//.*$")
@@ -144,3 +149,130 @@ class FeedDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(FeedDataSource)
+    spark.dataSource.register(ChangeFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming change-feed source over the commit-log store (Spark 4
+# Python Data Source streaming API). Offsets are snapshot numbers;
+# each micro-batch emits the rows of the data files ADDED between two
+# snapshots (the upserted/inserted rows — Delta CDF's append feed),
+# tagged with (_commit_version, _commit_op). Partitions are per added
+# file and the read is EXECUTOR-side Arrow batches — the driver only
+# ever handles the file list.
+# ---------------------------------------------------------------------------
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
+
+
+class ChangeFilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int, op: str):
+        self.file_path = file_path
+        self.version = version
+        self.op = op
+
+
+class ChangeFeedStreamReader(DataSourceStreamReader):
+    """Offset = the highest snapshot already emitted. latestOffset
+    advances to the store head; partitions(start, end) lists each
+    intermediate snapshot's NEW files (manifest minus parent manifest
+    — carried files are provably unchanged and never re-emitted)."""
+
+    def __init__(self, schema, options: dict):
+        self.table_path = options.get("tablepath") or options.get("path")
+        if not self.table_path:
+            raise ValueError("pim_changefeed requires option 'path' (the versioned table)")
+        self.start_version = int(options.get("startingversion", 0))
+        self.n_cols = len(schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from pim_etl_spark.pipeline import versioned as V
+
+        return {"version": max(V.current_version(self.table_path), self.start_version)}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        from pim_etl_spark.pipeline import versioned as V
+
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            manifest = V.read_manifest(self.table_path, v)
+            parent = manifest["parent"]
+            parent_files = set(V.read_manifest(self.table_path, parent)["files"]) if parent else set()
+            data_dir = os.path.join(self.table_path, "data")
+            for f in manifest["files"]:
+                if f not in parent_files:
+                    parts.append(
+                        ChangeFilePartition(os.path.join(data_dir, f), v, manifest["op"])
+                    )
+        # a pure-rollback/no-new-file range still needs ≥0 partitions;
+        # Spark handles an empty list as an empty micro-batch
+        return parts
+
+    def read(self, partition: ChangeFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        table = table.append_column(
+            "_commit_version", pa.array([partition.version] * n, pa.int64())
+        ).append_column("_commit_op", pa.array([partition.op] * n, pa.string()))
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ChangeFeedDataSource(DataSource):
+    """spark.readStream.format("pim_changefeed").option("path", tbl)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pim_changefeed"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        from pim_etl_spark.pipeline import versioned as V
+
+        path = self.options.get("tablepath") or self.options.get("path")
+        if not path:
+            raise ValueError("pim_changefeed requires option 'path'")
+        files = V.snapshot_files(path)
+        if not files:
+            raise ValueError(f"versioned table {path!r} has no committed snapshot")
+        arrow = pq.read_schema(files[-1])
+        cols = []
+        for field in arrow:
+            t = str(field.type)
+            ddl = _ARROW_TO_DDL.get(t)
+            if ddl is None and t.startswith("timestamp"):
+                ddl = "timestamp"
+            if ddl is None:
+                raise ValueError(
+                    f"pim_changefeed supports flat primitive schemas; column "
+                    f"{field.name!r} has unsupported type {t!r}"
+                )
+            cols.append(f"{field.name} {ddl}")
+        cols.append("_commit_version bigint")
+        cols.append("_commit_op string")
+        return ", ".join(cols)
+
+    def streamReader(self, schema) -> ChangeFeedStreamReader:
+        return ChangeFeedStreamReader(schema, self.options)

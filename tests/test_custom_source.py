@@ -103,3 +103,61 @@ def test_pim_feed_rejects_unknown_transport(spark):
             .load()
             .collect()
         )
+
+
+def test_changefeed_stream_source(spark, tmp_path):
+    """Streaming change feed over the commit log: each micro-batch
+    emits only the rows of files ADDED since the last offset, tagged
+    with commit version/op; carried files are never re-emitted; a
+    restart with the same checkpoint resumes from the stored offset."""
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.sources_custom import register
+
+    register(spark)
+    tbl = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    boot = spark.createDataFrame(
+        [(k, float(k), 1) for k in range(8)],
+        "product_id long, base_price double, version long",
+    ).repartitionByRange(2, "product_id")
+    V.commit_snapshot(boot, tbl, op="bootstrap", stats_cols=("product_id",))
+
+    def drain():
+        q = (
+            spark.readStream.format("pim_changefeed")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.product_id, r._commit_version, r._commit_op, r.base_price)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    got1 = drain()
+    assert {(pid, v) for pid, v, _op, _p in got1} == {(k, 1) for k in range(8)}
+    assert all(op == "bootstrap" for _pid, _v, op, _p in got1)
+
+    # v2 merge: update key 0 (rewrites its range-file), insert 100
+    V.merge_files(
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(0, 99.0, 2), (100, 1.0, 2)],
+            "product_id long, base_price double, version long",
+        ),
+        keys=["product_id"],
+        order_col="version",
+    )
+    got2 = drain() - got1
+    v2 = {(pid, p) for pid, v, _op, p in got2 if v == 2}
+    assert (0, 99.0) in v2 and (100, 1.0) in v2
+    # the carried file (keys 4..7) was NOT re-emitted
+    assert not {pid for pid, _v, _op, _p in got2 if pid >= 4 and pid < 100}
