@@ -1071,3 +1071,108 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=r"""
+    -- end-to-end corpus build, every stage re-derived independently:
+    -- quality floor → exact dedup (min-id keeper) → per-tier mixture
+    -- gate → train/val/test split → per (split, lang) stats. The
+    -- stage rules are the catalog's own (doc_quality/exact_dedup/
+    -- mixture_weight_sampler/hash_split_assignment), so this is the
+    -- §2.10 flagship twin of pim_full_pipeline.
+    WITH toks AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM toks WHERE n_chars >= 150 AND n_tokens >= 25
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    mixed AS (
+      SELECT * FROM dedup
+      WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 'ff~'
+                 WHEN CAST(substr(source, 4) AS INT) < 10 THEN '80'
+                 WHEN CAST(substr(source, 4) AS INT) < 15 THEN '40'
+                 ELSE '1a' END
+    ),
+    assigned AS (
+      SELECT lang, n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM mixed
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-side flagship: the full corpus-build dataflow in one
+    plan — quality floor → exact near-duplicate removal (min-id
+    keeper) → per-source-tier mixture downsampling → deterministic
+    train/val/test split → per (split, lang) accounting. Each stage is
+    the catalog's proven operator composed end-to-end, exactly how the
+    production pipeline chains them.
+
+    Scale shape: quality + both md5 gates + split are scan-local
+    projections fused into ONE pass; the only data-sized shuffle is
+    the dedup window on the text hash (and the hash, not the text, is
+    the key); the final rollup is (splits × langs)-sized. The whole
+    pipeline is a single Catalyst plan, so column pruning reaches the
+    scan and the gates short-circuit before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    staged = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars", n_tokens.alias("n_tokens")
+    ).filter((F.col("n_chars") >= 150) & (F.col("n_tokens") >= 25))
+
+    text_hash = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    w = Window.partitionBy(text_hash).orderBy("doc_id")
+    deduped = staged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    threshold = (
+        F.when(src_num < 5, "ff~")
+        .when(src_num < 10, "80")
+        .when(src_num < 15, "40")
+        .otherwise("1a")
+    )
+    mix_bucket = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    mixed = deduped.filter(mix_bucket < threshold)
+
+    split_bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(split_bucket < "cc", "train")
+        .when(split_bucket < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        mixed.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
