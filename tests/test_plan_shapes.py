@@ -154,3 +154,13 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     smj = _plan(orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey))
     assert "SortMergeJoin" in smj, smj[:2000]
+
+
+def test_llm_corpus_pipeline_plan_shape(spark, sf_dir):
+    """The fused corpus pipeline must keep: map-side top-1 per hash
+    BEFORE the dedup exchange (WindowGroupLimit Partial), exactly two
+    hash exchanges (dedup hash + rollup keys), no joins."""
+    plan = _plan(get_queries()["llm_corpus_pipeline"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 2, plan[:3000]
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
