@@ -967,3 +967,38 @@ def optimize(
         "files_before": len(files),
         "files_after": len(new_files),
     }
+
+
+def tag(path: str, name: str, version: int | None = None) -> int:
+    """Name a snapshot (Iceberg-style tag): a tiny pointer file under
+    ``_manifests/tags/``. Tags protect nothing by themselves — vacuum
+    retention still governs file lifetime — but give releases a stable
+    handle (``read_version(..., version=resolve_tag(path, 'v2024-q3'))``)."""
+    v = current_version(path) if version is None else version
+    if not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(f"cannot tag {path!r} v{v}: no such snapshot")
+    tags_dir = os.path.join(_manifest_dir(path), "tags")
+    os.makedirs(tags_dir, exist_ok=True)
+    tmp = os.path.join(tags_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v}, fh)
+    os.rename(tmp, os.path.join(tags_dir, f"{name}.json"))
+    return v
+
+
+def resolve_tag(path: str, name: str) -> int:
+    with open(os.path.join(_manifest_dir(path), "tags", f"{name}.json")) as fh:
+        return int(json.load(fh)["version"])
+
+
+def list_tags(path: str) -> dict[str, int]:
+    tags_dir = os.path.join(_manifest_dir(path), "tags")
+    if not os.path.isdir(tags_dir):
+        return {}
+    out = {}
+    for f in os.listdir(tags_dir):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(tags_dir, f)) as fh:
+                d = json.load(fh)
+            out[d["name"]] = int(d["version"])
+    return out

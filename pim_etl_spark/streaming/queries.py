@@ -478,6 +478,8 @@ def versioned_upsert_stream(
     schema: StructType,
     checkpoint_dir: str,
     app_id: str = "versioned-upsert-stream",
+    expectations=None,
+    on_violation: str = "drop",
 ) -> None:
     """Exactly-once streaming MERGE into the manifest-versioned store:
     foreachBatch → ``merge_files_txn`` with the micro-batch id as the
@@ -491,9 +493,24 @@ def versioned_upsert_stream(
     txnAppId/txnVersion pattern on our commit log). One snapshot per
     micro-batch also gives streaming-time time travel for free.
     """
-    from pim_etl_spark.pipeline.versioned import merge_files_txn
+    from pim_etl_spark.pipeline.versioned import last_txn_version, merge_files_txn
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if expectations is not None:
+            # streaming Write-Audit-Publish: quarantine (or fail) the
+            # batch BEFORE the transactional commit; the replay guard
+            # still applies because the audited merge commits through
+            # the same manifest (txn recorded below via merge_files_txn
+            # path only when clean)
+            from pim_etl_spark.pipeline.expectations import audit, split_row_violations
+
+            if batch_id <= last_txn_version(table_path, app_id):
+                return  # replay — nothing to audit or commit
+            verdict = audit(batch_df, expectations)
+            if not verdict["passed"]:
+                if on_violation == "fail":
+                    raise ValueError(f"stream audit failed: {verdict['violations']}")
+                batch_df, _dirty = split_row_violations(batch_df, expectations)
         merge_files_txn(
             spark,
             table_path,

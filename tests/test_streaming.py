@@ -317,3 +317,26 @@ def test_versioned_upsert_stream_exactly_once(spark, tmp_path):
     assert V.current_version(tbl) == 2  # no new snapshot
     got2 = {r.product_id: (r.status, r.version) for r in V.read_version(spark, tbl).collect()}
     assert got2 == got
+
+
+def test_versioned_stream_sink_audits_batches(spark, tmp_path):
+    """Streaming WAP: a dirty row in a micro-batch is quarantined
+    before the transactional commit; clean rows still land
+    exactly-once."""
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.pipeline.expectations import Expect
+    from pim_etl_spark.streaming.queries import versioned_upsert_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    tbl = str(tmp_path / "vtable")
+    spark.createDataFrame(
+        [("p1", "active", 1), ("p2", None, 1)], ROW_SCHEMA  # p2 violates
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    versioned_upsert_stream(
+        spark, str(feed), tbl, keys=["product_id"], order_col="version",
+        schema=ROW_SCHEMA, checkpoint_dir=str(tmp_path / "ckpt"),
+        expectations=[Expect("status_present", "row", condition="status IS NOT NULL")],
+    )
+    got = {r.product_id for r in V.read_version(spark, tbl).collect()}
+    assert got == {"p1"}  # dirty row quarantined, clean row published

@@ -449,3 +449,16 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
             assert V.current_version(path) == step
         got = {r.product_id: r.base_price for r in V.read_version(spark, path).collect()}
         assert got == model, f"case {case} diverged from the model"
+
+
+def test_tags_name_snapshots(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=5, files=1)
+    V.merge_files(
+        spark, path, spark.createDataFrame([(0, 9.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert V.tag(path, "release-1", version=1) == 1
+    assert V.tag(path, "latest") == 2
+    assert V.list_tags(path) == {"release-1": 1, "latest": 2}
+    assert V.read_version(spark, path, V.resolve_tag(path, "release-1")).count() == 5
