@@ -531,3 +531,91 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "price_histogram_equiwidth",
+    oracle="""
+    -- equi-width histogram with fixed bounds via portable floor
+    -- arithmetic (width_bucket availability differs across engines)
+    WITH b AS (
+      SELECT least(greatest(CAST(floor(o_totalprice / 50000) AS INT), 0), 11) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS BIGINT) AS lo,
+           CAST((bucket + 1) * 50000 AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS bucket_value
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the profiling primitive behind every
+    column-stats page): 50k-wide buckets over order value, clamped
+    tails. One partial-aggregating shuffle keyed by bucket — output is
+    bucket-count-sized regardless of volume."""
+    from pim_etl_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(0)),
+        F.lit(11),
+    )
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket").cast("long") * 50000).alias("lo"),
+            ((F.col("bucket") + 1).cast("long") * 50000).alias("hi"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+        .select("bucket", "lo", "hi", "n_orders", "bucket_value")
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "priority_mode_by_status",
+    oracle="""
+    -- per-group MODE with a total tiebreak (count desc, value asc)
+    SELECT o_orderstatus, o_orderpriority AS modal_priority,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value, deterministic tiebreak):
+    two-level aggregate — count per (group, value), then a top-1
+    window over the value counts. The window's input is
+    (groups × values)-sized, never row-sized, so the second stage is
+    model-sized at any scale."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.sources import load_table
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
