@@ -169,9 +169,12 @@ def _commit(
     if txn:
         parent_txn = {**parent_txn, txn[0]: txn[1]}
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    import time as _time
+
     manifest = {
         "version": version,
         "parent": parent or None,
+        "committed_at_unix": _time.time(),  # observability/AS-OF only
         "op": op,
         "files": sorted(files),
         "stats": stats,
@@ -524,7 +527,7 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def vacuum(path: str, keep_last: int = 2, dry_run: bool = False) -> dict:
     """Reclaim data files referenced by no retained snapshot. Retains
     the last ``keep_last`` manifests (older manifests are dropped too,
     which bounds time travel — the retention/GC trade every commit-log
@@ -539,15 +542,22 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     removed = 0
     for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         if f.endswith(".parquet") and f not in live:
-            os.remove(os.path.join(data_dir, f))
+            if not dry_run:
+                os.remove(os.path.join(data_dir, f))
             removed += 1
     manifests_removed = 0
     for v in range(1, keep_from):
         p = _manifest_path(path, v)
         if os.path.exists(p):
-            os.remove(p)
+            if not dry_run:
+                os.remove(p)
             manifests_removed += 1
-    return {"data_files_removed": removed, "manifests_removed": manifests_removed, "retained_from": keep_from}
+    return {
+        "data_files_removed": removed,
+        "manifests_removed": manifests_removed,
+        "retained_from": keep_from,
+        "dry_run": dry_run,
+    }
 
 
 from pim_etl_spark.catalog import query  # noqa: E402
@@ -1002,3 +1012,41 @@ def list_tags(path: str) -> dict[str, int]:
                 d = json.load(fh)
             out[d["name"]] = int(d["version"])
     return out
+
+
+def version_as_of_timestamp(path: str, unix_ts: float) -> int:
+    """TIMESTAMP AS OF: the snapshot that was current at ``unix_ts``
+    (highest version committed at or before it). Commit wall-clock is
+    observability metadata only — deterministic workloads address
+    snapshots by number or tag."""
+    best = 0
+    for m in history(path):
+        at = m.get("committed_at_unix")
+        if at is not None and at <= unix_ts and m["version"] > best:
+            best = m["version"]
+    if best == 0:
+        raise FileNotFoundError(f"no snapshot of {path!r} existed at {unix_ts}")
+    return best
+
+
+def merge_files_with_retry(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    max_retries: int = 3,
+) -> dict:
+    """Optimistic-concurrency retry loop around ``merge_files``: on
+    ``CommitConflict`` the merge RE-READS the (now newer) table state
+    and re-derives — correct because the merge is a pure function of
+    (current snapshot, batch) and upsert is idempotent. This is the
+    whole multi-writer story: detection in ``_commit``, resolution by
+    recompute-and-retry here."""
+    last: CommitConflict | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return merge_files(spark, path, incoming, keys=keys, order_col=order_col)
+        except CommitConflict as exc:
+            last = exc
+    raise last

@@ -462,3 +462,51 @@ def test_tags_name_snapshots(spark, tmp_path):
     assert V.tag(path, "latest") == 2
     assert V.list_tags(path) == {"release-1": 1, "latest": 2}
     assert V.read_version(spark, path, V.resolve_tag(path, "release-1")).count() == 5
+
+
+def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=5, files=1)
+    t_between = __import__("time").time()
+    V.merge_files(
+        spark, path, spark.createDataFrame([(0, 9.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert V.version_as_of_timestamp(path, t_between) == 1
+    assert V.version_as_of_timestamp(path, __import__("time").time()) == 2
+
+    import os
+
+    data_dir = os.path.join(path, "data")
+    before = set(os.listdir(data_dir))
+    res = V.vacuum(path, keep_last=1, dry_run=True)
+    assert res["dry_run"] and res["data_files_removed"] > 0
+    assert set(os.listdir(data_dir)) == before  # nothing actually removed
+
+
+def test_merge_retry_recovers_from_commit_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent winner between read and publish: the retry loop
+    re-reads and lands on the next version with BOTH writers' rows."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=5, files=1)
+
+    real_commit = V._commit
+    fired = {"done": False}
+
+    def racing_commit(p, files, op, stats, **kw):
+        if not fired["done"] and op == "merge":
+            fired["done"] = True
+            # winner lands v2 first (its own CAS from the same parent)
+            winner = spark.createDataFrame([(100, 1.0, 2)], SCHEMA)
+            V.merge_files(spark, p, winner, keys=["product_id"], order_col="version")
+        return real_commit(p, files, op, stats, **kw)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    res = V.merge_files_with_retry(
+        spark, path, spark.createDataFrame([(0, 9.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert res["version"] == 3
+    got = _rows(V.read_version(spark, path))
+    assert got[100] == (1.0, 2)  # winner's row survived
+    assert got[0] == (9.0, 3)  # loser's merge re-derived and landed
