@@ -340,3 +340,48 @@ def test_versioned_stream_sink_audits_batches(spark, tmp_path):
     )
     got = {r.product_id for r in V.read_version(spark, tbl).collect()}
     assert got == {"p1"}  # dirty row quarantined, clean row published
+
+
+def test_stream_static_dimension_refresh_between_batches(spark, tmp_path):
+    """The stream-static join's documented refresh property: the
+    static side is re-resolved per micro-batch, so swapping the
+    dimension files between trigger runs changes subsequent
+    enrichment without restarting anything."""
+    from pim_etl_spark.pipeline.gold import atomic_overwrite
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    dim_schema = "user_id long, tier string"
+    atomic_overwrite(spark.createDataFrame([(1, "bronze"), (2, "bronze")], dim_schema), dim_path)
+
+    def run_once():
+        events = spark.readStream.schema("event_id long, user_id long").parquet(str(feed))
+        dim = spark.read.parquet(dim_path)
+        q = (
+            events.join(F.broadcast(dim), "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(10, 1)], "event_id long, user_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    run_once()
+
+    # dimension refresh: user 1 promoted, then a new event arrives
+    atomic_overwrite(spark.createDataFrame([(1, "gold"), (2, "bronze")], dim_schema), dim_path)
+    spark.createDataFrame([(11, 1)], "event_id long, user_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    run_once()
+
+    got = {(r.event_id, r.tier) for r in spark.read.parquet(sink).collect()}
+    assert got == {(10, "bronze"), (11, "gold")}
