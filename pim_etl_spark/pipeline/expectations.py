@@ -99,6 +99,8 @@ def evaluate(
                 .select(F.lit(e.name).alias("constraint_name"), "n_violations")
             )
 
+    if not results:
+        raise ValueError("evaluate() needs at least one expectation")
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
