@@ -395,20 +395,46 @@ def merge_files(
     }
 
 
-def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> dict:
     """Copy-on-write DELETE (the GDPR/retention op): rewrite only the
     files that contain matching rows, without them; every other file
     carries into the new manifest by name. ``predicate`` is a Column.
     Cost is O(matching files); readers of prior versions still see the
     deleted rows (time travel), which is exactly what makes the op
-    auditable — ``vacuum`` is the point of actual disposal."""
+    auditable — ``vacuum`` is the point of actual disposal.
+
+    ``key_range=(col, lo, hi)`` is the data-skipping hint for keyed
+    deletes: files whose manifest min/max for ``col`` cannot intersect
+    [lo, hi] are carried without even being OPENED for the match scan
+    (the predicate itself stays authoritative for correctness — the
+    hint must be a superset of the predicate's reach)."""
     parent = current_version(path)
     manifest = read_manifest(path, parent)
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
     data_dir = os.path.join(path, _DATA)
+
+    scan_files = list(parent_files)
+    skipped_files: list[str] = []
+    if key_range is not None:
+        col, lo, hi = key_range
+        scan_files, skipped_files = [], []
+        for f in parent_files:
+            st = parent_fstats.get(f, {}).get(col)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                skipped_files.append(f)
+            else:
+                scan_files.append(f)
+    if not scan_files:
+        version = _commit(
+            path, list(parent_files), "delete",
+            {"files_rewritten": 0, "files_kept": len(parent_files)},
+            file_stats=parent_fstats, expect_parent=parent,
+        )
+        return {"version": version, "files_rewritten": 0, "files_kept": len(parent_files)}
+
     with_file = spark.read.parquet(
-        *[os.path.join(data_dir, f) for f in parent_files]
+        *[os.path.join(data_dir, f) for f in scan_files]
     ).withColumn("__file", F.input_file_name())
     touched = [
         os.path.basename(r[0])
@@ -416,6 +442,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     ]
     touched_set = set(touched)
     kept = [f for f in parent_files if f not in touched_set]
+    n_skipped = len(skipped_files)
     new_files: list[str] = []
     new_fstats: dict = {}
     n_deleted = 0
@@ -429,7 +456,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
         path,
         kept + new_files,
         "delete",
-        {"files_rewritten": len(touched), "files_kept": len(kept)},
+        {"files_rewritten": len(touched), "files_kept": len(kept), "files_skipped": n_skipped},
         file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
         expect_parent=parent,
     )

@@ -510,3 +510,28 @@ def test_merge_retry_recovers_from_commit_conflict(spark, tmp_path, monkeypatch)
     got = _rows(V.read_version(spark, path))
     assert got[100] == (1.0, 2)  # winner's row survived
     assert got[0] == (9.0, 3)  # loser's merge re-derived and landed
+
+
+def test_delete_key_range_hint_skips_files(spark, tmp_path):
+    """Keyed delete with a range hint: files provably outside the
+    range are carried without being opened; the predicate still
+    decides correctness inside candidates."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    res = V.delete_where(
+        spark, path,
+        (F.col("product_id") >= 2) & (F.col("product_id") <= 4),
+        key_range=("product_id", 2, 4),
+    )
+    assert res["files_rewritten"] == 1
+    m = V.read_manifest(path, 2)
+    assert m["stats"]["files_skipped"] == 3
+    assert V.read_version(spark, path).count() == 37
+    # hint matching nothing → pure manifest carry, no scan, no rewrite
+    res2 = V.delete_where(
+        spark, path, F.col("product_id") == 10_000,
+        key_range=("product_id", 10_000, 10_000),
+    )
+    assert res2["files_rewritten"] == 0 and V.current_version(path) == 3
