@@ -211,9 +211,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            manifest = V.read_manifest(self.table_path, v)
+            try:
+                manifest = V.read_manifest(self.table_path, v)
+            except FileNotFoundError as exc:
+                raise RuntimeError(
+                    f"pim_changefeed: snapshot v{v} of {self.table_path!r} was "
+                    f"vacuumed before it was consumed — restart the stream with "
+                    f".option('startingVersion', <an available snapshot>) and "
+                    f"backfill from a read_version() batch scan"
+                ) from exc
             parent = manifest["parent"]
-            parent_files = set(V.read_manifest(self.table_path, parent)["files"]) if parent else set()
+            try:
+                parent_files = (
+                    set(V.read_manifest(self.table_path, parent)["files"]) if parent else set()
+                )
+            except FileNotFoundError as exc:
+                raise RuntimeError(
+                    f"pim_changefeed: parent manifest v{parent} of snapshot v{v} "
+                    f"was vacuumed — cannot derive the added-file delta; restart "
+                    f"with .option('startingVersion', {v}) after a backfill scan"
+                ) from exc
             data_dir = os.path.join(self.table_path, "data")
             for f in manifest["files"]:
                 if f not in parent_files:
