@@ -1077,3 +1077,69 @@ def merge_files_with_retry(
         except CommitConflict as exc:
             last = exc
     raise last
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    table_path: str,
+    rollup_path: str,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+    ignore_cols: Sequence[str] = (),
+) -> dict:
+    """Catch-up refresh of a derived rollup table from the base
+    table's commit log — the materialized-view maintenance command.
+
+    The rollup store's own manifest records, via the txn watermark
+    (app ``ivm:<base>``), the highest base snapshot already folded in;
+    each refresh walks ONLY the unprocessed versions, folds each CDC
+    value-diff with ``incremental_rollup_update`` (O(changes)), and
+    commits the updated rollup with the new watermark ATOMICALLY —
+    re-running after a crash never double-applies a delta. First call
+    bootstraps from a full aggregate of the current base snapshot."""
+    app_id = f"ivm:{os.path.abspath(table_path)}"
+    base_head = current_version(table_path)
+    done = last_txn_version(rollup_path, app_id)
+
+    if done < 0:
+        base = read_version(spark, table_path)
+        rollup = base.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias(count_col),
+            *[F.sum(m).alias(m) for m in sum_cols],
+        )
+        version = commit_snapshot_txn(rollup, rollup_path, app_id, base_head)
+        return {"rollup_version": version, "base_versions_applied": [base_head], "bootstrapped": True}
+
+    applied = []
+    rollup = read_version(spark, rollup_path)
+    for v in range(done + 1, base_head + 1):
+        changes = changes_between(
+            spark, table_path, keys, v - 1, v, with_values=True, ignore_cols=ignore_cols
+        )
+        rollup = incremental_rollup_update(
+            rollup, changes, group_cols=group_cols, sum_cols=sum_cols, count_col=count_col
+        )
+        applied.append(v)
+    if not applied:
+        return {"rollup_version": current_version(rollup_path), "base_versions_applied": [], "bootstrapped": False}
+    version = commit_snapshot_txn(rollup, rollup_path, app_id, base_head)
+    return {"rollup_version": version, "base_versions_applied": applied, "bootstrapped": False}
+
+
+def commit_snapshot_txn(df: DataFrame, path: str, app_id: str, txn_version: int) -> int:
+    """Full-snapshot commit carrying a txn watermark (the derived-table
+    form: the snapshot and its source-progress marker are one atomic
+    commit)."""
+    version = current_version(path) + 1
+    files, fstats = _write_data_files(df, path, version)
+    return _commit(
+        path,
+        files,
+        "snapshot",
+        {"files_written": len(files)},
+        file_stats=fstats,
+        txn=(app_id, txn_version),
+        expect_parent=version - 1,
+    )

@@ -535,3 +535,65 @@ def test_delete_key_range_hint_skips_files(spark, tmp_path):
         key_range=("product_id", 10_000, 10_000),
     )
     assert res2["files_rewritten"] == 0 and V.current_version(path) == 3
+
+
+def test_refresh_rollup_catches_up_exactly_once(spark, tmp_path):
+    """Derived-table maintenance: bootstrap aggregate, then fold only
+    UNPROCESSED base snapshots per refresh; re-running is a no-op; the
+    maintained rollup always equals a direct aggregate of the base."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "base")
+    rollup = str(tmp_path / "rollup")
+
+    def direct():
+        return {
+            (r.grp,): (r.n_rows, r.base_price)
+            for r in V.read_version(spark, base)
+            .withColumn("grp", F.col("product_id") % 3)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("base_price").alias("base_price"))
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r.grp,): (r.n_rows, r.base_price)
+            for r in V.read_version(spark, rollup).collect()
+        }
+
+    # base table carries grp as a stored column so CDC exposes it
+    boot = spark.range(12).selectExpr(
+        "id AS product_id", "id % 3 AS grp", "CAST(id AS DOUBLE) AS base_price",
+        "CAST(1 AS LONG) AS version",
+    ).repartitionByRange(2, "product_id")
+    V.commit_snapshot(boot, base, stats_cols=("product_id",))
+
+    r1 = V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    assert r1["bootstrapped"]
+    assert maintained() == direct()
+
+    # two base commits, one refresh
+    V.merge_files(
+        spark, base,
+        spark.createDataFrame([(0, 0, 100.0, 2), (50, 2, 5.0, 2)],
+                              "product_id long, grp long, base_price double, version long"),
+        keys=["product_id"], order_col="version",
+    )
+    V.delete_where(spark, base, F.col("product_id") == 7)
+    r2 = V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    assert r2["base_versions_applied"] == [2, 3]
+    assert maintained() == direct()
+
+    # idempotent: nothing new → no commit
+    r3 = V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    assert r3["base_versions_applied"] == [] and r3["rollup_version"] == r2["rollup_version"]
