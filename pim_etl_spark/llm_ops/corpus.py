@@ -1176,3 +1176,75 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "corpus_drift_l1",
+    oracle=r"""
+    -- distribution drift between two corpus slices (old = even doc
+    -- ids, new = odd): per-token frequency vectors compared by L1
+    -- distance in EXACT integer cross-multiplied arithmetic
+    -- (|c_a*N_b - c_b*N_a| summed, reported against the N_a*N_b
+    -- denominator) — no floating point anywhere, so the drift score
+    -- is engine-exact. Top movers give the actionable signal.
+    WITH toks AS (
+      SELECT doc_id % 2 AS side,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_b
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM counts
+    )
+    SELECT c.token,
+           CAST(c.c_a AS BIGINT) AS count_old,
+           CAST(c.c_b AS BIGINT) AS count_new,
+           CAST(abs(c.c_a * t.n_b - c.c_b * t.n_a) AS BIGINT) AS drift_cross
+    FROM counts c, totals t
+    ORDER BY drift_cross DESC, c.token ASC
+    LIMIT 25
+    """,
+)
+def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift detection (the refresh-time guard of a training
+    pipeline): compare two corpus slices' unigram distributions and
+    surface the top-drifting tokens. Frequencies are compared in
+    cross-multiplied integer space (|c_a·N_b − c_b·N_a|), so the
+    score is exact — the integer-arithmetic discipline the catalog
+    uses wherever transcendentals would diverge across engines.
+
+    Scale shape: one token-keyed aggregate (conditional sums fold both
+    sides in a single shuffle), a 1-row totals broadcast, TakeOrdered
+    top-k. Drop-in over any pair of snapshot reads — compose with
+    ``versioned.read_version`` to diff corpus VERSIONS instead of the
+    id-parity slices used for the deterministic gate here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.col("c_a").alias("count_old"),
+            F.col("c_b").alias("count_new"),
+            F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")).alias(
+                "drift_cross"
+            ),
+        )
+        .orderBy(F.desc("drift_cross"), F.asc("token"))
+        .limit(25)
+    )

@@ -1143,3 +1143,13 @@ def commit_snapshot_txn(df: DataFrame, path: str, app_id: str, txn_version: int)
         txn=(app_id, txn_version),
         expect_parent=version - 1,
     )
+
+
+def register_view(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> None:
+    """Expose a snapshot to the SQL surface as a temp view — time
+    travel from plain ``spark.sql``: register v1 as ``catalog_v1`` and
+    head as ``catalog`` and every downstream query/join works
+    unchanged."""
+    read_version(spark, path, version).createOrReplaceTempView(name)

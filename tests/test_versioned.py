@@ -597,3 +597,20 @@ def test_refresh_rollup_catches_up_exactly_once(spark, tmp_path):
         group_cols=("grp",), sum_cols=("base_price",),
     )
     assert r3["base_versions_applied"] == [] and r3["rollup_version"] == r2["rollup_version"]
+
+
+def test_sql_over_versioned_views(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    V.merge_files(
+        spark, path, spark.createDataFrame([(0, 100.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.register_view(spark, path, "vstore_head")
+    V.register_view(spark, path, "vstore_v1", version=1)
+    row = spark.sql("""
+        SELECT h.base_price AS now, o.base_price AS before
+        FROM vstore_head h JOIN vstore_v1 o USING (product_id)
+        WHERE product_id = 0
+    """).collect()[0]
+    assert (row.now, row.before) == (100.0, 0.0)
