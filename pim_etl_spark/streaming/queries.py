@@ -529,3 +529,76 @@ def versioned_upsert_stream(
         .start()
     )
     q.awaitTermination()
+
+
+@query(
+    "stream_change_feed_counts",
+    oracle="""
+    -- closed-form twin of the change-feed STREAM: v1 = bootstrap
+    -- (pre-1998 scoped orders), v2 = MERGE of post-1998 INSERTS —
+    -- no key collisions, so copy-on-write rewrites nothing and v2's
+    -- added files are exactly the inserts. Re-emitted carried files,
+    -- wrong offsets, or missed commits all break the counts.
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderkey % 4 = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM scoped WHERE o_orderdate < DATE '1998-01-01'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 2)
+    FROM scoped WHERE o_orderdate >= DATE '1998-01-01'
+    ORDER BY commit_version
+    """,
+)
+def stream_change_feed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pim_changefeed` streaming source under the hash gate: a
+    two-commit store is consumed AS A STREAM (snapshot-number offsets,
+    per-added-file partitions, executor-side Arrow batches) and rolled
+    up per commit. The single-file layout makes each commit's added
+    rows closed-form, so the oracle pins the source's exact delta
+    semantics (insert-only merges add ONLY the insert rows — the
+    copy-on-write no-rewrite fast path made observable)."""
+    import tempfile
+
+    from pim_etl_spark import sources_custom
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.sources import load_table
+
+    sources_custom.register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-cfstream-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01").drop("o_orderdate")
+        V.commit_snapshot(pre.coalesce(1), tbl, op="bootstrap")
+        V.merge_files(
+            spark,
+            tbl,
+            orders.filter(F.col("o_orderdate") >= "1998-01-01").drop("o_orderdate"),
+            keys=["o_orderkey"],
+            order_col="o_totalprice",
+        )
+        stream = spark.readStream.format("pim_changefeed").option("path", tbl).load()
+        agg = stream.groupBy(F.col("_commit_version").alias("commit_version")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        result = run_stream_to_memory(spark, agg, mode="complete", state_partitions=4)
+        rows = [
+            (r["commit_version"], r["n_rows"], float(r["total_price"]))
+            for r in result.collect()
+        ]
+    finally:
+        import shutil
+
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "commit_version bigint, n_rows bigint, total_price double"
+    ).orderBy("commit_version")
