@@ -278,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
         "--action",
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
-            "history", "rollback", "vacuum",
+            "history", "rollback", "vacuum", "refresh-rollup",
         ],
         default="sync",
     )
@@ -292,6 +292,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--keep-last", type=int, default=2, help="vacuum: snapshots to retain"
+    )
+    parser.add_argument("--rollup", default=None, help="refresh-rollup: derived table path")
+    parser.add_argument(
+        "--group-by", default="supplier_id", help="refresh-rollup: comma-separated group columns"
+    )
+    parser.add_argument(
+        "--sum-cols", default=None, help="refresh-rollup: comma-separated additive measure columns"
     )
     parser.add_argument(
         "--target-file-mb",
@@ -358,6 +365,21 @@ def main(argv: list[str] | None = None) -> int:
             quarantine=args.quarantine,
             versioned=args.versioned,
         )
+    elif args.action == "refresh-rollup":
+        from pim_etl_spark.pipeline import versioned as V
+
+        if not args.rollup:
+            parser.error("--action refresh-rollup requires --rollup")
+        out = V.refresh_rollup(
+            spark,
+            args.gold,
+            args.rollup,
+            keys=["product_id"],
+            group_cols=tuple(args.group_by.split(",")),
+            sum_cols=tuple(args.sum_cols.split(",")) if args.sum_cols else (),
+            ignore_cols=("last_sync",),
+        )
+        out["status"] = "success"
     elif args.action == "status":
         out = run_status(spark, args.gold)
     elif args.action == "compact":

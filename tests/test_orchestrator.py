@@ -162,3 +162,24 @@ def test_versioned_sync_history_rollback(spark, landed, tmp_path):
             spark, landed, str(tmp_path / "nope"), supplier_id="midocean",
             since="2000-01-01", versioned=True,
         )
+
+
+def test_cli_refresh_rollup_action(spark, landed, tmp_path):
+    """refresh-rollup CLI: bootstrap a per-supplier rollup from the
+    versioned gold, then a repeat sync + refresh keeps it consistent."""
+    import json as _json
+
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "vgold")
+    rollup = str(tmp_path / "rollup")
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    assert main(["--action", "refresh-rollup", "--gold", gold, "--rollup", rollup]) == 0
+    got = {r.supplier_id: r.n_rows for r in V.read_version(spark, rollup).collect()}
+    assert got == {"midocean": 12}
+
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    assert main(["--action", "refresh-rollup", "--gold", gold, "--rollup", rollup]) == 0
+    got2 = {r.supplier_id: r.n_rows for r in V.read_version(spark, rollup).collect()}
+    assert got2 == {"midocean": 12}  # idempotent re-sync → unchanged rollup
