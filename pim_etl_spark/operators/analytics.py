@@ -619,3 +619,71 @@ def priority_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    -- RFM segmentation: per-customer recency (last order date),
+    -- frequency (orders), monetary (2dp-exact spend); quartile codes
+    -- via ntile over TOTAL orders (custkey tiebreak), rolled up per
+    -- 3-digit segment
+    WITH per_customer AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    coded AS (
+      SELECT ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+             frequency, monetary
+      FROM per_customer
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS rfm_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(frequency) AS BIGINT) AS total_orders,
+           round(sum(monetary), 2) AS total_spend
+    FROM coded GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic customer-value grid): quartile
+    codes for recency/frequency/monetary per customer, rolled up per
+    3-digit segment. The ntile windows are global but run over the
+    PER-CUSTOMER aggregate (customer-count-sized, never order-sized);
+    tie-proof via the custkey tiebreak. At 100 TB replace the exact
+    global ntile with approx-percentile cut points computed in one
+    pass and a scan-local bucket lookup — same codes, no global sort."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.sources import load_table
+
+    per_customer = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    return (
+        per_customer.select(
+            (r * 100 + f * 10 + m).cast("int").alias("rfm_code"),
+            "frequency",
+            "monetary",
+        )
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("total_orders"),
+            F.round(F.sum("monetary"), 2).alias("total_spend"),
+        )
+        .orderBy("rfm_code")
+    )
