@@ -687,3 +687,63 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rfm_code")
     )
+
+
+@query(
+    "revenue_pareto_deciles",
+    oracle="""
+    -- Pareto concentration curve: parts ranked by revenue, split in
+    -- revenue-ordered deciles, each decile's share of total in exact
+    -- integer basis points (revenue fixed to e4 integers first, share
+    -- via bigint integer division — no FP anywhere after the fix)
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT rev_e4, ntile(10) OVER (ORDER BY rev_e4 DESC, l_partkey) AS decile
+      FROM part_rev
+    ),
+    tot AS (SELECT sum(rev_e4) AS total_e4 FROM part_rev)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+           CAST((sum(rev_e4) * 10000) // (SELECT total_e4 FROM tot) AS BIGINT) AS share_bps
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis (the 80/20 view every category
+    manager asks for): parts ranked by revenue, revenue share per
+    revenue-ordered decile in exact basis points. Revenue is fixed to
+    e4 integers at the row level, so every downstream sum/division is
+    exact bigint arithmetic — engine-identical by construction. The
+    ntile runs over the part-count-sized aggregate, not lineitem."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    part_rev = li.groupBy("l_partkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    ranked = part_rev.select(
+        "rev_e4",
+        F.ntile(10).over(Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey"))).alias("decile"),
+    )
+    total = part_rev.agg(F.sum("rev_e4").alias("total_e4"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_parts",
+            "revenue_e4",
+            F.expr("(revenue_e4 * 10000) div total_e4").alias("share_bps"),
+        )
+        .orderBy("decile")
+    )
