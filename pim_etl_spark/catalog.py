@@ -156,6 +156,27 @@ _DRIVER_GREEN = frozenset({
     "text_search_ranked", "text_stats_by_lang", "doc_quality_scores",
     "doc_fingerprints", "bpe_token_counts", "lang_id_heuristic",
     "media_metadata_stats", "media_decode_features",
+    # round 4 (CORRECTNESS_r04.json) — all 45 sampled oracled entries
+    # hash-green (9 were r1 re-proofs already listed above).
+    # gold_time_travel_diff / gold_change_feed /
+    # incremental_rollup_maintenance are deliberately NOT folded:
+    # their underlying read paths (delete_where, changes_between)
+    # gained mergeSchema fixes in round 5 (ADVICE r4), so the driver
+    # re-samples the fixed code first (q21 precedent).
+    "q21_waiting_suppliers", "aqe_skew_join", "event_funnel_conversion",
+    "cohort_retention_matrix", "basket_pair_affinity",
+    "event_transition_matrix", "price_histogram_equiwidth",
+    "priority_mode_by_status", "customer_rfm_segments",
+    "revenue_pareto_deciles", "pim_full_pipeline",
+    "pim_multi_supplier_sync", "sequence_packing_bins",
+    "stratified_sample_quota", "duplicated_span_removal",
+    "temperature_resample_copies", "global_shuffle_shards",
+    "url_canonicalize_dedup", "llm_corpus_pipeline", "corpus_drift_l1",
+    "embedding_group_pca", "ann_ivf_topk", "pq_adc_topk", "ann_lsh_topk",
+    "embedding_int8_quantize", "text_search_indexed",
+    "unigram_rank_surprisal", "media_frame_sample", "audio_decode_stats",
+    "bloom_membership_gate", "stream_static_enrich_join",
+    "stream_change_feed_counts", "expectations_audit",
 })
 
 

@@ -409,6 +409,10 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     (the predicate itself stays authoritative for correctness — the
     hint must be a superset of the predicate's reach)."""
     parent = current_version(path)
+    if parent == 0:
+        # same descriptive error read_version gives, instead of a
+        # confusing missing-'_manifests/v000000.json' FileNotFoundError
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
     manifest = read_manifest(path, parent)
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
@@ -433,9 +437,15 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
         )
         return {"version": version, "files_rewritten": 0, "files_kept": len(parent_files)}
 
-    with_file = spark.read.parquet(
-        *[os.path.join(data_dir, f) for f in scan_files]
-    ).withColumn("__file", F.input_file_name())
+    # mergeSchema on both reads (match read_version/merge_files): the
+    # scanned files may span a schema-evolution commit, and a sampled
+    # footer schema would silently drop evolved columns from the
+    # rewritten survivor files — permanent data loss
+    with_file = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(data_dir, f) for f in scan_files])
+        .withColumn("__file", F.input_file_name())
+    )
     touched = [
         os.path.basename(r[0])
         for r in with_file.filter(predicate).select("__file").distinct().collect()
@@ -447,9 +457,11 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     new_fstats: dict = {}
     n_deleted = 0
     if touched:
-        survivors = spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in touched]
-        ).filter(~predicate)
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(data_dir, f) for f in touched])
+            .filter(~predicate)
+        )
         stats_cols = tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
         new_files, new_fstats = _write_data_files(survivors, path, parent + 1, stats_cols=stats_cols)
     version = _commit(
@@ -490,7 +502,13 @@ def changes_between(
 
     def _side(files, template_version):
         if files:
-            return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+            # mergeSchema, consistent with read_version: one side's
+            # exclusive files may themselves span a schema-evolution
+            # commit; a sampled footer schema would null out evolved
+            # columns and fabricate spurious 'update' rows in the feed
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(data_dir, f) for f in files]
+            )
         return read_version(spark, path, template_version).limit(0)
 
     a = _side(a_only, from_version)
@@ -554,12 +572,29 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
-def vacuum(path: str, keep_last: int = 2, dry_run: bool = False) -> dict:
+def vacuum(
+    path: str,
+    keep_last: int = 2,
+    dry_run: bool = False,
+    min_age_seconds: float = 6 * 3600,
+) -> dict:
     """Reclaim data files referenced by no retained snapshot. Retains
     the last ``keep_last`` manifests (older manifests are dropped too,
     which bounds time travel — the retention/GC trade every commit-log
     store makes). Crash-safe: deleting an unreferenced file can never
-    affect a retained reader."""
+    affect a retained reader.
+
+    ``min_age_seconds`` is the Delta-style retention window against
+    IN-FLIGHT writers (round-4 ADVICE): ``merge_files`` moves staged
+    files into ``data/`` BEFORE its manifest commit publishes them, so
+    with no age floor a concurrent vacuum could delete an
+    about-to-be-committed file and the subsequent commit would publish
+    a manifest naming missing files — a torn table. Only files whose
+    mtime is older than the window are eligible; size the window above
+    the longest plausible write (pass ``0`` only with exclusive access,
+    e.g. single-writer tests)."""
+    import time as _time
+
     head = current_version(path)
     keep_from = max(1, head - keep_last + 1)
     live: set[str] = set()
@@ -567,8 +602,13 @@ def vacuum(path: str, keep_last: int = 2, dry_run: bool = False) -> dict:
         live.update(read_manifest(path, v)["files"])
     data_dir = os.path.join(path, _DATA)
     removed = 0
+    skipped_young = 0
+    cutoff = _time.time() - min_age_seconds
     for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         if f.endswith(".parquet") and f not in live:
+            if min_age_seconds > 0 and os.path.getmtime(os.path.join(data_dir, f)) > cutoff:
+                skipped_young += 1  # possibly mid-commit — retained
+                continue
             if not dry_run:
                 os.remove(os.path.join(data_dir, f))
             removed += 1
@@ -582,6 +622,7 @@ def vacuum(path: str, keep_last: int = 2, dry_run: bool = False) -> dict:
     return {
         "data_files_removed": removed,
         "manifests_removed": manifests_removed,
+        "files_skipped_young": skipped_young,
         "retained_from": keep_from,
         "dry_run": dry_run,
     }
@@ -1115,9 +1156,21 @@ def refresh_rollup(
     applied = []
     rollup = read_version(spark, rollup_path)
     for v in range(done + 1, base_head + 1):
-        changes = changes_between(
-            spark, table_path, keys, v - 1, v, with_values=True, ignore_cols=ignore_cols
-        )
+        try:
+            changes = changes_between(
+                spark, table_path, keys, v - 1, v, with_values=True, ignore_cols=ignore_cols
+            )
+        except FileNotFoundError as exc:
+            # base history vacuumed past this rollup's watermark: the
+            # delta walk cannot catch up. Actionable error (mirrors the
+            # pim_changefeed source's vacuumed-manifest guidance)
+            # instead of a bare missing-manifest traceback.
+            raise FileNotFoundError(
+                f"rollup {rollup_path!r} is at base version {done} but base "
+                f"{table_path!r} no longer retains manifest v{v - 1} (vacuumed). "
+                f"Delete the rollup table and re-run to re-bootstrap from a full "
+                f"aggregate, and size vacuum keep_last above the refresh cadence."
+            ) from exc
         rollup = incremental_rollup_update(
             rollup, changes, group_cols=group_cols, sum_cols=sum_cols, count_col=count_col
         )

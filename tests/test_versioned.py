@@ -115,7 +115,7 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
         )
     data_dir = os.path.join(path, "data")
     before = set(os.listdir(data_dir))
-    res = V.vacuum(path, keep_last=2)
+    res = V.vacuum(path, keep_last=2, min_age_seconds=0)
     after = set(os.listdir(data_dir))
     assert res["data_files_removed"] == len(before - after) > 0
     # retained snapshots still fully readable
@@ -403,7 +403,7 @@ def test_crash_between_stage_and_commit_is_invisible(spark, tmp_path):
     assert _rows(V.read_version(spark, path)) == before  # ...invisible
     assert V.current_version(path) == 1
 
-    res = V.vacuum(path, keep_last=5)
+    res = V.vacuum(path, keep_last=5, min_age_seconds=0)
     assert res["data_files_removed"] == len(orphans)
     assert _rows(V.read_version(spark, path)) == before
 
@@ -479,7 +479,7 @@ def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
 
     data_dir = os.path.join(path, "data")
     before = set(os.listdir(data_dir))
-    res = V.vacuum(path, keep_last=1, dry_run=True)
+    res = V.vacuum(path, keep_last=1, dry_run=True, min_age_seconds=0)
     assert res["dry_run"] and res["data_files_removed"] > 0
     assert set(os.listdir(data_dir)) == before  # nothing actually removed
 
@@ -614,3 +614,100 @@ def test_sql_over_versioned_views(spark, tmp_path):
         WHERE product_id = 0
     """).collect()[0]
     assert (row.now, row.before) == (100.0, 0.0)
+
+
+def test_vacuum_retention_protects_inflight_files(spark, tmp_path):
+    """Round-4 ADVICE: merge_files moves staged files into data/
+    BEFORE the manifest commit publishes them; a concurrent vacuum
+    must not delete those young files (torn table). Default retention
+    keeps fresh unreferenced files; min_age_seconds=0 (exclusive
+    access) reclaims them."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    # simulate a writer mid-commit: data staged, manifest not yet linked
+    orphans, _ = V._write_data_files(
+        spark.createDataFrame([(99, 9.0, 9)], SCHEMA), path, version=2
+    )
+    data_dir = os.path.join(path, "data")
+    res = V.vacuum(path, keep_last=5)  # default retention window
+    assert res["data_files_removed"] == 0
+    assert res["files_skipped_young"] == len(orphans)
+    assert all(os.path.exists(os.path.join(data_dir, f)) for f in orphans)
+    # the in-flight writer can still publish safely
+    V._commit(path, V.read_manifest(path, 1)["files"] + orphans, "merge", {})
+    assert V.read_version(spark, path).count() == 11
+
+
+def test_delete_where_empty_table_raises_descriptive(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "never-committed")
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        V.delete_where(spark, path, F.col("product_id") == 1)
+
+
+def test_delete_where_preserves_evolved_columns(spark, tmp_path):
+    """Round-4 ADVICE: delete_where must read touched files with
+    mergeSchema — when they span a schema-evolution commit, columns
+    absent from a sampled footer must NOT be dropped from the
+    rewritten survivors (permanent data loss)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=1)
+    # v2: schema evolution — the merge batch adds a 'supplier' column
+    evolved = spark.createDataFrame(
+        [(3, 333.0, 2, "acme"), (100, 100.0, 2, "acme")],
+        "product_id long, base_price double, version long, supplier string",
+    )
+    V.merge_files(spark, path, evolved, keys=["product_id"], order_col="version")
+    # v3: delete one key — touched files span the evolution commit
+    V.delete_where(spark, path, F.col("product_id") == 0)
+    got = V.read_version(spark, path)
+    assert "supplier" in got.columns
+    rows = {r.product_id: r.supplier for r in got.collect()}
+    assert rows[3] == "acme" and rows[100] == "acme"
+    assert 0 not in rows and len(rows) == 10
+
+    # CDC across the same evolution boundary must not fabricate
+    # spurious updates (changes_between._side mergeSchema)
+    d23 = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 2, 3).collect()
+    }
+    assert d23 == {(0, "delete")}
+
+
+def test_refresh_rollup_vacuumed_base_actionable_error(spark, tmp_path):
+    """Round-4 ADVICE: when the base table's history was vacuumed past
+    the rollup's txn watermark, refresh_rollup must raise an
+    actionable error (re-bootstrap guidance), not a bare
+    missing-manifest traceback."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "base")
+    rollup = str(tmp_path / "rollup")
+    boot = spark.range(10).selectExpr(
+        "id AS product_id", "id % 2 AS grp", "CAST(id AS DOUBLE) AS base_price",
+        "CAST(1 AS LONG) AS version",
+    )
+    V.commit_snapshot(boot, base)
+    V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    for step in (2, 3, 4):
+        V.merge_files(
+            spark, base,
+            spark.createDataFrame([(0, 0, float(step), step)],
+                                  "product_id long, grp long, base_price double, version long"),
+            keys=["product_id"], order_col="version",
+        )
+    V.vacuum(base, keep_last=1, min_age_seconds=0)  # history gone past watermark
+    with pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        V.refresh_rollup(
+            spark, base, rollup, keys=["product_id"],
+            group_cols=("grp",), sum_cols=("base_price",),
+        )
