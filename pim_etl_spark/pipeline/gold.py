@@ -170,6 +170,137 @@ def merge_partitioned(
     return {"partitions_touched": len(affected), "partitions_total": total}
 
 
+def write_bucketed_gold(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    path: str,
+    n_buckets: int = 16,
+    pre_partition: bool = True,
+) -> None:
+    """Write the gold table BUCKETED by its merge keys (SURVEY §4's
+    100 TB note; reference intent: the unique product_id index,
+    /root/reference/schemas/unified_product_schema.py:229-248).
+
+    Bucketing persists the hash partitioning INTO the table layout:
+    every subsequent merge/join/window on ``keys`` reads the table
+    already clustered, so the repeat sync — the operation a PIM gold
+    store runs forever — stops paying a full-table Exchange per sync
+    (``upsert_latest``'s one-shuffle cost note). External table: data
+    lives at ``path``, the catalog entry carries the bucket spec.
+
+    ``pre_partition`` repartitions by the bucket expression first so
+    each task holds exactly one bucket → one file per bucket (without
+    it, every task writes a file per bucket it sees — n_tasks ×
+    n_buckets small files). Callers whose input is ALREADY hash-
+    partitioned on ``keys`` (the bucketed-merge output) pass False and
+    skip that exchange too."""
+    out = df.repartition(n_buckets, *[F.col(k) for k in keys]) if pre_partition else df
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        out.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def merge_bucketed(existing: DataFrame, incoming: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """MERGE formulated as a full-outer JOIN instead of union+window,
+    so a bucketed ``existing`` side contributes its layout: both sides
+    clustered on ``keys`` → sort-merge join with ZERO Exchange (the
+    union+window ``apply_upsert`` destroys partitioning in the union
+    and re-shuffles everything, table included, every sync).
+
+    Incoming rows win wholesale (ReplaceOne semantics — same outcome
+    as ``apply_upsert``'s __src ordering); the batch is first deduped
+    to latest-per-key with ``upsert_latest``, which over a bucketed
+    staged batch is itself exchange-free."""
+    inc = upsert_latest(incoming, keys=keys, order_col=order_col)
+    val_cols = [c for c in existing.columns if c not in keys]
+    inc_pref = inc.select(
+        *keys,
+        *[F.col(c).alias(f"__new_{c}") for c in val_cols],
+        F.lit(1).alias("__has_new"),
+    )
+    return existing.join(inc_pref, list(keys), "full_outer").select(
+        *keys,
+        *[
+            F.when(F.col("__has_new") == 1, F.col(f"__new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+
+
+def sync_bucketed_gold(
+    spark: SparkSession,
+    table: str,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    base_dir: str,
+    n_buckets: int = 16,
+) -> dict:
+    """One repeat-sync cycle against a bucketed gold table — the
+    shuffle-free steady state (VERDICT r4 #3):
+
+    1. stage the batch as a bucketed table (cost O(batch): the ONLY
+       hash exchange in the cycle is the batch's own bucketing write);
+    2. ``merge_bucketed`` both tables — co-bucketed SMJ, zero
+       Exchange on 100 TB of table data;
+    3. write the merge output as the next generation WITHOUT
+       repartitioning (SMJ output is already hash-partitioned on
+       ``keys`` → one file per bucket falls out for free) and swap the
+       catalog pointer (DROP + RENAME — metadata-only on external
+       tables, same role as the manifest swap in versioned.py).
+
+    First call bootstraps the table. Generations live under
+    ``base_dir/gen-N``; the previous generation's files stay for
+    readers mid-swap (vacuum-equivalent cleanup is the caller's
+    retention policy). Returns {generation, merged_plan} where
+    merged_plan is the executed merge plan string — callers and tests
+    assert the no-Exchange property on it."""
+    import uuid as _uuid
+
+    exists = spark.catalog.tableExists(table)
+    if not exists:
+        boot = upsert_latest(incoming, keys=keys, order_col=order_col)
+        write_bucketed_gold(
+            spark, boot, table, keys, path=os.path.join(base_dir, "gen-1"), n_buckets=n_buckets
+        )
+        return {"generation": 1, "merged_plan": ""}
+
+    stage = f"{table}__stage_{_uuid.uuid4().hex[:8]}"
+    stage_dir = os.path.join(base_dir, f"stage-{_uuid.uuid4().hex[:8]}")
+    write_bucketed_gold(spark, incoming, stage, keys, path=stage_dir, n_buckets=n_buckets)
+    try:
+        merged = merge_bucketed(
+            spark.table(table), spark.table(stage), keys=keys, order_col=order_col
+        )
+        gen = 1 + max(
+            (int(d.split("-")[1]) for d in os.listdir(base_dir) if d.startswith("gen-")),
+            default=0,
+        )
+        nxt = f"{table}__next"
+        write_bucketed_gold(
+            spark, merged, nxt, keys,
+            path=os.path.join(base_dir, f"gen-{gen}"), n_buckets=n_buckets,
+            pre_partition=False,
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {nxt} RENAME TO {table}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return {"generation": gen, "merged_plan": plan}
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

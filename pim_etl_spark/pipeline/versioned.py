@@ -799,6 +799,95 @@ def gold_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_v", "change_type")
 
 
+@query(
+    "gold_bucketed_sync",
+    oracle="""
+    -- closed-form twin of the bucketed-gold repeat sync: bootstrap =
+    -- pre-1998 orders; sync 2 MERGEs post-1998 inserts + doubled
+    -- price for pre-1998 keys divisible by 7 (same arithmetic as
+    -- gold_time_travel_diff's v2). no_exchange_merge pins the plan
+    -- property the bucketing exists for: the second sync's merge must
+    -- contain ZERO Exchange nodes (the table side reads pre-clustered).
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderkey % 4 = 1
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS p
+      FROM scoped
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(p), 2) AS total_price,
+           TRUE AS no_exchange_merge
+    FROM v2
+    """,
+)
+def gold_bucketed_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-gold repeat sync under the hash gate (VERDICT r4 #3):
+    bootstrap a gold table bucketed by product key, run a second sync
+    (inserts + updates) through the join-based bucketed MERGE, and
+    emit the final state's (rows, price sum) PLUS the plan property —
+    the merge plan must hold zero Exchange nodes, because both sides
+    read pre-clustered on the merge keys. The oracle recomputes the
+    final state closed-form and asserts the no-shuffle flag, so a
+    layout regression (bucketing dropped, union+window fallback, an
+    EnsureRequirements exchange sneaking back) is a hash mismatch, not
+    just a slower benchmark."""
+    import tempfile
+
+    from pim_etl_spark.pipeline.gold import sync_bucketed_gold
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 1)  # see gold_time_travel_diff
+    )
+    tbl = f"gold_bsync_{uuid.uuid4().hex[:8]}"
+    base = tempfile.mkdtemp(prefix="pim-bsync-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01")
+        boot = pre.select(
+            "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
+        )
+        sync_bucketed_gold(
+            spark, tbl, boot, keys=["o_orderkey"], order_col="version",
+            base_dir=base, n_buckets=8,
+        )
+        batch = (
+            orders.filter(F.col("o_orderdate") >= "1998-01-01")
+            .select("o_orderkey", "o_totalprice", F.lit(2).cast("long").alias("version"))
+            .unionByName(
+                pre.filter(F.col("o_orderkey") % 7 == 0).select(
+                    "o_orderkey",
+                    (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                    F.lit(2).cast("long").alias("version"),
+                )
+            )
+        )
+        res = sync_bucketed_gold(
+            spark, tbl, batch, keys=["o_orderkey"], order_col="version",
+            base_dir=base, n_buckets=8,
+        )
+        no_exchange = "Exchange" not in res["merged_plan"]
+        stats = (
+            spark.table(tbl)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        rows = [(stats["n"], float(stats["s"]), no_exchange)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, total_price double, no_exchange_merge boolean"
+    )
+
+
 def last_txn_version(path: str, app_id: str) -> int:
     """Highest transaction version committed by ``app_id``; -1 if none.
     The replay guard for exactly-once streaming sinks."""
