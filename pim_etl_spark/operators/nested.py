@@ -187,3 +187,74 @@ def first_element_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# --- skew-aware re-nest (round 5, VERDICT r4 #5) ---------------------------
+#
+# The N1 re-nest (collect_list per master, pipeline/silver.py:140-144)
+# is a hash shuffle on master_code; a pathological master with 10⁵
+# variants concentrates its whole array build in one reducer's
+# aggregation buffer, and every map task that sees the hot key grows an
+# unbounded partial buffer too (reference analogue: variants arrays,
+# /root/reference/etl/transformers/midocean_transformer.py:269-302).
+# The two-level form below bounds the per-group aggregation state to
+# ~hot_count/n_salts: level 1 collects per (key, salt) — buckets spread
+# across reducers — and level 2 concatenates the ≤n_salts pre-built
+# blocks (array concat, not 10⁵ row appends in one buffer).
+
+
+def salted_partial_collect(
+    df: DataFrame, key_cols, value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """Level 1 of the skewed re-nest: partial arrays per (key, salt).
+
+    The salt is a deterministic function of the VALUE (hash pmod
+    n_salts), so re-runs produce identical buckets — no nondeterminism
+    under task retry (a random salt re-deals rows on retry and breaks
+    exactly-once spot checks)."""
+    salt = F.pmod(F.hash(F.col(value_col)), F.lit(n_salts))
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.collect_list(value_col).alias("__part"))
+    )
+
+
+def renest_skew_aware(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    out_col: str = "items",
+    hot_threshold: int = 50_000,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-aware collect_list re-nest: keys above ``hot_threshold``
+    rows take the salted two-level path; everything else takes the
+    plain single-level collect. Output is identical either way
+    (``array_sort`` canonicalizes block order), so the split is purely
+    a physical-plan decision — the AQE-skew-join idea applied to
+    aggregation, which AQE itself does not rebalance.
+
+    Cost: one extra count-only pass over (keys) to find hot keys —
+    ids-sized, map-side combined — and the hot-key set broadcasts (by
+    definition few keys are hot). At 100 TB this is the difference
+    between a 10⁵-variant master OOMing one reducer and spreading its
+    build over ``n_salts`` buckets."""
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.filter(F.col("__n") > hot_threshold).select(*key_cols)
+    flagged = df.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(1))), key_cols, "left"
+    )
+    cold = (
+        flagged.filter(F.col("__hot").isNull())
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(value_col)).alias(out_col))
+    )
+    hot_rows = flagged.filter(F.col("__hot") == 1).drop("__hot")
+    merged = (
+        salted_partial_collect(hot_rows, key_cols, value_col, n_salts=n_salts)
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.flatten(F.collect_list("__part"))).alias(out_col))
+    )
+    return cold.unionByName(merged)
