@@ -681,3 +681,100 @@ def windowed_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "heavy_hitters_sketch",
+    oracle="""
+    -- exact heavy hitters (freq > n/64) over a planted-skew key: the
+    -- engine must reach the identical set + exact counts via the
+    -- two-pass sketch (per-partition Misra-Gries candidates -> exact
+    -- count of candidates only); a sketch that loses a hot item or a
+    -- wrong decrement bound drops a row immediately
+    WITH base AS (
+      SELECT CASE WHEN l_orderkey % 5 = 0
+                  THEN 'HOT-' || CAST(l_linenumber AS VARCHAR)
+                  ELSE 'c-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+             END AS item
+      FROM lineitem
+    ),
+    tot AS (SELECT count(*) AS n FROM base)
+    SELECT item, CAST(count(*) AS BIGINT) AS n_rows,
+           round(100.0 * CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 4) AS pct
+    FROM base GROUP BY item
+    HAVING count(*) > (SELECT CAST(n AS DOUBLE) FROM tot) / 64.0
+    ORDER BY item
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters over a high-cardinality key (round 5):
+    pass 1 builds a bounded Misra-Gries summary PER PARTITION
+    (mapInPandas, Arrow-batched — ≤256 counters of state regardless of
+    partition size); pass 2 exactly counts ONLY the surviving
+    candidates (a broadcast semi-join).
+
+    This is the 100 TB shape for "which items dominate": an exact
+    groupBy on a mostly-unique key shuffles every row; here the
+    full-cardinality shuffle never happens — per-partition summaries
+    are ≤256 rows each, and the exact pass counts a candidate set of
+    at most 256 × partitions keys. The MG merge guarantee (any item
+    with global freq > n/(k+1) survives in the partition where it is
+    densest) makes the final exact-verified output deterministic and
+    identical to the brute-force truth, which the oracle pins.
+
+    The key is planted-skew: every 5th order contributes 'HOT-<line>'
+    (7 hot keys ≈ 1.6–5.7% each), everything else is a unique cold
+    key — the cardinality profile that makes sketching necessary.
+    """
+    import pandas as pd
+
+    K = 256  # per-partition counter capacity (≫ 64 target → wide margin)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.when(
+        F.col("l_orderkey") % 5 == 0,
+        F.concat(F.lit("HOT-"), F.col("l_linenumber").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("c-"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    items = li.select(item.alias("item"))
+
+    def mg_summaries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it, c in pdf["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > K:
+                # batch Misra-Gries decrement: subtract the (K+1)-th
+                # largest count from everyone, drop the non-positive —
+                # at most K counters survive, and any item's count is
+                # underestimated by at most (partition rows)/(K+1)
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[K]
+                counters = {i: c - d for i, c in counters.items() if c > d}
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    candidates = (
+        items.mapInPandas(mg_summaries, "item string, mg_count long")
+        .select("item")
+        .distinct()
+    )
+    n_total = items.count()
+    exact = (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > n_total / 64.0)
+    )
+    return exact.select(
+        "item",
+        "n_rows",
+        F.round(F.lit(100.0) * F.col("n_rows").cast("double") / n_total, 4).alias("pct"),
+    ).orderBy("item")
