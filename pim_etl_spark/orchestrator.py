@@ -293,6 +293,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--keep-last", type=int, default=2, help="vacuum: snapshots to retain"
     )
+    parser.add_argument(
+        "--vacuum-min-age-hours",
+        type=float,
+        default=6.0,
+        help="vacuum: only reclaim unreferenced files older than this "
+        "(protects in-flight writers; 0 only with exclusive access)",
+    )
     parser.add_argument("--rollup", default=None, help="refresh-rollup: derived table path")
     parser.add_argument(
         "--group-by", default="supplier_id", help="refresh-rollup: comma-separated group columns"
@@ -350,7 +357,14 @@ def main(argv: list[str] | None = None) -> int:
             new_v = V.rollback(args.gold, to_version=args.to_version)
             out = {"status": "success", "restored": args.to_version, "version": new_v}
         else:
-            out = {"status": "success", **V.vacuum(args.gold, keep_last=args.keep_last)}
+            out = {
+                "status": "success",
+                **V.vacuum(
+                    args.gold,
+                    keep_last=args.keep_last,
+                    min_age_seconds=args.vacuum_min_age_hours * 3600.0,
+                ),
+            }
         print(json.dumps(out, default=str))
         return 0
 

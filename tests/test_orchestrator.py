@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -183,3 +185,28 @@ def test_cli_refresh_rollup_action(spark, landed, tmp_path):
     assert main(["--action", "refresh-rollup", "--gold", gold, "--rollup", rollup]) == 0
     got2 = {r.supplier_id: r.n_rows for r in V.read_version(spark, rollup).collect()}
     assert got2 == {"midocean": 12}  # idempotent re-sync → unchanged rollup
+
+
+def test_cli_vacuum_retention_flag(spark, landed, tmp_path):
+    """CLI vacuum: default retention protects fresh unreferenced files
+    (in-flight-writer safety, round-5 ADVICE fix); an explicit
+    --vacuum-min-age-hours 0 reclaims them under exclusive access."""
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "vgold")
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    n_before = len(os.listdir(os.path.join(gold, "data")))
+
+    # default (6 h) retention: nothing this young is reclaimed
+    assert main(["--action", "vacuum", "--gold", gold, "--keep-last", "1"]) == 0
+    assert len(os.listdir(os.path.join(gold, "data"))) == n_before
+
+    # exclusive-access reclaim
+    assert main([
+        "--action", "vacuum", "--gold", gold,
+        "--keep-last", "1", "--vacuum-min-age-hours", "0",
+    ]) == 0
+    assert len(os.listdir(os.path.join(gold, "data"))) < n_before
+    assert V.read_version(spark, gold).count() == 12
