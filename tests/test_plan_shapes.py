@@ -164,3 +164,24 @@ def test_llm_corpus_pipeline_plan_shape(spark, sf_dir):
     assert _count(r"Exchange hashpartitioning", plan) == 2, plan[:3000]
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:3000]
     assert "Join" not in plan, plan[:3000]
+
+
+def test_heavy_hitters_exact_pass_is_candidate_bounded(spark, sf_dir):
+    """heavy_hitters_sketch: the exact pass must reach the corpus via
+    a broadcast LEFT SEMI of the sketch candidates (never a
+    full-cardinality shuffle of the raw key), and the only hash
+    exchanges are over candidate-bounded rows."""
+    plan = _plan(get_queries()["heavy_hitters_sketch"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert _count(r"Exchange hashpartitioning", plan) <= 2, plan[:2000]
+
+
+def test_bm25_idf_stays_broadcast_topk_no_global_sort(spark, sf_dir):
+    """bm25_ranked_search: the 3-row idf side must join broadcast and
+    the final ranking must be TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    plan = _plan(get_queries()["bm25_ranked_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
