@@ -193,6 +193,23 @@ def _write_data_files(
     return names, stats
 
 
+def _shard_range_stats(names: Sequence[str], file_stats: dict) -> dict:
+    """Pointer-level summary of one shard: entry count + per-column
+    [lo, hi] over its entries' file stats — the shard-pruning index."""
+    cols: dict[str, list] = {}
+    for n in names:
+        for c, (lo, hi) in (file_stats.get(n) or {}).items():
+            if lo is None or hi is None:
+                continue
+            cur = cols.get(c)
+            if cur is None:
+                cols[c] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    return {"n": len(names), "cols": cols}
+
+
 def _commit(
     path: str,
     files: list[str],
@@ -202,6 +219,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     extra: dict | None = None,
     expect_parent: int | None = None,
+    carry_shards: Sequence[str] | None = None,
 ) -> int:
     """Atomically publish a new snapshot naming exactly ``files``.
 
@@ -234,7 +252,7 @@ def _commit(
         "txn": parent_txn,
         **(extra or {}),
     }
-    if len(files) <= MANIFEST_SHARD_SIZE:
+    if carry_shards is None and len(files) <= MANIFEST_SHARD_SIZE:
         manifest["files"] = sorted(files)
         manifest["file_stats"] = file_stats or {}
     else:
@@ -242,20 +260,46 @@ def _commit(
         # Parent shards whose entries ALL carry into the new snapshot
         # are reused BY NAME (immutable, like data files) — an append
         # or narrow merge rewrites O(churned shards), never the whole
-        # file list. Shards are written (tmp+rename) BEFORE the
-        # pointer links; a crash leaves orphan shards that vacuum
-        # reclaims, never a torn manifest.
-        remaining = set(files)
+        # file list. ``carry_shards`` is the planner fast path: the
+        # caller (sharded merge/delete) already KNOWS which parent
+        # shards carry wholesale, so the containment loop (which loads
+        # every parent shard) is skipped entirely — commit cost drops
+        # to O(changed entries + carried shard COUNT). The pointer
+        # records per-shard entry counts and per-column [lo, hi]
+        # ranges, so the NEXT planner prunes at shard granularity
+        # before opening any shard (Iceberg's manifest-list ranges).
+        # Shards are written (tmp+rename) BEFORE the pointer links; a
+        # crash leaves orphan shards that vacuum reclaims, never a
+        # torn manifest.
+        parent_pointer = (
+            read_manifest(path, parent, materialize=False) if parent else {}
+        )
+        parent_sstats = parent_pointer.get("shard_stats", {})
         reused: list[str] = []
-        if parent:
-            pm = read_manifest(path, parent, materialize=False)
-            for s in pm.get("shards", []):
-                names = [e["name"] for e in _load_shard(path, s)]
+        reused_stats: dict[str, dict] = {}
+        remaining = set(files)
+        if carry_shards is not None:
+            for s in carry_shards:
+                reused.append(s)
+                st = parent_sstats.get(s)
+                if st is None:  # pre-range-format shard: count on load
+                    entries = _load_shard(path, s)
+                    st = _shard_range_stats([e["name"] for e in entries],
+                                            {e["name"]: e.get("stats") for e in entries})
+                reused_stats[s] = st
+        else:
+            for s in parent_pointer.get("shards", []):
+                entries = _load_shard(path, s)
+                names = [e["name"] for e in entries]
                 if names and all(n in remaining for n in names):
                     reused.append(s)
                     remaining.difference_update(names)
+                    reused_stats[s] = parent_sstats.get(s) or _shard_range_stats(
+                        names, {e["name"]: e.get("stats") for e in entries}
+                    )
         fs = file_stats or {}
         new_shards: list[str] = []
+        new_sstats: dict[str, dict] = {}
         rem_sorted = sorted(remaining)
         token = uuid.uuid4().hex[:8]
         for i in range(0, len(rem_sorted), MANIFEST_SHARD_SIZE):
@@ -268,8 +312,12 @@ def _commit(
                 )
             os.rename(stmp, _shard_file(path, name))
             new_shards.append(name)
+            new_sstats[name] = _shard_range_stats(chunk, fs)
         manifest["shards"] = sorted(reused) + new_shards
-        manifest["n_files"] = len(files)
+        manifest["shard_stats"] = {**reused_stats, **new_sstats}
+        manifest["n_files"] = sum(
+            int(st.get("n", 0)) for st in reused_stats.values()
+        ) + len(rem_sorted)
     tmp = _manifest_path(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=str)
@@ -393,6 +441,13 @@ def merge_files(
         )
         return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
+    pointer = read_manifest(path, parent, materialize=False)
+    if "shards" in pointer:
+        return _merge_files_sharded(
+            spark, path, incoming, keys, order_col, pointer, parent,
+            txn=txn, extra=extra,
+        )
+
     manifest = read_manifest(path, parent)
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
@@ -480,6 +535,163 @@ def merge_files(
         "files_rewritten": len(touched),
         "files_kept": len(kept),
         "files_skipped": skipped,
+    }
+
+
+def _merge_files_sharded(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    pointer: dict,
+    parent: int,
+    txn: tuple[str, int] | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """MERGE against a SHARDED manifest without ever materializing the
+    full file list (the Iceberg planning shape, round 5):
+
+    1. shard pruning: the pointer's per-shard [lo, hi] ranges for the
+       prune key are joined (broadcast, shard-count-sized) against the
+       batch's distinct keys — shards whose range can't contain any
+       batch key are never OPENED, let alone their files;
+    2. file pruning + touched discovery run over the surviving shards'
+       entries only (the existing per-file stats + input_file_name
+       semi-join machinery);
+    3. commit carries every pruned shard BY NAME (``carry_shards``),
+       plus any loaded shard none of whose files were touched; only
+       shards actually holding touched files dissolve into new shards.
+
+    Driver cost per sync: O(shard count + loaded-shard entries +
+    touched files) — independent of total table file count.
+    """
+    prune_col = keys[0]
+    shard_stats = pointer.get("shard_stats", {})
+    all_shards = pointer["shards"]
+    data_dir = os.path.join(path, _DATA)
+
+    ranged = [
+        (s, shard_stats[s]["cols"][prune_col][0], shard_stats[s]["cols"][prune_col][1])
+        for s in all_shards
+        if prune_col in shard_stats.get(s, {}).get("cols", {})
+    ]
+    unranged = [s for s in all_shards if s not in {r[0] for r in ranged}]
+    if ranged:
+        key_type = dict(incoming.dtypes)[prune_col]
+        ranges_df = spark.createDataFrame(ranged, ["__s", "__lo", "__hi"]).select(
+            "__s",
+            F.col("__lo").cast(key_type).alias("__lo"),
+            F.col("__hi").cast(key_type).alias("__hi"),
+        )
+        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        hit = {
+            r[0]
+            for r in bkeys.join(
+                F.broadcast(ranges_df),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__s")
+            .distinct()
+            .collect()
+        }
+        loaded_shards = sorted(hit) + unranged
+    else:
+        loaded_shards = list(all_shards)
+    pruned_shards = [s for s in all_shards if s not in set(loaded_shards)]
+
+    # entries of surviving shards only; remember each entry's shard so
+    # untouched shards can still be carried whole
+    entry_shard: dict[str, str] = {}
+    fstats: dict[str, dict] = {}
+    for s in loaded_shards:
+        for e in _load_shard(path, s):
+            entry_shard[e["name"]] = s
+            if e.get("stats"):
+                fstats[e["name"]] = e["stats"]
+    cand_files = list(entry_shard)
+
+    # per-file skip + exact touched discovery (same machinery as the
+    # inline path, over the loaded subset only)
+    stats_rows = [
+        (f, fstats[f][prune_col][0], fstats[f][prune_col][1])
+        for f in cand_files
+        if f in fstats and prune_col in fstats[f]
+    ]
+    unstatted = [f for f in cand_files if f not in {r[0] for r in stats_rows}]
+    if stats_rows:
+        key_type = dict(incoming.dtypes)[prune_col]
+        stats_df = spark.createDataFrame(stats_rows, ["__f", "__lo", "__hi"]).select(
+            "__f",
+            F.col("__lo").cast(key_type).alias("__lo"),
+            F.col("__hi").cast(key_type).alias("__hi"),
+        )
+        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        candidates = [
+            r[0]
+            for r in bkeys.join(
+                F.broadcast(stats_df),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        ] + unstatted
+    else:
+        candidates = cand_files
+
+    if candidates:
+        with_file = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(data_dir, f) for f in candidates]
+        ).withColumn("__file", F.input_file_name())
+        touched = [
+            os.path.basename(r[0])
+            for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+    else:
+        touched = []
+    touched_set = set(touched)
+
+    # loaded shards with zero touched files carry whole too
+    dissolved = {entry_shard[f] for f in touched}
+    carried = pruned_shards + [s for s in loaded_shards if s not in dissolved]
+    kept_entries = [f for f, s in entry_shard.items() if s in dissolved and f not in touched_set]
+
+    if touched:
+        existing_touched = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(data_dir, f) for f in touched]
+        )
+        existing_touched, incoming_aligned = _align_schemas(existing_touched, incoming)
+        merged = apply_upsert(existing_touched, incoming_aligned, keys=keys, order_col=order_col)
+    else:
+        merged = upsert_latest(incoming, keys=keys, order_col=order_col)
+    new_files, new_fstats = _write_data_files(merged, path, parent + 1, stats_cols=(prune_col,))
+    version = _commit(
+        path,
+        kept_entries + new_files,
+        "merge",
+        {
+            "files_rewritten": len(touched),
+            "files_written": len(new_files),
+            "shards_pruned": len(pruned_shards),
+            "shards_carried": len(carried),
+            "shards_loaded": len(loaded_shards),
+        },
+        file_stats={**{f: fstats[f] for f in kept_entries if f in fstats}, **new_fstats},
+        txn=txn,
+        extra=extra,
+        expect_parent=parent,
+        carry_shards=carried,
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_kept": len(kept_entries),
+        "shards_pruned": len(pruned_shards),
+        "shards_carried": len(carried),
     }
 
 

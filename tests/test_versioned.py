@@ -763,3 +763,66 @@ def test_sharded_manifest_bounded_commit_and_reuse(spark, tmp_path):
     assert V.read_manifest(path, 3)["files"] == sorted(survivors)
     on_disk = [f for f in os.listdir(V._manifest_dir(path)) if f.startswith("m-")]
     assert sorted(on_disk) == sorted(json.load(open(V._manifest_path(path, 3)))["shards"])
+
+
+def test_sharded_merge_prunes_shards_and_carries_by_name(spark, tmp_path, monkeypatch):
+    """Round-5 shard-range planning: a MERGE against a sharded
+    manifest must (1) never open shards whose key range excludes the
+    batch, (2) carry pruned/untouched shards BY NAME, (3) produce the
+    same table contents as a dict model — with driver cost bounded by
+    loaded shards, not total files."""
+    import json
+
+    monkeypatch.setattr(V, "MANIFEST_SHARD_SIZE", 4)
+    path = str(tmp_path / "t")
+    # 40 keys range-clustered into 20 files -> 5 shards of 4 entries
+    df = (
+        spark.range(40)
+        .selectExpr("id AS product_id", "CAST(id AS DOUBLE) AS base_price",
+                    "CAST(1 AS LONG) AS version")
+        .repartitionByRange(20, "product_id")
+    )
+    V.commit_snapshot(df, path, op="bootstrap", stats_cols=("product_id",))
+    p1 = json.load(open(V._manifest_path(path, 1)))
+    assert len(p1["shards"]) == 5 and p1["n_files"] == 20
+    assert all("cols" in st and "product_id" in st["cols"] for st in p1["shard_stats"].values())
+
+    # narrow batch touching keys 0-1 (one file, one shard) + insert 100
+    batch = spark.createDataFrame(
+        [(0, 999.0, 2), (1, 111.0, 2), (100, 1.0, 2)], SCHEMA
+    )
+    res = V.merge_files(spark, path, batch, keys=["product_id"], order_col="version")
+    assert res["shards_pruned"] >= 3, res
+    assert res["files_rewritten"] == 1, res
+    p2 = json.load(open(V._manifest_path(path, 2)))
+    reused = set(p1["shards"]) & set(p2["shards"])
+    assert len(reused) >= 4, "pruned/untouched shards must carry by name"
+    # pointer count == materialized entry count == 16 carried + 3 kept
+    # from the dissolved shard + the merge-output file(s)
+    m2 = V.read_manifest(path, 2)
+    assert p2["n_files"] == len(m2["files"]) >= 20
+    assert res["files_kept"] == 3
+
+    got = {r.product_id: r.base_price for r in V.read_version(spark, path).collect()}
+    assert got[0] == 999.0 and got[1] == 111.0 and got[100] == 1.0
+    assert got[7] == 7.0 and len(got) == 41
+
+    # second merge against the carried pointer still plans correctly
+    res2 = V.merge_files(
+        spark, path,
+        spark.createDataFrame([(39, 390.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert res2["shards_pruned"] >= 3
+    got = {r.product_id: r.base_price for r in V.read_version(spark, path).collect()}
+    assert got[39] == 390.0 and len(got) == 41
+
+    # time travel across sharded commits intact
+    assert V.read_version(spark, path, 1).count() == 40
+
+    # CDC across the sharded merge still derives only real changes
+    d12 = {
+        (r.product_id, r.change_type)
+        for r in V.changes_between(spark, path, ["product_id"], 1, 2).collect()
+    }
+    assert d12 == {(0, "update"), (1, "update"), (100, "insert")}
