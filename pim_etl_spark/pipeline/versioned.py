@@ -1307,6 +1307,190 @@ def incremental_rollup_update(
     )
 
 
+def incremental_rollup_update_with_minmax(
+    rollup: DataFrame,
+    changes: DataFrame,
+    base_now: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    minmax_col: str,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """IVM extended to NON-additive measures (round 5): counts/sums
+    fold from the CDC delta as before (O(changes)); min/max cannot be
+    maintained from deltas alone (deleting a group's minimum says
+    nothing about the runner-up), so the AFFECTED groups — exactly
+    those appearing on either side of the change feed, including both
+    ends of a group migration — are re-aggregated from the current
+    base, reached via a broadcast semi-join. Unaffected groups keep
+    their stored min/max untouched.
+
+    Cost per refresh: O(changes + rows of affected groups), never a
+    full rescan — at 100 TB a sync touching 3 of 10⁶ groups re-reads
+    those 3 groups' rows only (with the base clustered on the group
+    key, that is a handful of files via data skipping).
+
+    ``rollup`` must carry ``min_<col>`` / ``max_<col>`` columns;
+    returns the same shape."""
+    mn, mx = f"min_{minmax_col}", f"max_{minmax_col}"
+    additive = incremental_rollup_update(
+        rollup.drop(mn, mx), changes, group_cols=group_cols,
+        sum_cols=sum_cols, count_col=count_col,
+    )
+    affected = (
+        changes.select(
+            F.explode(
+                F.array(
+                    F.struct(*[F.col(f"old_{g}").alias(g) for g in group_cols]),
+                    F.struct(*[F.col(f"new_{g}").alias(g) for g in group_cols]),
+                )
+            ).alias("g")
+        )
+        .select("g.*")
+        .na.drop()
+        .distinct()
+    )
+    rescan = (
+        base_now.join(F.broadcast(affected), list(group_cols), "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(minmax_col).alias(f"__re_{mn}"),
+            F.max(minmax_col).alias(f"__re_{mx}"),
+        )
+        .withColumn("__rescanned", F.lit(1))
+    )
+    prev = rollup.select(
+        *group_cols, F.col(mn).alias(f"__old_{mn}"), F.col(mx).alias(f"__old_{mx}")
+    )
+    return (
+        additive.join(rescan, list(group_cols), "left")
+        .join(prev, list(group_cols), "left")
+        .select(
+            *group_cols,
+            count_col,
+            *sum_cols,
+            F.when(F.col("__rescanned") == 1, F.col(f"__re_{mn}"))
+            .otherwise(F.col(f"__old_{mn}"))
+            .alias(mn),
+            F.when(F.col("__rescanned") == 1, F.col(f"__re_{mx}"))
+            .otherwise(F.col(f"__old_{mx}"))
+            .alias(mx),
+        )
+    )
+
+
+@query(
+    "incremental_rollup_minmax",
+    oracle="""
+    -- final-state twin of min/max-bearing IVM over the same %4
+    -- lifecycle (bootstrap -> MERGE -> DELETE): the engine must reach
+    -- this by folding CDC deltas for count/sum and re-aggregating
+    -- ONLY affected groups for min/max — a stale min after the delete
+    -- of a group's minimum diverges immediately
+    WITH final_state AS (
+      SELECT o_orderkey % 10 AS grp,
+             CASE WHEN o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS total_price,
+           round(min(price), 2) AS min_price,
+           round(max(price), 2) AS max_price
+    FROM final_state
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def incremental_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max-bearing IVM under the hash gate (round 5): maintain a
+    per-group rollup carrying count, sum, min AND max through the
+    MERGE + DELETE lifecycle — additive measures fold from the CDC
+    value feed, min/max re-aggregate only the affected groups from the
+    current snapshot (`incremental_rollup_update_with_minmax`). The
+    oracle aggregates the final state directly; a min kept stale after
+    its row was deleted, or a max missed on group migration, breaks
+    the hash."""
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).alias("grp"),
+            "o_totalprice",
+            "o_orderdate",
+        )
+        .filter(F.col("o_orderkey") % 4 == 1)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-ivm2-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01")
+        v1 = pre.select(
+            "o_orderkey", "grp", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(4, "o_orderkey")
+        commit_snapshot(v1, tbl, op="bootstrap", stats_cols=("o_orderkey",))
+        rollup = (
+            read_version(spark, tbl, 1)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("o_totalprice").alias("o_totalprice"),
+                F.min("o_totalprice").alias("min_o_totalprice"),
+                F.max("o_totalprice").alias("max_o_totalprice"),
+            )
+        )
+
+        inserts = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            "o_orderkey", "grp", "o_totalprice", F.lit(2).cast("long").alias("version")
+        )
+        updates = pre.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "grp",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+        )
+        merge_files(
+            spark, tbl, inserts.unionByName(updates), keys=["o_orderkey"], order_col="version"
+        )
+        delete_where(spark, tbl, F.col("o_orderkey") % 5 == 0)
+
+        for from_v, to_v in ((1, 2), (2, 3)):
+            changes = changes_between(
+                spark, tbl, ["o_orderkey"], from_v, to_v, with_values=True
+            )
+            rollup = incremental_rollup_update_with_minmax(
+                rollup, changes, read_version(spark, tbl, to_v),
+                group_cols=("grp",), sum_cols=("o_totalprice",),
+                minmax_col="o_totalprice", count_col="n_orders",
+            )
+
+        rows = [
+            (
+                r["grp"], r["n_orders"], float(r["o_totalprice"]),
+                float(r["min_o_totalprice"]), float(r["max_o_totalprice"]),
+            )
+            for r in rollup.collect()
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows,
+            "grp bigint, n_orders bigint, total_price double, min_price double, max_price double",
+        )
+        .select(
+            "grp", "n_orders",
+            F.round("total_price", 2).alias("total_price"),
+            F.round("min_price", 2).alias("min_price"),
+            F.round("max_price", 2).alias("max_price"),
+        )
+        .orderBy("grp")
+    )
+
+
 @query(
     "incremental_rollup_maintenance",
     oracle="""
