@@ -1775,6 +1775,180 @@ def refresh_rollup(
     return {"rollup_version": version, "base_versions_applied": applied, "bootstrapped": False}
 
 
+def sync_replica(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: Sequence[str],
+    order_col: str,
+) -> dict:
+    """Maintain a downstream REPLICA of a versioned table from its
+    commit log (round 5) — the row-level sibling of ``refresh_rollup``:
+    per refresh, the NET change between the replica's watermark and the
+    source head is derived once (``changes_between`` — O(changed
+    files), intermediate versions are never replayed individually),
+    then applied as one MERGE of the insert/update rows plus one
+    copy-on-write DELETE of the deleted keys. The (app, version)
+    watermark commits atomically with the data, so a crashed or
+    re-run refresh never double-applies.
+
+    This is how a 100 TB lake fans out: downstream marts subscribe to
+    the gold table's log and pay O(their delta), never O(table), per
+    refresh. First call bootstraps with a full snapshot copy."""
+    app_id = f"replica:{os.path.abspath(src_path)}"
+    src_head = current_version(src_path)
+    done = last_txn_version(dst_path, app_id)
+    if done < 0:
+        boot = read_version(spark, src_path)
+        files, fstats = _write_data_files(boot, dst_path, 1, stats_cols=(keys[0],))
+        _commit(
+            dst_path, files, "replica-bootstrap", {"files_written": len(files)},
+            file_stats=fstats, txn=(app_id, src_head), expect_parent=0,
+        )
+        return {"bootstrapped": True, "applied_through": src_head,
+                "replica_version": current_version(dst_path)}
+    if done >= src_head:
+        return {"bootstrapped": False, "applied_through": done,
+                "replica_version": current_version(dst_path)}
+
+    try:
+        net = changes_between(
+            spark, src_path, keys, done, src_head, with_values=True
+        ).localCheckpoint(eager=True)  # one derivation feeds both ops
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(
+            f"replica {dst_path!r} is at source version {done} but "
+            f"{src_path!r} no longer retains that manifest (vacuumed). "
+            f"Delete the replica and re-run to re-bootstrap, and size "
+            f"vacuum keep_last above the replication cadence."
+        ) from exc
+    src_now = read_version(spark, src_path, src_head)
+    upserts = src_now.join(
+        net.filter(F.col("change_type") != "delete").select(*keys),
+        list(keys),
+        "left_semi",
+    )
+    deleted_keys = net.filter(F.col("change_type") == "delete").select(*keys)
+    n_del = deleted_keys.count()
+    n_up = upserts.limit(1).count()
+    if n_up > 0:
+        merge_files(
+            spark, dst_path, upserts, keys=keys, order_col=order_col,
+            txn=(app_id, src_head) if n_del == 0 else None,
+        )
+    if n_del > 0:
+        # keyed COW delete; the txn watermark rides the FINAL commit of
+        # the refresh so a crash between merge and delete re-runs both
+        # (idempotent: the merge re-applies the same values, the
+        # repeated delete matches nothing)
+        doomed = [tuple(r) for r in deleted_keys.collect()]  # delta-sized
+        if len(keys) == 1:
+            pred = F.col(keys[0]).isin([t[0] for t in doomed])
+        else:
+            from functools import reduce
+
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(k) == F.lit(t[i]) for i, k in enumerate(keys)],
+                    )
+                    for t in doomed
+                ],
+            )
+        delete_where(spark, dst_path, pred)
+    if n_del > 0 or n_up == 0:
+        # stamp the watermark as its own metadata-only commit (same
+        # file list) — also covers a net-empty range (rollback chains)
+        head = read_manifest(dst_path, current_version(dst_path))
+        _commit(
+            dst_path, head["files"], "replica-watermark", {},
+            file_stats=head.get("file_stats", {}), txn=(app_id, src_head),
+        )
+    return {"bootstrapped": False, "applied_through": src_head,
+            "replica_version": current_version(dst_path)}
+
+
+@query(
+    "versioned_replica_sync",
+    oracle="""
+    -- final source state of the %4 lifecycle, which the REPLICA must
+    -- equal after catching up purely from the CDC log (bootstrap at
+    -- v1, then one net refresh over the MERGE + DELETE); the
+    -- replica_matches_source flag pins row-for-row equality
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate < DATE '1998-01-01' AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS total_price,
+           TRUE AS replica_matches_source
+    FROM final_state
+    """,
+)
+def versioned_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replica maintenance under the hash gate (round 5):
+    bootstrap a replica at source v1, run the source through the
+    MERGE + DELETE lifecycle, then one ``sync_replica`` refresh must
+    bring the replica row-for-row equal to the source head — applying
+    only the NET delta (one merge + one keyed delete), never replaying
+    the table. The oracle recomputes the final state closed-form and
+    asserts the equality flag."""
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 1)  # see gold_time_travel_diff
+    )
+    src = tempfile.mkdtemp(prefix="pim-repl-src-")
+    dst = tempfile.mkdtemp(prefix="pim-repl-dst-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01")
+        v1 = pre.select(
+            "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(4, "o_orderkey")
+        commit_snapshot(v1, src, op="bootstrap", stats_cols=("o_orderkey",))
+        sync_replica(spark, src, dst, keys=["o_orderkey"], order_col="version")
+
+        inserts = orders.filter(F.col("o_orderdate") >= "1998-01-01").select(
+            "o_orderkey", "o_totalprice", F.lit(2).cast("long").alias("version")
+        )
+        updates = pre.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+        )
+        merge_files(
+            spark, src, inserts.unionByName(updates), keys=["o_orderkey"], order_col="version"
+        )
+        delete_where(spark, src, F.col("o_orderkey") % 5 == 0)
+
+        sync_replica(spark, src, dst, keys=["o_orderkey"], order_col="version")
+
+        rep = read_version(spark, dst).select("o_orderkey", "o_totalprice")
+        src_now = read_version(spark, src).select("o_orderkey", "o_totalprice")
+        matches = (
+            rep.exceptAll(src_now).limit(1).count() == 0
+            and src_now.exceptAll(rep).limit(1).count() == 0
+        )
+        stats = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        ).collect()[0]
+        rows = [(stats["n"], float(stats["s"]), matches)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, total_price double, replica_matches_source boolean"
+    )
+
+
 def commit_snapshot_txn(df: DataFrame, path: str, app_id: str, txn_version: int) -> int:
     """Full-snapshot commit carrying a txn watermark (the derived-table
     form: the snapshot and its source-progress marker are one atomic

@@ -826,3 +826,51 @@ def test_sharded_merge_prunes_shards_and_carries_by_name(spark, tmp_path, monkey
         for r in V.changes_between(spark, path, ["product_id"], 1, 2).collect()
     }
     assert d12 == {(0, "update"), (1, "update"), (100, "insert")}
+
+
+def test_sync_replica_applies_net_delta_exactly_once(spark, tmp_path):
+    """Round-5 replica maintenance: bootstrap, then one refresh applies
+    the NET of several source commits (merge + keyed delete); a re-run
+    is a watermark no-op; the replica always equals the source head."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _bootstrap(spark, src, n=20, files=2)
+    r1 = V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+    assert r1["bootstrapped"]
+    assert _rows(V.read_version(spark, dst)) == _rows(V.read_version(spark, src))
+
+    # three source commits before the next refresh: update, insert, delete
+    V.merge_files(
+        spark, src, spark.createDataFrame([(0, 99.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.merge_files(
+        spark, src, spark.createDataFrame([(100, 1.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.delete_where(spark, src, F.col("product_id") == 5)
+
+    r2 = V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+    assert not r2["bootstrapped"] and r2["applied_through"] == 4
+    got = _rows(V.read_version(spark, dst))
+    assert got == _rows(V.read_version(spark, src))
+    assert got[0] == (99.0, 2) and got[100] == (1.0, 2) and 5 not in got
+
+    # idempotent: nothing new → watermark no-op, version unchanged
+    v_before = V.current_version(dst)
+    r3 = V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+    assert r3["applied_through"] == 4 and V.current_version(dst) == v_before
+
+    # vacuumed-past-watermark → actionable error
+    import pytest
+
+    for step in (5, 6, 7):
+        V.merge_files(
+            spark, src, spark.createDataFrame([(1, float(step), step)], SCHEMA),
+            keys=["product_id"], order_col="version",
+        )
+    V.vacuum(src, keep_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
