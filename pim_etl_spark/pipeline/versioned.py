@@ -61,6 +61,18 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version:06d}.json")
 
 
+def _entry_path(table_path: str, name: str) -> str:
+    """Resolve a manifest entry to its on-disk location: plain names
+    live in this table's ``data/``; ABSOLUTE names reference another
+    table's data files — the zero-copy mechanism behind
+    ``shallow_clone`` (Delta/Iceberg shallow CLONE: the clone's
+    manifest points at the source's immutable files; the first write
+    that touches one rewrites it locally, copy-on-write)."""
+    if os.path.isabs(name):
+        return name
+    return os.path.join(table_path, _DATA, name)
+
+
 def current_version(path: str) -> int:
     """Highest committed snapshot number; 0 if the table is empty."""
     mdir = _manifest_dir(path)
@@ -371,8 +383,7 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
     v = current_version(path) if version is None else version
     if v == 0:
         return []
-    data_dir = os.path.join(path, _DATA)
-    return [os.path.join(data_dir, f) for f in read_manifest(path, v)["files"]]
+    return [_entry_path(path, f) for f in read_manifest(path, v)["files"]]
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -487,11 +498,12 @@ def merge_files(
     skipped = len(parent_files) - len(candidates)
 
     if candidates:
+        by_base = {os.path.basename(_entry_path(path, f)): f for f in candidates}
         with_file = spark.read.parquet(
-            *[os.path.join(data_dir, f) for f in candidates]
+            *[_entry_path(path, f) for f in candidates]
         ).withColumn("__file", F.input_file_name())
         touched = [
-            os.path.basename(r[0])
+            by_base[os.path.basename(r[0])]
             for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
             .select("__file")
             .distinct()
@@ -503,7 +515,7 @@ def merge_files(
     kept = [f for f in parent_files if f not in touched_set]
     if touched:
         existing_touched = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(data_dir, f) for f in touched]
+            *[_entry_path(path, f) for f in touched]
         )
         # schema evolution: a batch may add columns (old rows get NULL)
         # or omit columns (batch rows get NULL) — align both sides
@@ -641,11 +653,12 @@ def _merge_files_sharded(
         candidates = cand_files
 
     if candidates:
+        by_base = {os.path.basename(_entry_path(path, f)): f for f in candidates}
         with_file = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(data_dir, f) for f in candidates]
+            *[_entry_path(path, f) for f in candidates]
         ).withColumn("__file", F.input_file_name())
         touched = [
-            os.path.basename(r[0])
+            by_base[os.path.basename(r[0])]
             for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
             .select("__file")
             .distinct()
@@ -662,7 +675,7 @@ def _merge_files_sharded(
 
     if touched:
         existing_touched = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(data_dir, f) for f in touched]
+            *[_entry_path(path, f) for f in touched]
         )
         existing_touched, incoming_aligned = _align_schemas(existing_touched, incoming)
         merged = apply_upsert(existing_touched, incoming_aligned, keys=keys, order_col=order_col)
@@ -743,11 +756,12 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     # rewritten survivor files — permanent data loss
     with_file = (
         spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(data_dir, f) for f in scan_files])
+        .parquet(*[_entry_path(path, f) for f in scan_files])
         .withColumn("__file", F.input_file_name())
     )
+    by_base = {os.path.basename(_entry_path(path, f)): f for f in scan_files}
     touched = [
-        os.path.basename(r[0])
+        by_base[os.path.basename(r[0])]
         for r in with_file.filter(predicate).select("__file").distinct().collect()
     ]
     touched_set = set(touched)
@@ -759,7 +773,7 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     if touched:
         survivors = (
             spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(data_dir, f) for f in touched])
+            .parquet(*[_entry_path(path, f) for f in touched])
             .filter(~predicate)
         )
         stats_cols = tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
@@ -807,7 +821,7 @@ def changes_between(
             # commit; a sampled footer schema would null out evolved
             # columns and fabricate spurious 'update' rows in the feed
             return spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(data_dir, f) for f in files]
+                *[_entry_path(path, f) for f in files]
             )
         return read_version(spark, path, template_version).limit(0)
 
@@ -1773,6 +1787,37 @@ def refresh_rollup(
         return {"rollup_version": current_version(rollup_path), "base_versions_applied": [], "bootstrapped": False}
     version = commit_snapshot_txn(rollup, rollup_path, app_id, base_head)
     return {"rollup_version": version, "base_versions_applied": applied, "bootstrapped": False}
+
+
+def shallow_clone(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """Zero-copy CLONE (round 5 — Delta/Iceberg SHALLOW CLONE): create
+    a new versioned table whose first snapshot references the SOURCE
+    table's immutable data files by absolute path. No data moves; the
+    clone is writable immediately — any merge/delete that touches a
+    referenced file rewrites it LOCALLY (copy-on-write via
+    ``_entry_path``), so the clone diverges file-by-file while
+    untouched files stay shared. The dev/test-fork primitive: fork
+    100 TB in milliseconds, experiment, throw away.
+
+    Caveat (same as Delta): ``vacuum`` on the SOURCE does not know
+    about clones — size source retention above clone lifetime, or
+    deep-copy with ``commit_snapshot`` for long-lived forks. The
+    clone's own vacuum can never delete source files (absolute entries
+    are invisible to its data-dir GC)."""
+    v = current_version(src_path) if version is None else version
+    m = read_manifest(src_path, v)
+    abs_files = [_entry_path(src_path, f) for f in m["files"]]
+    abs_stats = {
+        _entry_path(src_path, f): st for f, st in m.get("file_stats", {}).items()
+    }
+    return _commit(
+        dst_path,
+        abs_files,
+        f"clone({src_path}@v{v})",
+        {"cloned_files": len(abs_files)},
+        file_stats=abs_stats,
+        expect_parent=current_version(dst_path),
+    )
 
 
 def sync_replica(

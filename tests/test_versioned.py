@@ -874,3 +874,49 @@ def test_sync_replica_applies_net_delta_exactly_once(spark, tmp_path):
     V.vacuum(src, keep_last=1, min_age_seconds=0)
     with pytest.raises(FileNotFoundError, match="re-bootstrap"):
         V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+
+
+def test_shallow_clone_zero_copy_then_cow_diverge(spark, tmp_path):
+    """Round-5 CLONE: the clone's first snapshot references the
+    source's files by absolute path (zero data copied); a merge into
+    the clone rewrites only the touched shared file LOCALLY; the
+    source is untouched; each table's vacuum stays in its own lane."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _bootstrap(spark, src, n=40, files=4)
+    v = V.shallow_clone(src, dst)
+    assert v == 1
+    assert not os.path.isdir(os.path.join(dst, "data")) or not os.listdir(
+        os.path.join(dst, "data")
+    )  # zero data files copied
+    assert _rows(V.read_version(spark, dst)) == _rows(V.read_version(spark, src))
+
+    # write into the clone: COW rewrites one shared file locally
+    res = V.merge_files(
+        spark, dst, spark.createDataFrame([(0, 999.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    assert res["files_rewritten"] == 1 and res["files_skipped"] == 3
+    got = _rows(V.read_version(spark, dst))
+    assert got[0] == (999.0, 2) and got[39] == (39.0, 1) and len(got) == 40
+    # source is untouched
+    assert _rows(V.read_version(spark, src))[0] == (0.0, 1)
+    # clone's v2 mixes local rewrites with still-shared absolute entries
+    m2 = V.read_manifest(dst, 2)
+    assert sum(1 for f in m2["files"] if os.path.isabs(f)) == 3
+    assert sum(1 for f in m2["files"] if not os.path.isabs(f)) >= 1
+
+    # a keyed delete through the shared entries also works
+    V.delete_where(spark, dst, F.col("product_id") == 35)
+    assert V.read_version(spark, dst).count() == 39
+
+    # the clone's vacuum never reaches into the source's data dir
+    src_files_before = set(os.listdir(os.path.join(src, "data")))
+    res = V.vacuum(dst, keep_last=1, min_age_seconds=0)
+    assert set(os.listdir(os.path.join(src, "data"))) == src_files_before
+    assert V.read_version(spark, dst).count() == 39
+    assert _rows(V.read_version(spark, src)) == {
+        k: (float(k), 1) for k in range(40)
+    }
