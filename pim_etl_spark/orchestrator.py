@@ -278,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
         "--action",
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
-            "history", "rollback", "vacuum", "refresh-rollup",
+            "history", "rollback", "vacuum", "refresh-rollup", "clone", "replicate",
         ],
         default="sync",
     )
@@ -301,6 +301,10 @@ def main(argv: list[str] | None = None) -> int:
         "(protects in-flight writers; 0 only with exclusive access)",
     )
     parser.add_argument("--rollup", default=None, help="refresh-rollup: derived table path")
+    parser.add_argument(
+        "--to", dest="to_path", default=None,
+        help="clone/replicate: destination versioned-table path",
+    )
     parser.add_argument(
         "--group-by", default="supplier_id", help="refresh-rollup: comma-separated group columns"
     )
@@ -346,10 +350,15 @@ def main(argv: list[str] | None = None) -> int:
         args.supplier = cfg["suppliers"][0] if len(cfg["suppliers"]) == 1 else None
 
     # manifest-only actions need no SparkSession at all
-    if args.action in ("history", "rollback", "vacuum"):
+    if args.action in ("history", "rollback", "vacuum", "clone"):
         from pim_etl_spark.pipeline import versioned as V
 
-        if args.action == "history":
+        if args.action == "clone":
+            if not args.to_path:
+                parser.error("--action clone requires --to DEST")
+            v = V.shallow_clone(args.gold, args.to_path, version=args.to_version)
+            out = {"status": "success", "cloned": args.gold, "to": args.to_path, "version": v}
+        elif args.action == "history":
             out = {"status": "success", "history": V.history(args.gold)}
         elif args.action == "rollback":
             if args.to_version is None:
@@ -379,6 +388,18 @@ def main(argv: list[str] | None = None) -> int:
             quarantine=args.quarantine,
             versioned=args.versioned,
         )
+    elif args.action == "replicate":
+        if not args.to_path:
+            parser.error("--action replicate requires --to DEST")
+        from pim_etl_spark.pipeline import versioned as V
+
+        out = {
+            "status": "success",
+            **V.sync_replica(
+                spark, args.gold, args.to_path,
+                keys=["product_id"], order_col="last_sync",
+            ),
+        }
     elif args.action == "refresh-rollup":
         from pim_etl_spark.pipeline import versioned as V
 

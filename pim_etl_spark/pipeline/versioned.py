@@ -1857,9 +1857,15 @@ def sync_replica(
                 "replica_version": current_version(dst_path)}
 
     try:
+        # keys + change_type ONLY: the replica pulls row VALUES from
+        # the source head via a semi-join, so the wide old_/new_ value
+        # projection is never built (on a many-nested-column gold
+        # schema that projection's codegen alone can exhaust the
+        # driver heap). The narrow frame is checkpointed once and
+        # feeds both the merge and the delete.
         net = changes_between(
-            spark, src_path, keys, done, src_head, with_values=True
-        ).localCheckpoint(eager=True)  # one derivation feeds both ops
+            spark, src_path, keys, done, src_head, with_values=False
+        ).localCheckpoint(eager=True)
     except FileNotFoundError as exc:
         raise FileNotFoundError(
             f"replica {dst_path!r} is at source version {done} but "

@@ -210,3 +210,29 @@ def test_cli_vacuum_retention_flag(spark, landed, tmp_path):
     ]) == 0
     assert len(os.listdir(os.path.join(gold, "data"))) < n_before
     assert V.read_version(spark, gold).count() == 12
+
+
+def test_cli_clone_and_replicate_actions(spark, landed, tmp_path):
+    """CLI surface for the round-5 lakehouse ops: shallow clone (zero
+    data copied, metadata-only — no SparkSession needed) and CDC
+    replica refresh."""
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "vgold")
+    clone = str(tmp_path / "vclone")
+    replica = str(tmp_path / "vreplica")
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+
+    assert main(["--action", "clone", "--gold", gold, "--to", clone]) == 0
+    assert V.read_version(spark, clone).count() == 12
+    assert not os.listdir(os.path.join(clone, "data")) if os.path.isdir(
+        os.path.join(clone, "data")
+    ) else True
+
+    assert main(["--action", "replicate", "--gold", gold, "--to", replica]) == 0
+    assert V.read_version(spark, replica).count() == 12
+    # second source sync + refresh keeps the replica at head
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    assert main(["--action", "replicate", "--gold", gold, "--to", replica]) == 0
+    assert V.read_version(spark, replica).count() == 12
