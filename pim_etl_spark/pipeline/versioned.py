@@ -789,6 +789,62 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     return {"version": version, "files_rewritten": len(touched), "files_kept": len(kept)}
 
 
+def delete_matching(
+    spark: SparkSession, path: str, match_df: DataFrame, keys: Sequence[str]
+) -> dict:
+    """Copy-on-write DELETE driven by a DataFrame of keys (round 5):
+    the set-oriented sibling of ``delete_where`` for when the doomed
+    keys are themselves the output of a computation (CDC deletes,
+    GDPR erasure lists). Touched files are discovered with a
+    LEFT SEMI join, survivors with a LEFT ANTI join — the key set
+    never reaches the driver, so a million-key erasure costs the same
+    plan as a ten-key one (a predicate formulation would inline the
+    keys as an `isin` literal list: a giant expression tree AND a
+    driver-side collect)."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    manifest = read_manifest(path, parent)
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
+
+    match_keys = match_df.select(*keys).distinct()
+    by_base = {os.path.basename(_entry_path(path, f)): f for f in parent_files}
+    with_file = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[_entry_path(path, f) for f in parent_files])
+        .withColumn("__file", F.input_file_name())
+    )
+    touched = [
+        by_base[os.path.basename(r[0])]
+        for r in with_file.join(match_keys, list(keys), "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    touched_set = set(touched)
+    kept = [f for f in parent_files if f not in touched_set]
+    new_files: list[str] = []
+    new_fstats: dict = {}
+    if touched:
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_entry_path(path, f) for f in touched])
+            .join(match_keys, list(keys), "left_anti")
+        )
+        stats_cols = tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
+        new_files, new_fstats = _write_data_files(survivors, path, parent + 1, stats_cols=stats_cols)
+    version = _commit(
+        path,
+        kept + new_files,
+        "delete",
+        {"files_rewritten": len(touched), "files_kept": len(kept)},
+        file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
+        expect_parent=parent,
+    )
+    return {"version": version, "files_rewritten": len(touched), "files_kept": len(kept)}
+
+
 def changes_between(
     spark: SparkSession,
     path: str,
@@ -1888,27 +1944,12 @@ def sync_replica(
             txn=(app_id, src_head) if n_del == 0 else None,
         )
     if n_del > 0:
-        # keyed COW delete; the txn watermark rides the FINAL commit of
-        # the refresh so a crash between merge and delete re-runs both
+        # set-oriented COW delete (the key set never reaches the
+        # driver); the txn watermark rides the FINAL commit of the
+        # refresh so a crash between merge and delete re-runs both
         # (idempotent: the merge re-applies the same values, the
         # repeated delete matches nothing)
-        doomed = [tuple(r) for r in deleted_keys.collect()]  # delta-sized
-        if len(keys) == 1:
-            pred = F.col(keys[0]).isin([t[0] for t in doomed])
-        else:
-            from functools import reduce
-
-            pred = reduce(
-                lambda a, b: a | b,
-                [
-                    reduce(
-                        lambda a, b: a & b,
-                        [F.col(k) == F.lit(t[i]) for i, k in enumerate(keys)],
-                    )
-                    for t in doomed
-                ],
-            )
-        delete_where(spark, dst_path, pred)
+        delete_matching(spark, dst_path, deleted_keys, keys)
     if n_del > 0 or n_up == 0:
         # stamp the watermark as its own metadata-only commit (same
         # file list) — also covers a net-empty range (rollback chains)
@@ -1981,17 +2022,21 @@ def versioned_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         sync_replica(spark, src, dst, keys=["o_orderkey"], order_col="version")
 
-        rep = read_version(spark, dst).select("o_orderkey", "o_totalprice")
-        src_now = read_version(spark, src).select("o_orderkey", "o_totalprice")
-        matches = (
-            rep.exceptAll(src_now).limit(1).count() == 0
-            and src_now.exceptAll(rep).limit(1).count() == 0
-        )
-        stats = rep.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("s"),
-        ).collect()[0]
-        rows = [(stats["n"], float(stats["s"]), matches)]
+        # row-for-row equality via multiset fingerprint: equal counts +
+        # equal XOR of per-row hashes (order-insensitive, one agg per
+        # side — the exceptAll formulation costs four shuffles and was
+        # the bench-dominant step of this entry)
+        def fp(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("o_orderkey", "o_totalprice")).alias("x"),
+                F.round(F.sum("o_totalprice"), 2).alias("s"),
+            ).collect()[0]
+
+        rep = fp(read_version(spark, dst).select("o_orderkey", "o_totalprice"))
+        src_fp = fp(read_version(spark, src).select("o_orderkey", "o_totalprice"))
+        matches = rep["n"] == src_fp["n"] and rep["x"] == src_fp["x"]
+        rows = [(rep["n"], float(rep["s"]), matches)]
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)

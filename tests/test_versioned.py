@@ -920,3 +920,22 @@ def test_shallow_clone_zero_copy_then_cow_diverge(spark, tmp_path):
     assert _rows(V.read_version(spark, src)) == {
         k: (float(k), 1) for k in range(40)
     }
+
+
+def test_delete_matching_keyset_stays_distributed(spark, tmp_path):
+    """Round-5 set-oriented DELETE: doomed keys arrive as a DataFrame
+    (CDC deletes, GDPR lists) — touched files via LEFT SEMI, survivors
+    via LEFT ANTI, no driver-side key list, prior versions intact."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    doomed = spark.range(10).selectExpr("id * 4 AS product_id")  # 0,4,...,36
+    res = V.delete_matching(spark, path, doomed, keys=["product_id"])
+    assert res["files_rewritten"] == 4  # every range file holds a multiple of 4
+    got = _rows(V.read_version(spark, path))
+    assert len(got) == 30 and all(k % 4 != 0 for k in got)
+    assert V.read_version(spark, path, 1).count() == 40
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        V.delete_matching(spark, str(tmp_path / "none"), doomed, keys=["product_id"])
