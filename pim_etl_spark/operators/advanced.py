@@ -854,3 +854,52 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("col")
     )
+
+
+@query(
+    "hierarchy_ancestor_rollup",
+    oracle="""
+    -- recursive-CTE hierarchy walk (the BOM/org-chart/category-tree
+    -- query class): every doc climbs its binary-ancestor chain
+    -- (parent = id // 2) to the root; per-depth path counts and id
+    -- sums are exact. Both engines execute a native WITH RECURSIVE.
+    WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT a.doc_id, a.anc_id // 2, a.depth + 1 FROM anc a WHERE a.anc_id > 0
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(sum(anc_id) AS BIGINT) AS sum_anc_ids
+    FROM anc GROUP BY depth ORDER BY depth
+    """,
+)
+def hierarchy_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal via Spark 4's native
+    ``WITH RECURSIVE`` (round 5) — the declarative answer to
+    BOM explosion / category-tree / org-chart queries that previously
+    needed an iterative driver loop (the `duplicate_clusters` shape).
+    A deterministic binary tree over doc ids (parent = id DIV 2)
+    stands in for the hierarchy; each recursion step is one
+    distributed self-extension of the frontier and terminates at the
+    root (acyclic by construction — Spark's recursive CTE requires
+    UNION ALL, so cyclic graphs need the label-propagation operator
+    instead).
+
+    Scale note: the per-step frontier is one narrow (doc_id, anc_id,
+    depth) projection — O(nodes) rows per level, log-depth levels; no
+    driver-side iteration, no collected state."""
+    docs = load_table(spark, sf_dir, "documents")
+    import uuid as _uuid
+
+    view = f"docs_tree_{_uuid.uuid4().hex[:8]}"
+    docs.select("doc_id").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM {view}
+          UNION ALL
+          SELECT a.doc_id, a.anc_id DIV 2, a.depth + 1 FROM anc a WHERE a.anc_id > 0
+        )
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(sum(anc_id) AS BIGINT) AS sum_anc_ids
+        FROM anc GROUP BY depth ORDER BY depth
+    """)
