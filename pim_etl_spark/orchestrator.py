@@ -318,6 +318,13 @@ def main(argv: list[str] | None = None) -> int:
         help="compact: target output file size",
     )
     parser.add_argument(
+        "--small-file-mb",
+        type=float,
+        default=32,
+        help="compact (versioned): only bin-pack files below this size; "
+        "bigger files carry by name (Delta minFileSize semantics)",
+    )
+    parser.add_argument(
         "--cluster-by",
         default=None,
         help="compact: comma-separated sort-within-file columns for min/max pruning",
@@ -422,13 +429,23 @@ def main(argv: list[str] | None = None) -> int:
         from pim_etl_spark.pipeline.gold import compact_table
 
         if V.current_version(args.gold) > 0:
-            # commit-log table: OPTIMIZE commits a compacted snapshot
-            out = V.optimize(
-                spark,
-                args.gold,
-                target_file_mb=args.target_file_mb,
-                zorder_by=tuple(args.zorder_by.split(",")) if args.zorder_by else (),
-            )
+            # commit-log table: incremental small-file bin-packing by
+            # default (O(small bytes)); the full OPTIMIZE rewrite only
+            # when re-clustering was requested (--zorder-by)
+            if args.zorder_by:
+                out = V.optimize(
+                    spark,
+                    args.gold,
+                    target_file_mb=args.target_file_mb,
+                    zorder_by=tuple(args.zorder_by.split(",")),
+                )
+            else:
+                out = V.optimize_small_files(
+                    spark,
+                    args.gold,
+                    small_file_mb=args.small_file_mb,
+                    target_file_mb=args.target_file_mb,
+                )
         else:
             out = compact_table(
                 spark,

@@ -1711,6 +1711,56 @@ def optimize(
     }
 
 
+def optimize_small_files(
+    spark: SparkSession,
+    path: str,
+    small_file_mb: float = 32,
+    target_file_mb: int = 256,
+    stats_cols: Sequence[str] = (),
+) -> dict:
+    """Incremental OPTIMIZE (round 5 — Delta's minFileSize semantics):
+    bin-pack ONLY files below ``small_file_mb`` into ~``target_file_mb``
+    outputs; every adequately-sized file carries into the new manifest
+    BY NAME. Merge churn produces one small file per touched range per
+    sync — this reclaims them at O(small bytes), where the full
+    ``optimize`` rewrite is O(table) and at 100 TB exists only for
+    re-clustering (Z-order), not maintenance."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    manifest = read_manifest(path, parent)
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
+    sizes = {f: os.path.getsize(_entry_path(path, f)) for f in parent_files}
+    small = [f for f in parent_files if sizes[f] < small_file_mb * 1024 * 1024]
+    kept = [f for f in parent_files if f not in set(small)]
+    if len(small) < 2:
+        return {"version": parent, "files_compacted": 0, "files_kept": len(parent_files)}
+    small_bytes = sum(sizes[f] for f in small)
+    n_out = max(1, round(small_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_entry_path(path, f) for f in small]
+    ).repartition(n_out)
+    stats_cols = tuple(stats_cols) or (
+        tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
+    )
+    new_files, new_fstats = _write_data_files(df, path, parent + 1, stats_cols=stats_cols)
+    version = _commit(
+        path,
+        kept + new_files,
+        "optimize-small",
+        {
+            "files_compacted": len(small),
+            "files_written": len(new_files),
+            "files_kept": len(kept),
+            "bytes_compacted": small_bytes,
+        },
+        file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
+        expect_parent=parent,
+    )
+    return {"version": version, "files_compacted": len(small), "files_kept": len(kept)}
+
+
 def tag(path: str, name: str, version: int | None = None) -> int:
     """Name a snapshot (Iceberg-style tag): a tiny pointer file under
     ``_manifests/tags/``. Tags protect nothing by themselves — vacuum

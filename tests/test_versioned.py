@@ -939,3 +939,36 @@ def test_delete_matching_keyset_stays_distributed(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         V.delete_matching(spark, str(tmp_path / "none"), doomed, keys=["product_id"])
+
+
+def test_optimize_small_files_carries_big_ones(spark, tmp_path):
+    """Round-5 incremental OPTIMIZE: only sub-threshold files compact;
+    adequately-sized files carry by name; contents identical; history
+    intact."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=2000, files=1)  # one 'big' file
+    # merge churn: 5 tiny files across 5 commits
+    for step in range(2, 7):
+        V.merge_files(
+            spark, path,
+            spark.createDataFrame([(10_000 + step, float(step), step)], SCHEMA),
+            keys=["product_id"], order_col="version",
+        )
+    m_before = V.read_manifest(path, V.current_version(path))
+    big = [f for f in m_before["files"] if f.startswith("v000001")]
+    assert len(big) == 1 and len(m_before["files"]) == 6
+
+    # threshold just under the bootstrap file's size: churn files (1
+    # row each) fall below it, the bootstrap file stays above
+    big_mb = os.path.getsize(V._entry_path(path, big[0])) / (1024 * 1024)
+    res = V.optimize_small_files(spark, path, small_file_mb=big_mb * 0.9, target_file_mb=256)
+    assert res["files_compacted"] >= 4  # the churn files (big one stays)
+    m_after = V.read_manifest(path, res["version"])
+    assert big[0] in m_after["files"], "the big file must carry by name"
+    got = _rows(V.read_version(spark, path))
+    assert len(got) == 2005 and got[10_003] == (3.0, 3)
+    # small-file count actually dropped
+    assert len(m_after["files"]) < len(m_before["files"])
+    # idempotent-ish: nothing left to compact (everything either big or single)
+    res2 = V.optimize_small_files(spark, path, small_file_mb=0.0001)
+    assert res2["files_compacted"] == 0
