@@ -401,6 +401,43 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
+def history_df(spark: SparkSession, path: str) -> DataFrame:
+    """The commit log as a DataFrame (Delta's DESCRIBE HISTORY):
+    (version, op, parent, committed_at, n_files) — register it as a
+    view and the audit trail is plain SQL."""
+    rows = [
+        (
+            int(m["version"]),
+            str(m["op"]),
+            m.get("parent"),
+            float(m.get("committed_at_unix") or 0.0),
+            int(m.get("n_files", len(m.get("files", [])))),
+        )
+        for m in history(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, parent int, committed_at_unix double, n_files int",
+    ).orderBy("version")
+
+
+def read_version_with_lineage(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read with FILE-GRANULAR lineage: each row carries
+    ``_commit_version`` — the snapshot whose commit WROTE the file the
+    row lives in (parsed from the immutable file name's ``vNNNNNN``
+    prefix, zero extra I/O). Rewritten-but-identical rows show the
+    rewriting commit (file granularity, not row granularity — the CDC
+    feed ``changes_between`` gives true row-level change history)."""
+    df = read_version(spark, path, version).withColumn(
+        "_commit_version",
+        F.regexp_extract(F.element_at(F.split(F.input_file_name(), "/"), -1), r"^v(\d{6})-", 1)
+        .cast("int"),
+    )
+    return df
+
+
 def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Schema evolution: add each side's missing columns as typed
     NULLs so the MERGE union lines up (Delta's mergeSchema write)."""

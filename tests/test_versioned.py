@@ -972,3 +972,26 @@ def test_optimize_small_files_carries_big_ones(spark, tmp_path):
     # idempotent-ish: nothing left to compact (everything either big or single)
     res2 = V.optimize_small_files(spark, path, small_file_mb=0.0001)
     assert res2["files_compacted"] == 0
+
+
+def test_history_df_and_lineage_read(spark, tmp_path):
+    """Round-5 audit surfaces: the commit log as a DataFrame (SQL over
+    DESCRIBE HISTORY) and file-granular row lineage parsed from the
+    immutable file-name version prefix."""
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=10, files=2)
+    V.merge_files(
+        spark, path, spark.createDataFrame([(0, 99.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    h = {r.version: r.op for r in V.history_df(spark, path).collect()}
+    assert h == {1: "bootstrap", 2: "merge"}
+    V.history_df(spark, path).createOrReplaceTempView("tbl_history")
+    assert spark.sql("SELECT count(*) AS n FROM tbl_history WHERE op = 'merge'").collect()[0].n == 1
+
+    lin = {r.product_id: r._commit_version for r in
+           V.read_version_with_lineage(spark, path).collect()}
+    assert lin[0] == 2  # rewritten file
+    # rows in the untouched range-file still show the bootstrap commit
+    assert 1 in set(lin.values())
+    assert all(v in (1, 2) for v in lin.values())
