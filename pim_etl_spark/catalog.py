@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "pim_etl_spark.operators.analytics",
     "pim_etl_spark.operators.strings_dates",
     "pim_etl_spark.operators.pim_queries",
+    "pim_etl_spark.operators.warehouse",
     "pim_etl_spark.llm_ops.dedup",
     "pim_etl_spark.llm_ops.corpus",
     "pim_etl_spark.llm_ops.similarity",

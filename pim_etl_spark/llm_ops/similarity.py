@@ -1060,3 +1060,119 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_codes"),
         F.floor(err * 1000000).cast("long").alias("max_err_e6"),
     ).orderBy("vec_id")
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_THRESH = 0.9
+
+
+@query(
+    "semantic_dedup_cells",
+    oracle=f"""
+    -- SemDeDup-style semantic dedup: assign every vector to its
+    -- nearest cell (deterministic centroids = the {SEMDEDUP_K} smallest
+    -- vec_ids), then inside each cell treat vectors whose cosine to
+    -- the centroid clears {SEMDEDUP_THRESH} as semantic duplicates of
+    -- the cell core: keep the best-scoring one, drop the rest.
+    WITH c AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ), dv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), scored AS (
+      SELECT dv.vec_id, c.cid,
+             round(
+               list_sum(list_transform(range(1, len(ve) + 1), i -> ve[i] * ce[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(ve) + 1), i -> ve[i] * ve[i])))
+                * sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * ce[i])))),
+               4) AS cos4
+      FROM dv, c
+    ), assigned AS (
+      SELECT vec_id, cid, cos4,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos4 DESC, cid ASC) AS rk
+      FROM scored
+    ), cells AS (
+      SELECT vec_id, cid, cos4 FROM assigned WHERE rk = 1
+    ), keepers AS (
+      SELECT cid, vec_id AS keeper_vec_id
+      FROM (
+        SELECT cid, vec_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY cos4 DESC, vec_id ASC) AS krk
+        FROM cells WHERE cos4 >= {SEMDEDUP_THRESH}
+      ) WHERE krk = 1
+    )
+    SELECT cells.cid AS centroid_vec_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN cos4 >= {SEMDEDUP_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(greatest(sum(CASE WHEN cos4 >= {SEMDEDUP_THRESH} THEN 1 ELSE 0 END) - 1, 0) AS BIGINT) AS n_dropped,
+           any_value(keepers.keeper_vec_id) AS keeper_vec_id,
+           CAST(round(sum(cos4 * 10000)) AS BIGINT) AS sum_cos4_e4
+    FROM cells LEFT JOIN keepers ON cells.cid = keepers.cid
+    GROUP BY cells.cid ORDER BY cells.cid
+    """,
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al.
+    2023): cluster the embedding space, then drop all-but-one of the
+    vectors sitting in each cluster's tight core. Centroids are
+    deterministic (the K smallest vec_ids) so the entry is exactly
+    DuckDB-twinnable; the k-means-refined variant shares this plan
+    with ``ann_ivf_topk``'s trained centroids.
+
+    Scale shape: the centroid table is broadcast (K rows), assignment
+    is a map-side argmax over K scores per vector — no shuffle until
+    the per-cell aggregate, which is cell-cardinality-sized. The
+    within-cell "keep best" is a window over cells, not a global sort.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("ve")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("ve"), F.col("ce")), 4).alias("cos4"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos4").desc(), F.col("cid").asc())
+    cells = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    w_keep = Window.partitionBy("cid").orderBy(F.col("cos4").desc(), F.col("vec_id").asc())
+    keepers = (
+        cells.filter(F.col("cos4") >= SEMDEDUP_THRESH)
+        .withColumn("krk", F.row_number().over(w_keep))
+        .filter(F.col("krk") == 1)
+        .select("cid", F.col("vec_id").alias("keeper_vec_id"))
+    )
+    is_cand = (F.col("cos4") >= SEMDEDUP_THRESH).cast("bigint")
+    return (
+        cells.join(F.broadcast(keepers), "cid", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(is_cand).alias("n_candidates"),
+            F.greatest(F.sum(is_cand) - 1, F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.any_value("keeper_vec_id").alias("keeper_vec_id"),
+            F.round(F.sum(F.col("cos4") * 10000)).cast("bigint").alias("sum_cos4_e4"),
+        )
+        .select(
+            F.col("cid").alias("centroid_vec_id"),
+            "n_members",
+            "n_candidates",
+            "n_dropped",
+            "keeper_vec_id",
+            "sum_cos4_e4",
+        )
+        .orderBy("centroid_vec_id")
+    )

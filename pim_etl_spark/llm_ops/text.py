@@ -441,3 +441,61 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
         .limit(50)
     )
+
+
+@query(
+    "bpe_merge_pair_counts",
+    oracle="""
+    -- One BPE training iteration: count adjacent character-pair
+    -- frequencies across the word stream and rank the top merge
+    -- candidates (the statistic the next merge rule is chosen from).
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ), fw AS (
+      SELECT w FROM words WHERE len(w) >= 2
+    ), idx AS (
+      SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM fw
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair FROM idx
+    ), counted AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS merge_rank
+    FROM counted
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE vocabulary training: adjacent-symbol pair
+    frequencies over the corpus word stream, ranked — the argmax is
+    the next merge rule. Complements ``bpe_token_counts`` (which
+    *applies* a BPE-ish segmentation) with the *training* statistic.
+
+    Pairs come from a shifted-explode (sequence + substring), not
+    per-index slice lambdas — NOTES.md: ProjectCollapse inlines HOF
+    trees quadratically. The whole plan is one exchange: the pair-count
+    groupBy (map-side partial aggregation does the heavy lifting);
+    the top-20 is a TakeOrderedAndProject, not a global sort.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counted.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+        .withColumn("merge_rank", F.row_number().over(w_rank).cast("bigint"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    )

@@ -1,0 +1,346 @@
+"""Warehouse-modeling operators: SCD Type 2 interval building, Pareto
+(skyline) frontiers, winsorized robust statistics, robust per-group
+normalization, and deterministic weighted systematic sampling.
+
+These extend the reference's sync surface (the upsert/backup loop in
+/root/reference/etl/loaders/mongodb_loader.py:93-197 keeps only the
+latest state) with the history-preserving and robust-stats layers a
+production PIM warehouse adds on top — all expressed as declarative
+DataFrame plans so Catalyst keeps them shuffle-minimal.
+
+Numeric-safety conventions follow NOTES.md: money percentiles run on
+integer cents (interpolated values then carry <=2 true decimals, so a
+round(.,4) is boundary-free); robust scores use floor-scaling, never
+round; sampling is pure integer arithmetic (exact on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+    -- SCD Type 2 from an event stream: collapse consecutive runs of
+    -- equal o_orderpriority per customer (gaps-and-islands) into
+    -- validity intervals; valid_to = next run's start, NULL = current.
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rnp
+      FROM orders
+    ), runs AS (
+      SELECT o_custkey, o_orderpriority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             min(rn) AS first_rn
+      FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnp
+    )
+    SELECT o_custkey, o_orderpriority,
+           CAST(row_number() OVER w AS BIGINT) AS run_seq,
+           valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           n_orders,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM runs
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY first_rn)
+    ORDER BY o_custkey, run_seq
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 builder: per customer, runs of
+    equal order priority become validity intervals with open-ended
+    current rows — the history layer the reference's keep-latest
+    upsert discards.
+
+    Plan: two row_numbers + one grouped aggregate + one lead, all
+    partitioned by ``o_custkey`` — a single hash exchange on the
+    customer key; no global window, so it scales with key cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_pri).alias("rnp"),
+    )
+    runs = (
+        seq.groupBy("o_custkey", "o_orderpriority", (F.col("rn") - F.col("rnp")).alias("grp"))
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.count("*").alias("n_orders"),
+            F.min("rn").alias("first_rn"),
+        )
+    )
+    w_runs = Window.partitionBy("o_custkey").orderBy("first_rn")
+    return (
+        runs.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.row_number().over(w_runs).cast("bigint").alias("run_seq"),
+            "valid_from",
+            F.lead("valid_from").over(w_runs).alias("valid_to"),
+            "n_orders",
+            F.lead("valid_from").over(w_runs).isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "run_seq")
+    )
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    -- Skyline: parts Pareto-optimal on (price low, size high). The
+    -- oracle is the O(n^2) NOT EXISTS definition; the Spark side is
+    -- the bucketed two-level plan.
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/skyline frontier (minimize price, maximize size) without
+    the O(n^2) self-join:
+
+    1. distinct coordinates bucketed by price band; per-bucket local
+       frontier via a window PARTITIONED BY bucket (parallel);
+    2. cross-bucket dominance via the running max size of strictly
+       cheaper buckets — a bucket-count-sized aggregate, broadcast;
+    3. join frontier coordinates back to the part rows.
+
+    No global-ordering window anywhere: dominance across buckets is
+    decided by the tiny bucket summary, within buckets by a
+    partitioned window, so the plan survives a 100x scale-up (the
+    skyline-of-local-skylines identity).
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    coords = (
+        parts.groupBy("p_retailprice", "p_size")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("bucket", F.floor(F.col("p_retailprice") / F.lit(100.0)))
+    )
+    bmax = coords.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    lower = bmax.select("bucket", F.max("bmax").over(w_b).alias("lower_cummax"))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = coords.withColumn("prev_max", F.max("p_size").over(w_loc))
+    frontier = (
+        local.join(F.broadcast(lower), "bucket")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+            & (F.col("lower_cummax").isNull() | (F.col("lower_cummax") < F.col("p_size")))
+        )
+        .select("p_retailprice", "p_size")
+    )
+    return (
+        parts.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    -- Winsorized robust stats per order status. All money arithmetic
+    -- in integer cents: the p05/p95 interpolation then carries <=2
+    -- true decimals (frac of 0.05*(n-1) has <=2 decimals), so
+    -- round(.,4) is boundary-free and clamped sums are exact BIGINTs.
+    WITH c AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), pct AS (
+      SELECT status,
+             round(quantile_cont(CAST(cents AS DOUBLE), 0.05), 4) AS lo,
+             round(quantile_cont(CAST(cents AS DOUBLE), 0.95), 4) AS hi
+      FROM c GROUP BY status
+    )
+    SELECT c.status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c.cents) AS BIGINT) AS sum_raw_cents,
+           CAST(round(sum(round(least(greatest(CAST(c.cents AS DOUBLE), pct.lo), pct.hi) * 100)) / 100) AS BIGINT)
+             AS sum_wins_cents,
+           CAST(sum(CASE WHEN CAST(c.cents AS DOUBLE) < pct.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(sum(CASE WHEN CAST(c.cents AS DOUBLE) > pct.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           any_value(pct.lo) AS lo_cents,
+           any_value(pct.hi) AS hi_cents
+    FROM c JOIN pct USING (status)
+    GROUP BY c.status ORDER BY c.status
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at p05/p95) per group with exact
+    percentiles — the outlier-robust stats layer for price QA.
+
+    Two aggregates over the same grouping key plus a broadcast join of
+    the (group-cardinality-sized) percentile table; clamped sums are
+    reconstructed as exact integers so the output is FP-drift-free.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pct = cents.groupBy("status").agg(
+        F.round(F.percentile(F.col("cents").cast("double"), F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile(F.col("cents").cast("double"), F.lit(0.95)), 4).alias("hi"),
+    )
+    j = cents.join(F.broadcast(pct), "status")
+    clamped = F.least(F.greatest(F.col("cents").cast("double"), F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("sum_raw_cents"),
+            F.round(F.sum(F.round(clamped * 100)) / 100).cast("bigint").alias("sum_wins_cents"),
+            F.sum((F.col("cents").cast("double") < F.col("lo")).cast("bigint")).alias("n_clip_low"),
+            F.sum((F.col("cents").cast("double") > F.col("hi")).cast("bigint")).alias("n_clip_high"),
+            F.any_value("lo").alias("lo_cents"),
+            F.any_value("hi").alias("hi_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "robust_scaled_doc_scores",
+    oracle="""
+    -- Per-language robust normalization of document length:
+    -- (x - median) / MAD, floor-scaled (NOTES.md: never round exact
+    -- small fractions). Inputs are integers, median/MAD are exact
+    -- dyadic values, so the double division is bit-identical on both
+    -- engines and floor is tie-free.
+    WITH med AS (
+      SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+      FROM documents GROUP BY lang
+    ), mad AS (
+      SELECT d.lang, median(abs(CAST(d.n_chars AS DOUBLE) - med.med)) AS mad
+      FROM documents d JOIN med USING (lang) GROUP BY d.lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(CASE WHEN mad.mad = 0 THEN 0
+                ELSE floor((CAST(d.n_chars AS DOUBLE) - med.med) / mad.mad * 10000)
+           END AS BIGINT) AS robust_z_e4
+    FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
+    ORDER BY d.doc_id
+    """,
+)
+def robust_scaled_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust scaling of doc length per language — the
+    outlier-insensitive quality-score calibration step of a corpus
+    pipeline (z-scores would let one giant doc shift the scale).
+
+    Two grouped exact medians (language-cardinality-sized results,
+    broadcast back); the per-row math is pure JVM expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    x = F.col("n_chars").cast("double")
+    med = docs.groupBy("lang").agg(F.median(x).alias("med"))
+    with_med = docs.join(F.broadcast(med), "lang")
+    mad = with_med.groupBy("lang").agg(
+        F.median(F.abs(x - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(F.col("mad") == 0, F.lit(0))
+            .otherwise(F.floor((x - F.col("med")) / F.col("mad") * 10000))
+            .cast("bigint")
+            .alias("robust_z_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "weighted_systematic_sample",
+    oracle="""
+    -- Deterministic weighted sampling: per source, walk the cumulative
+    -- n_chars weight in doc_id order and pick every doc whose weight
+    -- span crosses a multiple of step = total_weight // 16. Pure
+    -- integer arithmetic — exact on both engines, no RNG.
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents WHERE n_chars > 0
+    ), s AS (
+      SELECT source, doc_id, n_chars, cw,
+             greatest(total // 16, 1) AS step
+      FROM w
+    )
+    SELECT source, doc_id, n_chars,
+           CAST(cw - n_chars AS BIGINT) AS cum_before,
+           CAST(cw // step AS BIGINT) AS slot_hi
+    FROM s
+    WHERE cw // step > (cw - n_chars) // step
+    ORDER BY source, doc_id
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling (~16 docs per source, probability
+    proportional to length) with zero randomness: selection thresholds
+    are multiples of ``total_weight // 16`` along the cumulative
+    weight, so the sample is reproducible and integer-exact — the
+    md5-gate determinism principle applied to PPS sampling.
+
+    The prefix sum is partitioned by ``source`` (stratum), not global;
+    at 100 TB the same arithmetic runs two-phase (per-partition totals
+    offset the local prefix sums) exactly like sequence packing.
+    """
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    staged = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.sum("n_chars").over(w_cum).alias("cw"),
+            F.sum("n_chars").over(w_tot).alias("total"),
+        )
+        .withColumn("step", F.greatest(F.expr("total div 16"), F.lit(1)))
+    )
+    return (
+        staged.filter(F.expr("cw div step > (cw - n_chars) div step"))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            (F.col("cw") - F.col("n_chars")).alias("cum_before"),
+            F.expr("cw div step").alias("slot_hi"),
+        )
+        .orderBy("source", "doc_id")
+    )
