@@ -185,3 +185,56 @@ def test_bm25_idf_stays_broadcast_topk_no_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_scd2_runs_on_one_customer_exchange(spark, sf_dir):
+    """scd2_priority_history: both row_number windows, the run
+    aggregate, and the lead window all key on o_custkey (or a
+    superset), so Catalyst reuses ONE hashpartitioning exchange.
+    A second data exchange means the interval build re-shuffles
+    history per sync — the exact cost SCD2 is meant to amortize."""
+    plan = _plan(get_queries()["scd2_priority_history"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_pareto_frontier_avoids_self_join(spark, sf_dir):
+    """pareto_frontier_parts: the skyline must NOT plan as the O(n^2)
+    NOT EXISTS self-join the oracle uses — both joins are broadcasts
+    of coordinate/bucket summaries, and the only single-partition
+    exchange feeds the bucket-count-sized cross-bucket cummax."""
+    plan = _plan(get_queries()["pareto_frontier_parts"](spark, sf_dir))
+    assert _count(r"BroadcastHashJoin", plan) == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert _count(r"Exchange SinglePartition", plan) == 1, plan[:2000]
+
+
+def test_bpe_merge_is_one_exchange_topk(spark, sf_dir):
+    """bpe_merge_pair_counts: pair counting is one partial-agg hash
+    exchange and the top-20 is TakeOrderedAndProject — no global
+    sort, no join. This is the plan that survives a 100 TB corpus."""
+    plan = _plan(get_queries()["bpe_merge_pair_counts"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2000]
+    assert _count(r"TakeOrderedAndProject", plan) >= 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_weighted_sample_prefix_sum_stays_partitioned(spark, sf_dir):
+    """weighted_systematic_sample: the cumulative-weight window is
+    partitioned by source (stratum) — a SinglePartition exchange here
+    would serialize the whole corpus through one task."""
+    plan = _plan(get_queries()["weighted_systematic_sample"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2000]
+
+
+def test_semantic_dedup_centroids_are_broadcast(spark, sf_dir):
+    """semantic_dedup_cells: the K-centroid assignment must be a
+    broadcast nested-loop (map-side argmax over K scores), never a
+    CartesianProduct or a shuffled join of the full vector table."""
+    plan = _plan(get_queries()["semantic_dedup_cells"](spark, sf_dir))
+    assert _count(r"BroadcastNestedLoopJoin", plan) >= 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
