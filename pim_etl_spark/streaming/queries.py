@@ -602,3 +602,99 @@ def stream_change_feed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "commit_version bigint, n_rows bigint, total_price double"
     ).orderBy("commit_version")
+
+
+@query(
+    "stream_left_outer_attribution",
+    oracle="""
+    -- batch twin of the watermarked stream-stream LEFT OUTER join:
+    -- every purchase row appears exactly once per matching signup in
+    -- the preceding hour, or once with signup_id NULL if none matched
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+           p.user_id AS user_id,
+           s.event_id IS NOT NULL AS attributed
+    FROM events p LEFT JOIN events s
+      ON p.user_id = s.user_id
+     AND s.event_type = 'signup'
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, signup_id
+    """,
+)
+def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics corner
+    inner joins dodge: an unmatched left row may only emit its
+    null-extended result once the watermark proves no future right row
+    can match, i.e. at state eviction, not at arrival.
+
+    Outer-join completeness gotcha: rows within the watermark delay of
+    the stream's end NEVER emit their null results (the engine cannot
+    prove absence). To make the bounded replay total — and therefore
+    equal to the batch LEFT JOIN twin — each side is unioned with a
+    far-future sentinel row, pushing the final watermark past all real
+    data so every pending left row flushes.
+
+    The sentinels must be real 'purchase'/'signup' rows (negative ids,
+    dropped from the BATCH result after the stream materializes):
+    Catalyst pushes the event_type filter below the EventTimeWatermark
+    node into the file scans, so a distinct 'flush' event type would be
+    filtered at the scan and never advance the watermark — silently
+    reintroducing the withheld-tail bug this entry exists to pin.
+    State is watermark-bounded exactly as in the inner variant.
+    """
+    import datetime
+    import tempfile
+
+    ev = stream_events(spark, sf_dir)
+    sent_dir = tempfile.mkdtemp(prefix="flush_sentinel_")
+    far_future = datetime.datetime(2035, 1, 1)
+    sentinel = spark.createDataFrame(
+        [
+            (int(-1), far_future, int(-1), "purchase", 0.0, "{}"),
+            (int(-2), far_future, int(-1), "signup", 0.0, "{}"),
+        ],
+        ev.schema,
+    )
+    sentinel.write.mode("overwrite").parquet(sent_dir)
+
+    def _side() -> DataFrame:
+        flush = spark.readStream.schema(ev.schema).parquet(sent_dir)
+        return stream_events(spark, sf_dir).unionByName(flush)
+
+    purchases = (
+        _side()
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    signups = (
+        _side()
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        F.col("signup_id").isNotNull().alias("attributed"),
+    )
+    result = run_stream_to_memory(spark, joined, mode="append", state_partitions=4)
+    # the sentinel purchase joins only the sentinel signup; dropping it
+    # HERE (batch side) is safe — the memory table is fully
+    # materialized, so no pushdown can starve the watermark anymore
+    return result.filter(F.col("purchase_id") >= 0).orderBy("purchase_id", "signup_id")
