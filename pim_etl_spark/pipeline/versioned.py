@@ -32,6 +32,7 @@ are manifest-only operations — zero data movement.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
@@ -155,8 +156,42 @@ def history(path: str) -> list[dict]:
     return out
 
 
+# Per-file Bloom filters live INSIDE the per-file stats dict under this
+# reserved key, so they ride every existing carry/shard/merge path that
+# copies stats by file name — zero extra plumbing. Min/max ranges prune
+# RANGE predicates but are useless for point lookups on scattered keys
+# (every file's [lo, hi] spans the domain); the Bloom prunes those —
+# the manifest-level analogue of the reference's unique product_id
+# index (/root/reference/schemas/unified_product_schema.py:229-248).
+_BLOOM_KEY = "__bloom__"
+
+
+def _bloom_positions(col: str, m: int, k: int):
+    """The k bit positions of ``col`` under seeded xxhash64 — an
+    EXPRESSION list, so writer and prober share the exact hash."""
+    return [F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m)) for i in range(k)]
+
+
+def _pack_bloom(positions: Sequence[int], m: int) -> str:
+    bits = bytearray(m // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_has(b64: str, positions: Sequence[int]) -> bool:
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def _write_data_files(
-    df: DataFrame, path: str, version: int, stats_cols: Sequence[str] = ()
+    df: DataFrame,
+    path: str,
+    version: int,
+    stats_cols: Sequence[str] = (),
+    bloom_col: str | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 3,
 ) -> tuple[list[str], dict]:
     """Materialize ``df`` as immutable data files; returns their names
     (relative to ``<table>/data/``) and, when ``stats_cols`` is set,
@@ -199,6 +234,35 @@ def _write_data_files(
                 stats[fname] = {
                     c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
                 }
+    if bloom_col and names:
+        # second metadata pass over the NEW files only: per-file set of
+        # occupied bit positions (<= bloom_bits ints — manifest-sized),
+        # packed driver-side into a base64 bitset. The hash is the same
+        # seeded-xxhash64 expression the prober uses, so membership
+        # tests can never drift between writer and reader.
+        spark = df.sparkSession
+        pos_rows = (
+            spark.read.parquet(staging)
+            .withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .select(
+                "__f",
+                F.explode(
+                    F.array(*_bloom_positions(bloom_col, bloom_bits, bloom_k))
+                ).alias("__p"),
+            )
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        for r in pos_rows:
+            fname = renames.get(r["__f"])
+            if fname:
+                stats.setdefault(fname, {})[_BLOOM_KEY] = {
+                    "col": bloom_col,
+                    "m": bloom_bits,
+                    "k": bloom_k,
+                    "b64": _pack_bloom(r["__ps"], bloom_bits),
+                }
     for src, name in renames.items():
         os.rename(os.path.join(staging, src), os.path.join(data_dir, name))
     shutil.rmtree(staging, ignore_errors=True)
@@ -207,10 +271,15 @@ def _write_data_files(
 
 def _shard_range_stats(names: Sequence[str], file_stats: dict) -> dict:
     """Pointer-level summary of one shard: entry count + per-column
-    [lo, hi] over its entries' file stats — the shard-pruning index."""
+    [lo, hi] over its entries' file stats — the shard-pruning index.
+    Non-range entries (the ``__bloom__`` filter) are file-local and
+    don't summarize to a shard range, so they're skipped here."""
     cols: dict[str, list] = {}
     for n in names:
-        for c, (lo, hi) in (file_stats.get(n) or {}).items():
+        for c, rng in (file_stats.get(n) or {}).items():
+            if c == _BLOOM_KEY or not isinstance(rng, (list, tuple)):
+                continue
+            lo, hi = rng
             if lo is None or hi is None:
                 continue
             cur = cols.get(c)
@@ -350,25 +419,40 @@ def _commit(
 
 
 def commit_snapshot(
-    df: DataFrame, path: str, op: str = "snapshot", stats_cols: Sequence[str] = ()
+    df: DataFrame,
+    path: str,
+    op: str = "snapshot",
+    stats_cols: Sequence[str] = (),
+    bloom_col: str | None = None,
 ) -> int:
     """Full-snapshot commit (CTAS / initial load): new files, new
-    manifest referencing only them."""
+    manifest referencing only them. ``bloom_col`` additionally records
+    a per-file Bloom filter over that column for point-lookup file
+    skipping (``point_lookup``)."""
     version = current_version(path) + 1
-    files, fstats = _write_data_files(df, path, version, stats_cols=stats_cols)
+    files, fstats = _write_data_files(
+        df, path, version, stats_cols=stats_cols, bloom_col=bloom_col
+    )
     return _commit(
         path, files, op, {"files_written": len(files)},
         file_stats=fstats, expect_parent=version - 1,
     )
 
 
-def commit_append(df: DataFrame, path: str, stats_cols: Sequence[str] = ()) -> int:
+def commit_append(
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str] = (),
+    bloom_col: str | None = None,
+) -> int:
     """Blind append (O(batch)): parent's files carry over by name,
     only the new rows are written."""
     parent = current_version(path)
     carried = read_manifest(path, parent)["files"] if parent else []
     carried_stats = read_manifest(path, parent).get("file_stats", {}) if parent else {}
-    files, fstats = _write_data_files(df, path, parent + 1, stats_cols=stats_cols)
+    files, fstats = _write_data_files(
+        df, path, parent + 1, stats_cols=stats_cols, bloom_col=bloom_col
+    )
     return _commit(
         path,
         carried + files,
@@ -399,6 +483,93 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     # manifest instead of footer-probing every file — Delta does; the
     # footer read here is per-file metadata, not data.)
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def point_lookup_plan(
+    spark: SparkSession, path: str, col: str, values, version: int | None = None
+) -> dict:
+    """Plan a point lookup: which data files can contain ``col`` IN
+    ``values``, pruned first by the manifest min/max range, then by the
+    per-file Bloom filter (``bloom_col`` at commit time). The Bloom is
+    what makes point lookups cheap on SCATTERED keys, where every
+    file's [lo, hi] spans the whole domain and range pruning is
+    useless. Probe positions are computed by the same seeded-xxhash64
+    Spark expression that built the filters (a values-sized local job),
+    so writer and prober can never disagree on the hash."""
+    v = current_version(path) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    m = read_manifest(path, v)
+    files = m["files"]
+    fstats = m.get("file_stats", {})
+    val_list = list(values) if isinstance(values, (list, tuple, set)) else [values]
+    params = next(
+        (
+            (st or {}).get(_BLOOM_KEY)
+            for st in fstats.values()
+            if (st or {}).get(_BLOOM_KEY, {}).get("col") == col
+        ),
+        None,
+    )
+    pos_by_val: dict = {}
+    if params and val_list:
+        dt = dict(
+            spark.read.parquet(_entry_path(path, files[0])).dtypes
+        ).get(col, "bigint")
+        probe = spark.createDataFrame([(x,) for x in val_list], f"{col} {dt}")
+        for r in probe.select(
+            F.col(col).alias("__v"),
+            F.array(*_bloom_positions(col, params["m"], params["k"])).alias("__ps"),
+        ).collect():
+            pos_by_val[r["__v"]] = list(r["__ps"])
+    candidates: list[str] = []
+    pruned_range = 0
+    pruned_bloom = 0
+    for f in files:
+        st = fstats.get(f) or {}
+        keep_vals = val_list
+        rng = st.get(col)
+        if isinstance(rng, (list, tuple)) and rng[0] is not None and rng[1] is not None:
+            keep_vals = [x for x in keep_vals if rng[0] <= x <= rng[1]]
+            if not keep_vals:
+                pruned_range += 1
+                continue
+        b = st.get(_BLOOM_KEY)
+        if b and b.get("col") == col and pos_by_val:
+            keep_vals = [x for x in keep_vals if _bloom_has(b["b64"], pos_by_val[x])]
+            if not keep_vals:
+                pruned_bloom += 1
+                continue
+        candidates.append(f)
+    return {
+        "version": v,
+        "files_total": len(files),
+        "candidates": candidates,
+        "pruned_by_range": pruned_range,
+        "pruned_by_bloom": pruned_bloom,
+    }
+
+
+def point_lookup(
+    spark: SparkSession, path: str, col: str, values, version: int | None = None
+) -> DataFrame:
+    """Point lookup through the manifest indexes: scans ONLY the files
+    whose range AND Bloom admit one of ``values`` — O(matching files),
+    not O(table) — then applies the exact predicate. Bloom false
+    positives cost a wasted file scan, never a wrong row."""
+    plan = point_lookup_plan(spark, path, col, values, version=version)
+    val_list = list(values) if isinstance(values, (list, tuple, set)) else [values]
+    if not plan["candidates"]:
+        first = snapshot_files(path, plan["version"])[0]
+        return (
+            spark.read.option("mergeSchema", "true").parquet(first).filter(F.lit(False))
+        )
+    paths = [_entry_path(path, f) for f in plan["candidates"]]
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*paths)
+        .filter(F.col(col).isin(val_list))
+    )
 
 
 def history_df(spark: SparkSession, path: str) -> DataFrame:
@@ -2157,3 +2328,62 @@ def register_view(
     head as ``catalog`` and every downstream query/join works
     unchanged."""
     read_version(spark, path, version).createOrReplaceTempView(name)
+
+
+@query(
+    "versioned_point_lookup",
+    oracle="""
+    -- twin of the Bloom-indexed point lookup: the 5 smallest and the
+    -- 3 largest order keys, read back from the versioned store. The
+    -- store scatters keys across files (hash repartition), so range
+    -- stats cannot prune — only the per-file Bloom makes the lookup
+    -- O(matching files); a hash/packing/probe bug surfaces as missing
+    -- or phantom rows here.
+    WITH keys AS (
+      (SELECT o_orderkey FROM orders ORDER BY o_orderkey ASC LIMIT 5)
+      UNION ALL
+      (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3)
+    )
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+    FROM orders o JOIN keys USING (o_orderkey)
+    ORDER BY o.o_orderkey
+    """,
+)
+def versioned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the manifest's per-file Bloom index
+    (``point_lookup``): bootstrap a store with hash-SCATTERED order
+    keys — the adversarial case where every file's [min, max] spans the
+    domain and min/max skipping prunes nothing — then look up 8 keys.
+    The scan should open ~O(k) files, not all 8 (pinned in
+    tests/test_versioned.py::test_bloom_point_lookup_prunes_scattered_files);
+    this entry hash-gates the CORRECTNESS of the pruned read against
+    the plain filter twin."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo = [r.o_orderkey for r in orders.orderBy(F.col("o_orderkey").asc()).limit(5).collect()]
+    hi = [r.o_orderkey for r in orders.orderBy(F.col("o_orderkey").desc()).limit(3).collect()]
+    tbl = tempfile.mkdtemp(prefix="pim-vbloom-")
+    try:
+        commit_snapshot(
+            orders.repartition(8, "o_orderkey"),
+            tbl,
+            stats_cols=("o_orderkey",),
+            bloom_col="o_orderkey",
+        )
+        rows = (
+            point_lookup(spark, tbl, "o_orderkey", lo + hi)
+            .select(
+                "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(rows, "o_orderkey bigint, total_price double").orderBy(
+        "o_orderkey"
+    )
