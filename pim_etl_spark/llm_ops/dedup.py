@@ -136,12 +136,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band hash.
-
-    The self-join happens per (band, band_hash) bucket — tiny groups —
-    never across the full corpus.
-    """
+def band_signatures(
+    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per band, the LSH bucket
+    key. Shared by the self-join dedup path and the cross-corpus
+    decontamination join (both sides must band IDENTICALLY or bucket
+    collisions are meaningless)."""
     rows_per_band = n_hashes // n_bands
     bands = F.array(
         *[
@@ -154,9 +155,18 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes:
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+    return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    The self-join happens per (band, band_hash) bucket — tiny groups —
+    never across the full corpus.
+    """
+    banded = band_signatures(signatures, n_bands, n_hashes)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -681,3 +691,80 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("best_jaccard"), 4).alias("avg_best_jaccard"),
     )
     return n_incoming.join(confirmed).select("n_incoming", "n_neardups", "avg_best_jaccard")
+
+
+@query(
+    "cross_corpus_lsh_decontamination",
+    oracle=f"""
+    -- exact truth twin of LSH-based benchmark decontamination: a
+    -- TRAIN doc is contaminated iff some BENCH doc (doc_id % 10 = 0)
+    -- shares shingle-Jaccard >= 0.5 with it. The oracle does the
+    -- all-pairs cross join (its job at gate scale); the engine must
+    -- reach the same flag set via banded MinHash collisions + exact
+    -- verification of candidates only.
+    WITH {_SHINGLE_CTE},
+    tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+    be AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+             round(CAST(len(list_intersect(tr.s, be.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(tr.s, be.s))), 4) AS j
+      FROM tr JOIN be
+        ON 2 * len(list_intersect(tr.s, be.s))
+           >= len(list_distinct(list_concat(tr.s, be.s)))
+    )
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_bench_matches,
+           max(j) AS best_jaccard
+    FROM hits GROUP BY train_id ORDER BY train_id
+    """,
+)
+def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at LSH cost: flag TRAIN documents
+    near-duplicate (shingle-Jaccard >= 0.5) to ANY benchmark document
+    without the train x bench cross join — band both corpora with the
+    SAME MinHash banding, bucket-join on (band, band_hash), exactly
+    verify only the collisions. Complements
+    ``benchmark_contamination_check`` (exact n-gram overlap): this is
+    the form that survives a 100 TB train corpus, because the join is
+    O(bucket collisions) and the bench side's banded signatures are
+    tiny (broadcastable at real benchmark sizes).
+
+    Recall is pinned by construction: ``minhash_lsh_candidates``
+    hash-gates that these exact banding parameters recover EVERY
+    >= 0.5 pair on this corpus, and the cross-corpus pairs are a
+    subset of those.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    banded_t = band_signatures(minhash_signatures(train))
+    banded_b = band_signatures(minhash_signatures(bench)).withColumnsRenamed(
+        {"doc_id": "bench_id"}
+    )
+    cands = (
+        banded_t.join(banded_b, ["band", "band_hash"])
+        .select(F.col("doc_id").alias("train_id"), "bench_id")
+        .distinct()
+    )
+    sh = shingle_sets(docs)
+    verified = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "train_id", "s": "sh_t"}), "train_id")
+        .join(sh.withColumnsRenamed({"doc_id": "bench_id", "s": "sh_b"}), "bench_id")
+        .withColumn("__i", F.size(F.array_intersect("sh_t", "sh_b")))
+        .withColumn("__u", F.size(F.array_union("sh_t", "sh_b")))
+        .filter(F.col("__i") * 2 >= F.col("__u"))
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(F.col("__i").cast("double") / F.col("__u"), 4).alias("j"),
+        )
+    )
+    return (
+        verified.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("j").alias("best_jaccard"),
+        )
+        .orderBy("train_id")
+    )
