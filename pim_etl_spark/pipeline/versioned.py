@@ -2130,8 +2130,88 @@ def shallow_clone(src_path: str, dst_path: str, version: int | None = None) -> i
         f"clone({src_path}@v{v})",
         {"cloned_files": len(abs_files)},
         file_stats=abs_stats,
+        # machine-readable provenance: merge_branch resolves the merge
+        # BASE from these (the op string is for humans)
+        extra={"clone_src": os.path.abspath(src_path), "clone_src_version": v},
         expect_parent=current_version(dst_path),
     )
+
+
+class BranchConflict(RuntimeError):
+    """merge_branch found keys modified on BOTH the branch and the
+    source since the branch point — merging would silently overwrite
+    one side's change (the lost-update problem, key-granular)."""
+
+
+def merge_branch(
+    spark: SparkSession,
+    src_path: str,
+    branch_path: str,
+    keys: Sequence[str],
+    order_col: str,
+    strategy: str = "fail",
+) -> dict:
+    """Merge a shallow-cloned BRANCH back into its source table — the
+    git-style branch workflow on the commit log: ``shallow_clone`` is
+    the zero-copy branch, experiments commit to it in isolation, and
+    this is the PR merge. Only the branch's NET delta since the branch
+    point (``changes_between`` over its commit log — O(changed files))
+    is applied to the source, as one MERGE plus one keyed DELETE.
+
+    Three-way conflict detection: keys changed on the branch ∩ keys
+    changed on the source since the branch base.
+    ``strategy='fail'`` (default) raises ``BranchConflict``;
+    ``'ours'`` keeps the source's version of conflicted keys (applies
+    only non-conflicting branch changes); ``'theirs'`` lets the
+    branch's version win wholesale."""
+    if strategy not in ("fail", "ours", "theirs"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    b1 = read_manifest(branch_path, 1, materialize=False)
+    base_v = b1.get("clone_src_version")
+    if base_v is None:
+        raise ValueError(
+            f"{branch_path!r} is not a shallow-cloned branch (v1 records "
+            "no clone_src_version); merge_branch only merges clones"
+        )
+    bhead = current_version(branch_path)
+    if bhead == 1:
+        return {"merged": False, "reason": "branch has no commits past the branch point"}
+    bdelta = changes_between(spark, branch_path, keys, 1, bhead)
+    src_head = current_version(src_path)
+    n_conflicts = 0
+    if src_head > base_v:
+        src_changed = changes_between(spark, src_path, keys, base_v, src_head).select(
+            *keys
+        )
+        conflicts = bdelta.select(*keys).join(src_changed, list(keys), "inner")
+        n_conflicts = conflicts.count()
+        if n_conflicts and strategy == "fail":
+            raise BranchConflict(
+                f"{n_conflicts} key(s) changed on both {branch_path!r} and "
+                f"{src_path!r} since branch base v{base_v}; re-branch and "
+                "rebase, or merge with strategy='ours'/'theirs'"
+            )
+        if n_conflicts and strategy == "ours":
+            bdelta = bdelta.join(src_changed, list(keys), "left_anti")
+    up_keys = bdelta.filter(F.col("change_type") != "delete").select(*keys)
+    upserts = read_version(spark, branch_path, bhead).join(
+        up_keys, list(keys), "left_semi"
+    )
+    del_keys = bdelta.filter(F.col("change_type") == "delete").select(*keys)
+    n_up = upserts.limit(1).count()
+    n_del = del_keys.limit(1).count()
+    if n_up:
+        merge_files(spark, src_path, upserts, keys=keys, order_col=order_col)
+    if n_del:
+        delete_matching(spark, src_path, del_keys, keys)
+    return {
+        "merged": True,
+        "branch_head": bhead,
+        "base_version": base_v,
+        "conflicts": n_conflicts,
+        "strategy": strategy,
+        "src_version": current_version(src_path),
+    }
 
 
 def sync_replica(
@@ -2386,4 +2466,100 @@ def versioned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tbl, ignore_errors=True)
     return spark.createDataFrame(rows, "o_orderkey bigint, total_price double").orderBy(
         "o_orderkey"
+    )
+
+
+@query(
+    "versioned_branch_merge",
+    oracle="""
+    -- closed-form twin of the branch/merge workflow: branch updates
+    -- keys %9 (price*3) and deletes keys %11; the source concurrently
+    -- updates DISJOINT keys %13 (price*2, minus the branch's key
+    -- sets); the merged head must equal this arithmetic exactly.
+    -- Multipliers are integers so every price stays 2dp-exact and the
+    -- rounded sum is boundary-free (NOTES.md money rule).
+    WITH scoped AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 4 = 2
+    ),
+    final AS (
+      SELECT k,
+             CASE WHEN k % 9 = 0 THEN p * 3
+                  WHEN k % 13 = 0 THEN p * 2
+                  ELSE p END AS price
+      FROM scoped WHERE k % 11 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS total_price,
+           TRUE AS branch_merged_clean
+    FROM final
+    """,
+)
+def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/merge workflow under the hash gate: shallow-clone a
+    branch (zero-copy), commit an update + a keyed delete to it while
+    the SOURCE advances on disjoint keys, then ``merge_branch`` folds
+    the branch's net delta back — three-way conflict detection must
+    find zero conflicts and the merged head must equal the closed-form
+    arithmetic. A wrong base version, a delta computed against the
+    wrong snapshot, or a merge that replays instead of net-applies all
+    hash-mismatch here."""
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 == 2)
+    )
+    src = tempfile.mkdtemp(prefix="pim-branch-src-")
+    br = tempfile.mkdtemp(prefix="pim-branch-br-")
+    try:
+        v1 = orders.select(
+            "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(4, "o_orderkey")
+        commit_snapshot(v1, src, op="bootstrap", stats_cols=("o_orderkey",))
+        shallow_clone(src, br)
+
+        # branch work: update %9 keys, delete %11 keys
+        merge_files(
+            spark, br,
+            orders.filter(F.col("o_orderkey") % 9 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 3).alias("o_totalprice"),
+                F.lit(2).cast("long").alias("version"),
+            ),
+            keys=["o_orderkey"], order_col="version",
+        )
+        delete_matching(
+            spark, br,
+            orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        # concurrent source work on DISJOINT keys (%13 minus %9/%11)
+        merge_files(
+            spark, src,
+            orders.filter(
+                (F.col("o_orderkey") % 13 == 0)
+                & (F.col("o_orderkey") % 9 != 0)
+                & (F.col("o_orderkey") % 11 != 0)
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit(2).cast("long").alias("version"),
+            ),
+            keys=["o_orderkey"], order_col="version",
+        )
+        out = merge_branch(
+            spark, src, br, keys=["o_orderkey"], order_col="version"
+        )
+        head = read_version(spark, src).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+        ).collect()[0]
+        rows = [(head["n"], float(head["s"]), bool(out["merged"]) and out["conflicts"] == 0)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(br, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, total_price double, branch_merged_clean boolean"
     )

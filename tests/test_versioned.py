@@ -1084,3 +1084,86 @@ def test_bloom_rides_sharded_manifests(spark, tmp_path, monkeypatch):
     assert len(plan["candidates"]) <= 2, plan
     got = V.point_lookup(spark, path, "product_id", 77).collect()
     assert [r.product_id for r in got] == [77]
+
+
+import pytest as _pytest
+
+
+def _branch_fixture(spark, tmp_path):
+    src = str(tmp_path / "src")
+    br = str(tmp_path / "br")
+    _bootstrap(spark, src, n=40, files=4)
+    V.shallow_clone(src, br)
+    return src, br
+
+
+def test_merge_branch_applies_net_delta(spark, tmp_path):
+    src, br = _branch_fixture(spark, tmp_path)
+    # branch: update key 3, insert 100, delete 7
+    V.merge_files(
+        spark, br,
+        spark.createDataFrame([(3, 999.0, 2), (100, 100.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.delete_matching(
+        spark, br, spark.createDataFrame([(7,)], "product_id long"), ["product_id"]
+    )
+    # source moves too, on DISJOINT keys — not a conflict
+    V.merge_files(
+        spark, src,
+        spark.createDataFrame([(20, 555.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    out = V.merge_branch(spark, src, br, keys=["product_id"], order_col="version")
+    assert out["merged"] and out["conflicts"] == 0
+    rows = _rows(V.read_version(spark, src))
+    assert rows[3] == (999.0, 2) and rows[100] == (100.0, 2) and rows[20] == (555.0, 2)
+    assert 7 not in rows
+    assert len(rows) == 40  # 40 - 1 delete + 1 insert
+
+
+def test_merge_branch_conflict_detection_and_strategies(spark, tmp_path):
+    src, br = _branch_fixture(spark, tmp_path)
+    V.merge_files(
+        spark, br, spark.createDataFrame([(5, 111.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.merge_files(
+        spark, src, spark.createDataFrame([(5, 222.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    with _pytest.raises(V.BranchConflict):
+        V.merge_branch(spark, src, br, keys=["product_id"], order_col="version")
+    # 'ours': source's 222 survives
+    out = V.merge_branch(
+        spark, src, br, keys=["product_id"], order_col="version", strategy="ours"
+    )
+    assert out["conflicts"] == 1
+    assert _rows(V.read_version(spark, src))[5] == (222.0, 2)
+    # 'theirs' from a fresh branch: branch's value wins
+    br2 = str(tmp_path / "br2")
+    V.shallow_clone(src, br2)
+    V.merge_files(
+        spark, br2, spark.createDataFrame([(5, 333.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.merge_files(
+        spark, src, spark.createDataFrame([(5, 444.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.merge_branch(
+        spark, src, br2, keys=["product_id"], order_col="version", strategy="theirs"
+    )
+    assert _rows(V.read_version(spark, src))[5][0] == 333.0
+
+
+def test_merge_branch_guards(spark, tmp_path):
+    src, br = _branch_fixture(spark, tmp_path)
+    # no branch commits → nothing to merge
+    out = V.merge_branch(spark, src, br, keys=["product_id"], order_col="version")
+    assert out == {"merged": False, "reason": "branch has no commits past the branch point"}
+    # a non-clone table is not a branch
+    other = str(tmp_path / "other")
+    _bootstrap(spark, other, n=4, files=1)
+    with _pytest.raises(ValueError, match="not a shallow-cloned branch"):
+        V.merge_branch(spark, src, other, keys=["product_id"], order_col="version")
