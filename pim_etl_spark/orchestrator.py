@@ -279,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
             "history", "rollback", "vacuum", "refresh-rollup", "clone", "replicate",
+            "merge-branch",
         ],
         default="sync",
     )
@@ -303,7 +304,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--rollup", default=None, help="refresh-rollup: derived table path")
     parser.add_argument(
         "--to", dest="to_path", default=None,
-        help="clone/replicate: destination versioned-table path",
+        help="clone/replicate: destination path; merge-branch: the branch path",
+    )
+    parser.add_argument(
+        "--merge-strategy",
+        choices=["fail", "ours", "theirs"],
+        default="fail",
+        help="merge-branch: conflict resolution (fail raises, ours keeps "
+        "the source's conflicted keys, theirs lets the branch win)",
     )
     parser.add_argument(
         "--group-by", default="supplier_id", help="refresh-rollup: comma-separated group columns"
@@ -407,6 +415,23 @@ def main(argv: list[str] | None = None) -> int:
                 keys=["product_id"], order_col="last_sync",
             ),
         }
+    elif args.action == "merge-branch":
+        # --gold SOURCE --to BRANCH (the clone created by --action clone)
+        if not args.to_path:
+            parser.error("--action merge-branch requires --to BRANCH")
+        from pim_etl_spark.pipeline import versioned as V
+
+        try:
+            out = {
+                "status": "success",
+                **V.merge_branch(
+                    spark, args.gold, args.to_path,
+                    keys=["product_id"], order_col="last_sync",
+                    strategy=args.merge_strategy,
+                ),
+            }
+        except V.BranchConflict as exc:
+            out = {"status": "conflict", "error": str(exc)}
     elif args.action == "refresh-rollup":
         from pim_etl_spark.pipeline import versioned as V
 

