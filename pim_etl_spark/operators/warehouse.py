@@ -344,3 +344,100 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle="""
+    -- end-to-end entity resolution twin: same deterministic typo
+    -- synthesis (keys %7 drop their name's last char), same blocking
+    -- (first name token), same edge rule (levenshtein <= 2), and a
+    -- recursive-CTE transitive closure labeling each listing with its
+    -- component's minimum key.
+    WITH RECURSIVE listings AS (
+      SELECT p_partkey AS k,
+             CASE WHEN p_partkey % 7 = 0
+                  THEN substr(p_name, 1, len(p_name) - 1)
+                  ELSE p_name END AS name
+      FROM part
+    ), blocks AS (
+      SELECT k, name, string_split(name, ' ')[1] AS blk FROM listings
+    ),
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.k < b.k
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (SELECT ka AS src, kb AS dst FROM pairs
+              UNION SELECT kb, ka FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS k, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT l.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN l.k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy,
+           any_value(c.name) AS canonical_name
+    FROM labels l JOIN listings c ON c.k = l.cluster_id
+    GROUP BY l.cluster_id ORDER BY l.cluster_id
+    """,
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the supplier-catalog
+    reconciliation problem a PIM faces when the same product arrives
+    under noisy names): deterministic typo synthesis → blocking on the
+    first name token → edit-distance candidate edges WITHIN blocks
+    only → connected-components transitive closure → per-entity
+    cluster stats with a canonical name.
+
+    Scale shape: blocking bounds pair generation to O(Σ block²), never
+    the all-pairs cross join (at 100 TB, block on multiple redundant
+    keys — first token, sorted-token prefix — and union the edges);
+    the closure reuses ``duplicate_clusters`` (id-only label
+    propagation, O(log diameter) rounds). Pairwise matching alone
+    under-merges typo chains — the closure is what makes "cold widge"
+    land with every "cold widget" listing.
+    """
+    from pim_etl_spark.llm_ops.dedup import duplicate_clusters
+
+    listings = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    blocks = listings.withColumn("blk", F.split(F.col("name"), " ").getItem(0))
+    a = blocks.select(
+        F.col("blk"), F.col("k").alias("ka"), F.col("name").alias("na")
+    )
+    b = blocks.select(
+        F.col("blk"), F.col("k").alias("kb"), F.col("name").alias("nb")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        )
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+    )
+    clusters = duplicate_clusters(pairs).withColumnsRenamed({"doc_id": "k"})
+    canon = listings.withColumnsRenamed({"k": "cluster_id", "name": "canonical_name"})
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("k") % 7 == 0).cast("bigint")).alias("n_noisy"),
+        )
+        .join(F.broadcast(canon), "cluster_id")
+        .select("cluster_id", "n_members", "n_noisy", "canonical_name")
+        .orderBy("cluster_id")
+    )
