@@ -238,3 +238,16 @@ def test_semantic_dedup_centroids_are_broadcast(spark, sf_dir):
     assert _count(r"BroadcastNestedLoopJoin", plan) >= 1, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["entity_resolution_clusters", "cross_corpus_lsh_decontamination"]
+)
+def test_blocked_joins_never_cartesian(spark, sf_dir, name):
+    """Both blocked-similarity operators must generate candidate pairs
+    through equi-joins on their blocking keys (block token / LSH band
+    hash) — a CartesianProduct here is the all-pairs explosion the
+    blocking exists to prevent."""
+    plan = _plan(get_queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
