@@ -522,3 +522,117 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate")
     )
+
+
+# --- ViT-style patch extraction -------------------------------------------
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("patch_row", IntegerType(), False),
+        StructField("patch_col", IntegerType(), False),
+        StructField("patch_sum", LongType(), False),
+        StructField("patch_mean_luma", DoubleType(), False),
+    ]
+)
+
+
+def patchify_images(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch grid over decoded images: each payload's pixel
+    block is parsed (real PPM byte decode), the luminance plane is cut
+    into non-overlapping ``patch``×``patch`` tiles (edge remainders
+    dropped, the ViT convention), and each tile emits its exact RGB
+    byte sum plus mean luminance — the tokenization step an image
+    encoder runs before embedding.
+
+    Arrow-batched ``mapInPandas``; the blocked mean is one numpy
+    reshape ``(gh, p, gw, p)`` — no per-pixel Python. Images smaller
+    than one full patch produce no rows."""
+
+    def _patch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, sums, means = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                m = PPM_HEADER_RE.match(buf)
+                if m is None:
+                    raise ValueError(f"not a P6 PPM payload: {buf[:16]!r}")
+                w, h = int(m.group(1)), int(m.group(2))
+                px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=m.end())
+                px = px.reshape(h, w, 3)
+                gh, gw = h // patch, w // patch
+                if gh == 0 or gw == 0:
+                    continue
+                crop = px[: gh * patch, : gw * patch, :]
+                # exact integer byte sums per tile (all 3 channels)
+                tile_sums = (
+                    crop.astype(np.int64)
+                    .reshape(gh, patch, gw, patch, 3)
+                    .sum(axis=(1, 3, 4))
+                )
+                luma = crop.astype(np.float64) @ _LUMA_WEIGHTS
+                tile_means = luma.reshape(gh, patch, gw, patch).mean(axis=(1, 3))
+                for r in range(gh):
+                    for c in range(gw):
+                        ids.append(mid)
+                        prs.append(r)
+                        pcs.append(c)
+                        sums.append(int(tile_sums[r, c]))
+                        means.append(float(tile_means[r, c]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "patch_sum": pd.Series(sums, dtype="int64"),
+                    "patch_mean_luma": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_patch, schema=PATCH_SCHEMA)
+
+
+@query(
+    "image_patchify_grid",
+    oracle="""
+    -- arithmetic twin of ViT patchification: the patch-grid shape per
+    -- image is pure arithmetic over the PPM header the Python worker
+    -- must parse from raw bytes (images narrower/shorter than one
+    -- 4x4 patch emit nothing). Exact per-patch byte sums are pinned in
+    -- tests/test_llm_ops.py::test_patchify_exact_values.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(CASE WHEN length(text) < 96
+                                      THEN rpad(text, 96, '.')
+                                      ELSE text END)) AS n
+      FROM documents
+    ), d AS (
+      SELECT media_id, (n % 29 + 3) AS w, n // ((n % 29 + 3) * 3) AS h
+      FROM m
+    )
+    SELECT media_id,
+           CAST((h // 4) * (w // 4) AS BIGINT) AS n_patches,
+           CAST(h // 4 AS INT) AS grid_rows,
+           CAST(w // 4 AS INT) AS grid_cols
+    FROM d
+    WHERE h // 4 > 0 AND w // 4 > 0
+    ORDER BY media_id
+    """,
+)
+def image_patchify_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-tokenization rollup: per image, the 4x4 patch-grid shape
+    produced by the REAL byte-level patch extractor — the multimodal
+    pre-embedding step (decode → patchify → [embed]). The grid must
+    equal the construction arithmetic exactly; patch VALUES (byte
+    sums, not SQL-expressible) are pinned in pytest."""
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents"))
+    patches = patchify_images(media, patch=4)
+    return (
+        patches.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_patches"),
+            (F.max("patch_row") + 1).cast("int").alias("grid_rows"),
+            (F.max("patch_col") + 1).cast("int").alias("grid_cols"),
+        )
+        .orderBy("media_id")
+    )

@@ -469,3 +469,35 @@ def test_audio_decode_wav_real_values(spark):
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"JUNK" + b"\x00" * 60)
+
+
+def test_patchify_exact_values(spark):
+    """Patch byte sums and blocked means must equal an independent
+    per-pixel recomputation on a planted image with known bytes — a
+    reshape-axis mixup (the classic (gh,p,gw,p) bug) or a crop
+    off-by-one changes the sums immediately."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import (
+        documents_as_ppm_media,
+        patchify_images,
+    )
+
+    # 96 ascii bytes -> w = 96 % 29 + 3 = 13, h = 96 // 39 = 2 -> too
+    # short for 4x4; use a 400-char text: n=400, w = 400%29+3 = 26,
+    # h = 400 // 78 = 5 -> grid 1x6 (crop 4 rows x 24 cols)
+    text = "".join(chr(32 + (i * 7) % 90) for i in range(400))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = documents_as_ppm_media(docs)
+    rows = patchify_images(media, patch=4).collect()
+
+    raw = text.encode()[: 26 * 5 * 3]
+    px = np.frombuffer(raw, np.uint8).reshape(5, 26, 3)
+    crop = px[:4, :24, :].astype(np.int64)
+    assert len(rows) == 6
+    for r in rows:
+        assert r.patch_row == 0
+        tile = crop[:, r.patch_col * 4 : (r.patch_col + 1) * 4, :]
+        assert r.patch_sum == int(tile.sum())
+        luma = (tile.astype(float) @ np.array([0.299, 0.587, 0.114])).mean()
+        assert abs(r.patch_mean_luma - luma) < 1e-9
