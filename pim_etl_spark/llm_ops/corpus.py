@@ -1248,3 +1248,103 @@ def corpus_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift_cross"), F.asc("token"))
         .limit(25)
     )
+
+
+N_QNORM_KNOTS = 32  # power of two: p*32 is an EXACT fp scaling
+
+
+@query(
+    "quantile_normalized_lengths",
+    oracle=f"""
+    -- quantile normalization: map each doc's within-language rank
+    -- onto the GLOBAL length distribution (the cross-group
+    -- calibration step — per-language quality scores become
+    -- comparable). The reference distribution is {N_QNORM_KNOTS + 1}
+    -- exact percentile knots; per-row work is pure interpolation
+    -- arithmetic. All values are dyadic-exact or identical IEEE ops
+    -- on both engines, so floor-scaling is tie-free.
+    WITH knots AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+               [{", ".join(str(k / 32) for k in range(33))}]) AS ks
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN n = 1 THEN 0.0
+                  ELSE CAST(rn - 1 AS DOUBLE) / (n - 1) END AS pr
+      FROM ranked
+    ), seg AS (
+      SELECT doc_id, lang, n_chars, pr,
+             least(CAST(floor(pr * {N_QNORM_KNOTS}) AS BIGINT),
+                   {N_QNORM_KNOTS - 1}) AS j
+      FROM p
+    )
+    SELECT s.doc_id, s.lang, s.n_chars,
+           CAST(floor(
+             (k.ks[s.j + 1]
+              + (s.pr * {N_QNORM_KNOTS} - s.j)
+                * (k.ks[s.j + 2] - k.ks[s.j + 1])) * 100
+           ) AS BIGINT) AS qnorm_e2
+    FROM seg s, knots k
+    ORDER BY s.doc_id
+    """,
+)
+def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of doc length across languages: each
+    doc's within-language percent rank maps onto the global length
+    distribution via linear interpolation between exact percentile
+    knots. This is the scale form of the bioinformatics order-statistic
+    method: the reference distribution is a KNOT VECTOR (33 exact
+    percentiles — one tiny aggregate, broadcast), never a global sort;
+    per-row cost is one window rank + arithmetic.
+
+    Numeric safety: knot count is a power of two so ``pr * 32`` is an
+    exact fp scaling; exact-fraction ranks are dyadic where the floor
+    boundary matters, and the interpolation runs the same IEEE ops on
+    both engines (NOTES.md floor-not-round rule).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    fracs = [k / N_QNORM_KNOTS for k in range(N_QNORM_KNOTS + 1)]
+    knots = docs.agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(fracs)).alias("ks")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    pr = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("n") - 1)
+    )
+    seg = ranked.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        pr.alias("pr"),
+        F.least(
+            F.floor(pr * N_QNORM_KNOTS).cast("bigint"), F.lit(N_QNORM_KNOTS - 1)
+        ).alias("j"),
+    )
+    lo = F.element_at(F.col("ks"), (F.col("j") + 1).cast("int"))
+    hi = F.element_at(F.col("ks"), (F.col("j") + 2).cast("int"))
+    interp = lo + (F.col("pr") * N_QNORM_KNOTS - F.col("j")) * (hi - lo)
+    return (
+        seg.crossJoin(F.broadcast(knots))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.floor(interp * 100).cast("bigint").alias("qnorm_e2"),
+        )
+        .orderBy("doc_id")
+    )
