@@ -499,3 +499,73 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("merge_rank", F.row_number().over(w_rank).cast("bigint"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
     )
+
+
+@query(
+    "keyword_extraction_topk",
+    oracle="""
+    -- per-doc keyword extraction (metadata enrichment): top-3 terms
+    -- by tf x inverse-collection-frequency. The icf factor is the
+    -- INTEGER surrogate (N*1000 // df) — same ordering intent as
+    -- tf-idf without transcendentals, so both engines agree bit-for-
+    -- bit (NOTES.md: ln() is not correctly rounded and may differ in
+    -- the last ulp between JVM and C runtimes). Ubiquitous terms
+    -- (df > N/2) are dropped as stopwords.
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), ft AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE len(term) >= 3 GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM ft GROUP BY term
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT ft.doc_id, ft.term, ft.tf, df.df,
+             ft.tf * ((n.n_docs * 1000) // df.df) AS score_e3
+      FROM ft JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score_e3,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e3 DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def keyword_extraction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keyword extraction per document — the metadata-enrichment
+    op (auto-tagging) over the corpus: tf x integer inverse-collection-
+    frequency (rare terms win through the ranking). Two aggregates (per-doc tf;
+    term df — the df table is vocabulary-sized and broadcast back) and
+    a per-doc window; the only data-sized shuffle is the tf groupBy.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    ft = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ft.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = (
+        ft.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr(f"({n_docs} * 1000) div df")).alias("score_e3"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e3").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_e3", "rank")
+        .orderBy("doc_id", "rank")
+    )

@@ -441,3 +441,114 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "n_members", "n_noisy", "canonical_name")
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    -- referential-integrity audit over the warehouse FK graph: orphan
+    -- counts per relation (rows whose FK matches no parent) — the
+    -- feed-QA check a PIM runs after every supplier sync.
+    SELECT 'orders.custkey' AS relation,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.nationkey',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the core FK
+    relations, each computed as a LEFT ANTI join (at scale the parent
+    key set broadcasts for dimension-sized parents; the fact side
+    never shuffles its payload — only the probe key). One output row
+    per relation regardless of volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(name, child, fk, parent, pk):
+        orphans = child.join(
+            F.broadcast(parent.select(pk).distinct()),
+            child[fk] == parent[pk],
+            "left_anti",
+        )
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(child.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(F.lit(name).alias("relation"), "n_orphans", "n_rows")
+        )
+
+    return (
+        audit("customer.nationkey", customer, "c_nationkey", nation, "n_nationkey")
+        .unionByName(audit("lineitem.orderkey", lineitem, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(audit("orders.custkey", orders, "o_custkey", customer, "c_custkey"))
+        .orderBy("relation")
+    )
+
+
+@query(
+    "functional_dependency_check",
+    oracle="""
+    -- approximate functional-dependency mining: does A -> B hold?
+    -- One grouped distinct-count per candidate pair; violating LHS
+    -- values (|distinct B| > 1) counted. The schema-inference signal a
+    -- PIM uses to detect denormalization errors in supplier feeds.
+    WITH cands AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             o_custkey AS lhs, count(DISTINCT o_orderpriority) AS nd
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'p_brand->p_type', 0, count(DISTINCT p_type)
+      FROM part GROUP BY p_brand
+      UNION ALL
+      SELECT 'n_nationkey->n_regionkey', n_nationkey, count(DISTINCT n_regionkey)
+      FROM nation GROUP BY n_nationkey
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM cands GROUP BY fd ORDER BY fd
+    """,
+)
+def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery: for candidate A -> B pairs,
+    count LHS values with more than one distinct RHS. Each candidate
+    is one partial-aggregated groupBy — the number of rows crossing
+    the shuffle is |distinct A|, never the table. ``holds`` is the
+    FD verdict; n_violating quantifies how badly it fails."""
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def check(fd, df, lhs, rhs):
+        per = df.groupBy(F.col(lhs).alias("lhs")).agg(
+            F.count_distinct(F.col(rhs)).alias("nd")
+        )
+        return per.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum((F.col("nd") > 1).cast("bigint")).alias("n_violating"),
+            (F.sum((F.col("nd") > 1).cast("bigint")) == 0).alias("holds"),
+        ).select("fd", "n_lhs_values", "n_violating", "holds")
+
+    return (
+        check("n_nationkey->n_regionkey", nation, "n_nationkey", "n_regionkey")
+        .unionByName(check("o_custkey->o_orderpriority", orders, "o_custkey", "o_orderpriority"))
+        .unionByName(check("p_brand->p_type", part, "p_brand", "p_type"))
+        .orderBy("fd")
+    )
