@@ -747,3 +747,69 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "trend_forecast_by_priority",
+    oracle="""
+    -- time-series trend + one-step forecast per order priority: fit
+    -- revenue-vs-month-index by least squares over the monthly
+    -- rollup, then extrapolate one month past the observed horizon.
+    -- Monthly sums go through exact DECIMAL cents (NOTES.md money
+    -- rule) before the regression; regr_* drift is absorbed by the
+    -- same round(.,4) contract regression_aggregates established.
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('month', TIMESTAMP '1992-01-01',
+                            date_trunc('month', o_orderdate)) AS BIGINT) AS x,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS y
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round(regr_slope(y, x), 4) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_intercept(y, x) + regr_slope(y, x) * (max(x) + 1), 2)
+             AS forecast_next_month
+    FROM monthly GROUP BY priority ORDER BY priority
+    """,
+)
+def trend_forecast_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group time-series trend forecasting: monthly revenue rollup
+    → least-squares fit of revenue vs month index → one-step-ahead
+    extrapolation. Two aggregations sharing the priority key (monthly
+    rollup, then the regression over the months — group-cardinality ×
+    horizon-sized, trivially small at any data scale); the fit itself
+    is the built-in regr_* aggregate family, map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            "priority",
+            F.expr(
+                "timestampdiff(MONTH, TIMESTAMP '1992-01-01', m)"
+            ).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    return (
+        monthly.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(
+                F.regr_intercept("y", "x") + F.regr_slope("y", "x") * (F.max("x") + 1), 2
+            ).alias("forecast_next_month"),
+        )
+        .orderBy("priority")
+    )
