@@ -395,13 +395,16 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only → connected-components transitive closure → per-entity
     cluster stats with a canonical name.
 
-    Scale shape: blocking bounds pair generation to O(Σ block²), never
-    the all-pairs cross join (at 100 TB, block on multiple redundant
-    keys — first token, sorted-token prefix — and union the edges);
-    the closure reuses ``duplicate_clusters`` (id-only label
-    propagation, O(log diameter) rounds). Pairwise matching alone
-    under-merges typo chains — the closure is what makes "cold widge"
-    land with every "cold widget" listing.
+    Scale shape — resolve at NAME granularity, never listing
+    granularity: identical names collapse into one node FIRST (a
+    grouped aggregate), so the pairwise edit-distance join runs over
+    distinct names per block — O(Σ distinct-block²), independent of
+    listing volume (the classic ER collapse: a 100 TB catalog has
+    billions of listings but a bounded name vocabulary). The closure
+    reuses ``duplicate_clusters`` (id-only label propagation) over
+    name nodes; listing-level stats come back from the name summary,
+    not a re-scan. Listing-level pairwise matching alone both
+    under-merges typo chains AND re-compares every identical copy.
     """
     from pim_etl_spark.llm_ops.dedup import duplicate_clusters
 
@@ -414,31 +417,47 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_name"))
         .alias("name"),
     )
-    blocks = listings.withColumn("blk", F.split(F.col("name"), " ").getItem(0))
-    a = blocks.select(
-        F.col("blk"), F.col("k").alias("ka"), F.col("name").alias("na")
-    )
-    b = blocks.select(
-        F.col("blk"), F.col("k").alias("kb"), F.col("name").alias("nb")
-    )
-    pairs = (
+    # name-level nodes: node id = min listing key (so the component
+    # minimum equals the oracle's least-member-key cluster label)
+    names = listings.groupBy("name").agg(
+        F.min("k").alias("nid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("k") % 7 == 0).cast("bigint")).alias("noisy"),
+    ).withColumn("blk", F.split(F.col("name"), " ").getItem(0))
+    a = names.select("blk", F.col("nid").alias("na_id"), F.col("name").alias("na"))
+    b = names.select("blk", F.col("nid").alias("nb_id"), F.col("name").alias("nb"))
+    cross_edges = (
         a.join(b, "blk")
         .filter(
-            (F.col("ka") < F.col("kb"))
+            (F.col("na_id") < F.col("nb_id"))
             & (F.levenshtein(F.col("na"), F.col("nb")) <= 2)
         )
-        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+        .select(F.col("na_id").alias("doc_a"), F.col("nb_id").alias("doc_b"))
     )
-    clusters = duplicate_clusters(pairs).withColumnsRenamed({"doc_id": "k"})
-    canon = listings.withColumnsRenamed({"k": "cluster_id", "name": "canonical_name"})
+    cc = duplicate_clusters(cross_edges).withColumnsRenamed(
+        {"doc_id": "nid", "cluster_id": "cid"}
+    )
+    # names with no cross-name edge: their listings still pair among
+    # themselves when cnt >= 2 (lev 0) — own cluster; true singletons
+    # (cnt == 1, no edge) have no pair at all and drop, matching the
+    # oracle's edge-reachability semantics
+    labeled = (
+        names.join(F.broadcast(cc), "nid", "left")
+        .withColumn("in_cc", F.col("cid").isNotNull())
+        .withColumn("cid", F.coalesce(F.col("cid"), F.col("nid")))
+        .filter((F.col("cnt") >= 2) | F.col("in_cc"))
+    )
+    canon = listings.withColumnsRenamed({"k": "cid", "name": "canonical_name"})
     return (
-        clusters.groupBy("cluster_id")
+        labeled.groupBy("cid")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum((F.col("k") % 7 == 0).cast("bigint")).alias("n_noisy"),
+            F.sum("cnt").alias("n_members"),
+            F.sum("noisy").alias("n_noisy"),
         )
-        .join(F.broadcast(canon), "cluster_id")
-        .select("cluster_id", "n_members", "n_noisy", "canonical_name")
+        .join(F.broadcast(canon), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", "n_noisy", "canonical_name"
+        )
         .orderBy("cluster_id")
     )
 

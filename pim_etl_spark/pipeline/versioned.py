@@ -424,6 +424,8 @@ def commit_snapshot(
     op: str = "snapshot",
     stats_cols: Sequence[str] = (),
     bloom_col: str | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 3,
 ) -> int:
     """Full-snapshot commit (CTAS / initial load): new files, new
     manifest referencing only them. ``bloom_col`` additionally records
@@ -431,7 +433,8 @@ def commit_snapshot(
     skipping (``point_lookup``)."""
     version = current_version(path) + 1
     files, fstats = _write_data_files(
-        df, path, version, stats_cols=stats_cols, bloom_col=bloom_col
+        df, path, version, stats_cols=stats_cols, bloom_col=bloom_col,
+        bloom_bits=bloom_bits, bloom_k=bloom_k,
     )
     return _commit(
         path, files, op, {"files_written": len(files)},
@@ -444,6 +447,8 @@ def commit_append(
     path: str,
     stats_cols: Sequence[str] = (),
     bloom_col: str | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 3,
 ) -> int:
     """Blind append (O(batch)): parent's files carry over by name,
     only the new rows are written."""
@@ -451,7 +456,8 @@ def commit_append(
     carried = read_manifest(path, parent)["files"] if parent else []
     carried_stats = read_manifest(path, parent).get("file_stats", {}) if parent else {}
     files, fstats = _write_data_files(
-        df, path, parent + 1, stats_cols=stats_cols, bloom_col=bloom_col
+        df, path, parent + 1, stats_cols=stats_cols, bloom_col=bloom_col,
+        bloom_bits=bloom_bits, bloom_k=bloom_k,
     )
     return _commit(
         path,
@@ -503,25 +509,30 @@ def point_lookup_plan(
     files = m["files"]
     fstats = m.get("file_stats", {})
     val_list = list(values) if isinstance(values, (list, tuple, set)) else [values]
-    params = next(
-        (
-            (st or {}).get(_BLOOM_KEY)
-            for st in fstats.values()
-            if (st or {}).get(_BLOOM_KEY, {}).get("col") == col
-        ),
-        None,
-    )
-    pos_by_val: dict = {}
-    if params and val_list:
+    # files may have been committed with DIFFERENT bloom (m, k) params
+    # (a config change between appends); probe positions are only valid
+    # for the (m, k) they were computed with, so build one probe table
+    # per distinct parameterization — testing a file against positions
+    # from another file's m would silently produce FALSE NEGATIVES.
+    param_sets = {
+        (b["m"], b["k"])
+        for st in fstats.values()
+        if (b := (st or {}).get(_BLOOM_KEY)) and b.get("col") == col
+    }
+    pos_by_param: dict[tuple, dict] = {}
+    if param_sets and val_list:
         dt = dict(
             spark.read.parquet(_entry_path(path, files[0])).dtypes
         ).get(col, "bigint")
         probe = spark.createDataFrame([(x,) for x in val_list], f"{col} {dt}")
-        for r in probe.select(
-            F.col(col).alias("__v"),
-            F.array(*_bloom_positions(col, params["m"], params["k"])).alias("__ps"),
-        ).collect():
-            pos_by_val[r["__v"]] = list(r["__ps"])
+        for m_bits, k in param_sets:
+            pos_by_param[(m_bits, k)] = {
+                r["__v"]: list(r["__ps"])
+                for r in probe.select(
+                    F.col(col).alias("__v"),
+                    F.array(*_bloom_positions(col, m_bits, k)).alias("__ps"),
+                ).collect()
+            }
     candidates: list[str] = []
     pruned_range = 0
     pruned_bloom = 0
@@ -535,11 +546,13 @@ def point_lookup_plan(
                 pruned_range += 1
                 continue
         b = st.get(_BLOOM_KEY)
-        if b and b.get("col") == col and pos_by_val:
-            keep_vals = [x for x in keep_vals if _bloom_has(b["b64"], pos_by_val[x])]
-            if not keep_vals:
-                pruned_bloom += 1
-                continue
+        if b and b.get("col") == col:
+            pos_by_val = pos_by_param.get((b["m"], b["k"]))
+            if pos_by_val:
+                keep_vals = [x for x in keep_vals if _bloom_has(b["b64"], pos_by_val[x])]
+                if not keep_vals:
+                    pruned_bloom += 1
+                    continue
         candidates.append(f)
     return {
         "version": v,

@@ -1167,3 +1167,36 @@ def test_merge_branch_guards(spark, tmp_path):
     _bootstrap(spark, other, n=4, files=1)
     with _pytest.raises(ValueError, match="not a shallow-cloned branch"):
         V.merge_branch(spark, src, other, keys=["product_id"], order_col="version")
+
+
+def test_bloom_mixed_params_never_false_negative(spark, tmp_path):
+    """Files committed with DIFFERENT bloom (m, k) parameters must each
+    be probed with positions computed for THEIR parameterization —
+    probing a 2048-bit filter with 8192-bit positions would silently
+    drop matching files (false negative = missing rows)."""
+    path = str(tmp_path / "t")
+    V.commit_snapshot(
+        _scattered(spark, n=100, files=4),
+        path,
+        stats_cols=("product_id",),
+        bloom_col="product_id",
+        bloom_bits=8192,
+        bloom_k=3,
+    )
+    extra = spark.createDataFrame(
+        [(1000 + i, float(i), 2) for i in range(50)], SCHEMA
+    ).repartition(2, "product_id")
+    V.commit_append(
+        extra, path,
+        stats_cols=("product_id",),
+        bloom_col="product_id",
+        bloom_bits=2048,
+        bloom_k=5,
+    )
+    ms = {(b["m"], b["k"])
+          for st in V.read_manifest(path, 2).get("file_stats", {}).values()
+          if (b := st.get(V._BLOOM_KEY))}
+    assert ms == {(8192, 3), (2048, 5)}
+    # one key from each parameterization generation
+    got = V.point_lookup(spark, path, "product_id", [42, 1042])
+    assert sorted(r.product_id for r in got.collect()) == [42, 1042]
