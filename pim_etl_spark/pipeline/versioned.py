@@ -2493,7 +2493,7 @@ def versioned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- rounded sum is boundary-free (NOTES.md money rule).
     WITH scoped AS (
       SELECT o_orderkey AS k, o_totalprice AS p
-      FROM orders WHERE o_orderkey % 4 = 2
+      FROM orders WHERE o_orderkey % 8 = 2
     ),
     final AS (
       SELECT k,
@@ -2522,14 +2522,15 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .filter(F.col("o_orderkey") % 4 == 2)
+        .filter(F.col("o_orderkey") % 8 == 2)  # an eighth: the entry
+        # proves branch/merge semantics, not write throughput
     )
     src = tempfile.mkdtemp(prefix="pim-branch-src-")
     br = tempfile.mkdtemp(prefix="pim-branch-br-")
     try:
         v1 = orders.select(
             "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
-        ).repartitionByRange(4, "o_orderkey")
+        ).repartitionByRange(2, "o_orderkey")
         commit_snapshot(v1, src, op="bootstrap", stats_cols=("o_orderkey",))
         shallow_clone(src, br)
 
