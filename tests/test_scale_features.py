@@ -423,3 +423,43 @@ def test_weighted_sample_spans_and_giant_doc(spark, tmp_path):
         assert got[i].cum_before == prev and got[i].slot_hi == slot_hi
     # the giant doc is selected ONCE despite covering many thresholds
     assert 3 in got and got[3].slot_hi == 1015 // 64
+
+
+def test_scd2_incremental_stitch_paths(spark, tmp_path):
+    """Both stitch paths across a batch boundary: an UNCHANGED
+    attribute must EXTEND the open interval (no redundant row), a
+    changed one must close it at the new run's start; in-order
+    incremental application equals the from-scratch rebuild."""
+    import datetime as dt
+
+    from pim_etl_spark.operators.warehouse import scd2_apply_batch
+    from pim_etl_spark.pipeline import versioned as V
+
+    SCHEMA = "k long, attr string, ts timestamp, seq long"
+    d = lambda day: dt.datetime(2024, 1, day)
+    b1 = spark.createDataFrame(
+        [(1, "A", d(1), 1), (1, "A", d(2), 2), (2, "X", d(1), 3)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(1, "A", d(5), 4), (1, "B", d(7), 5), (2, "Y", d(6), 6)], SCHEMA
+    )
+    path = str(tmp_path / "scd2")
+    for i, b in enumerate((b1, b2), start=1):
+        scd2_apply_batch(
+            spark, path, b, key="k", attr="attr",
+            ts_col="ts", seq_col="seq", batch_no=i,
+        )
+    rows = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in V.read_version(spark, path).collect()
+        )
+    )
+    assert rows == [
+        # key 1: A extends across the boundary (ONE interval), closes at B
+        (1, "A", d(1), d(7), False),
+        (1, "B", d(7), None, True),
+        # key 2: X closes at Y's start
+        (2, "X", d(1), d(6), False),
+        (2, "Y", d(6), None, True),
+    ]
