@@ -698,3 +698,52 @@ def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     # HERE (batch side) is safe — the memory table is fully
     # materialized, so no pushdown can starve the watermark anymore
     return result.filter(F.col("purchase_id") >= 0).orderBy("purchase_id", "signup_id")
+
+
+def scd2_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    history_path: str,
+    key: str,
+    attr: str,
+    ts_col: str,
+    seq_col: str,
+    schema: StructType,
+) -> None:
+    """Streaming SCD Type 2 maintenance: readStream over a fact feed,
+    each micro-batch folded into the versioned history table via
+    ``scd2_apply_batch`` (foreachBatch — the generator/micro-batch
+    sync loop of the reference, producing HISTORY instead of
+    keep-latest state).
+
+    Content-idempotent under replay: re-applying a batch re-collapses
+    the same runs onto already-updated open intervals and merges
+    byte-identical rows, so checkpoint-loss re-delivery cannot corrupt
+    the dimension (the equal-attribute extension path is a fixpoint).
+    In-order delivery per key is assumed, as in every SCD2 loader —
+    the file source's ordered batches provide it for a feed directory.
+    """
+    from pim_etl_spark.operators.warehouse import scd2_apply_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_apply_batch(
+            spark, history_path, batch_df,
+            key=key, attr=attr, ts_col=ts_col, seq_col=seq_col,
+            batch_no=batch_id + 1,
+        )
+
+    # checkpoint lives OUTSIDE the source dir (a file source lists
+    # everything under its path; checkpoint files are not feed data)
+    checkpoint = f"{history_path.rstrip('/')}_checkpoint"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -385,3 +385,50 @@ def test_stream_static_dimension_refresh_between_batches(spark, tmp_path):
 
     got = {(r.event_id, r.tier) for r in spark.read.parquet(sink).collect()}
     assert got == {(10, "bronze"), (11, "gold")}
+
+
+def test_scd2_upsert_stream_builds_history_across_runs(spark, tmp_path):
+    """Streaming SCD2: two feed files drain one-per-micro-batch (plus
+    a second availableNow run picking up a late file), and the
+    resulting history equals the from-scratch interval build — the
+    streaming form of scd2_incremental_maintenance."""
+    import datetime as dt
+
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.streaming.queries import scd2_upsert_stream
+
+    SCHEMA_DDL = "k long, attr string, ts timestamp, seq long"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    hist = str(tmp_path / "hist")
+    d = lambda day: dt.datetime(2024, 2, day)
+    spark.createDataFrame(
+        [(1, "A", d(1), 1), (2, "X", d(1), 2)], SCHEMA_DDL
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    spark.createDataFrame(
+        [(1, "A", d(3), 3), (2, "Y", d(4), 4)], SCHEMA_DDL
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    schema = spark.createDataFrame([], SCHEMA_DDL).schema
+
+    scd2_upsert_stream(
+        spark, str(feed), hist,
+        key="k", attr="attr", ts_col="ts", seq_col="seq", schema=schema,
+    )
+    # late third file, second run resumes from the checkpoint
+    spark.createDataFrame([(1, "B", d(9), 5)], SCHEMA_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    scd2_upsert_stream(
+        spark, str(feed), hist,
+        key="k", attr="attr", ts_col="ts", seq_col="seq", schema=schema,
+    )
+    rows = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in V.read_version(spark, hist).collect()
+    )
+    assert rows == [
+        (1, "A", d(1), d(9), False),
+        (1, "B", d(9), None, True),
+        (2, "X", d(1), d(4), False),
+        (2, "Y", d(4), None, True),
+    ]
