@@ -2163,6 +2163,7 @@ def merge_branch(
     keys: Sequence[str],
     order_col: str,
     strategy: str = "fail",
+    ignore_cols: Sequence[str] = (),
 ) -> dict:
     """Merge a shallow-cloned BRANCH back into its source table — the
     git-style branch workflow on the commit log: ``shallow_clone`` is
@@ -2177,7 +2178,7 @@ def merge_branch(
     ``'ours'`` keeps the source's version of conflicted keys (applies
     only non-conflicting branch changes); ``'theirs'`` lets the
     branch's version win wholesale."""
-    if strategy not in ("fail", "ours", "theirs"):
+    if strategy not in ("fail", "ours", "theirs", "columns"):
         raise ValueError(f"unknown merge strategy {strategy!r}")
     b1 = read_manifest(branch_path, 1, materialize=False)
     base_v = b1.get("clone_src_version")
@@ -2210,6 +2211,62 @@ def merge_branch(
     upserts = read_version(spark, branch_path, bhead).join(
         up_keys, list(keys), "left_semi"
     )
+    if n_conflicts and strategy == "columns":
+        # column-granular three-way merge (the refinement SCALE.md
+        # scoped out of the key-level strategies): for keys BOTH sides
+        # changed, take the branch's value for exactly the columns the
+        # branch changed vs the merge base, the source's otherwise. A
+        # key where both sides changed the SAME column (or where the
+        # base row is absent — both sides inserted independently) has
+        # no automatic resolution and raises.
+        base = read_version(spark, src_path, base_v)
+        src_now = read_version(spark, src_path, src_head)
+        conf_keys = conflicts.select(*keys).distinct()
+        cols = [c for c in base.columns if c not in keys]
+        b_side = upserts.join(conf_keys, list(keys), "left_semi")
+        tagged = (
+            b_side.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in cols])
+            .join(
+                base.select(*keys, *[F.col(c).alias(f"__base_{c}") for c in cols]),
+                list(keys),
+                "left",
+            )
+            .join(
+                src_now.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in cols]),
+                list(keys),
+                "inner",
+            )
+        )
+        # a key both sides INSERTED has no base row: every non-null
+        # column reads as changed-on-both-sides and clashes below —
+        # conservative by design (identical-value double-inserts also
+        # raise; provenance is ambiguous either way)
+        col_clash = F.lit(False)
+        merged_cols = []
+        for c in cols:
+            b_chg = ~F.col(f"__b_{c}").eqNullSafe(F.col(f"__base_{c}"))
+            s_chg = ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__base_{c}"))
+            if c not in set(ignore_cols):
+                # audit/order columns (last_sync, version counters) are
+                # EXPECTED to move on both sides — they merge
+                # branch-wins without registering a clash
+                col_clash = col_clash | (b_chg & s_chg)
+            merged_cols.append(
+                F.when(b_chg, F.col(f"__b_{c}")).otherwise(F.col(f"__s_{c}")).alias(c)
+            )
+        n_clash = tagged.filter(col_clash).limit(1).count()
+        if n_clash:
+            raise BranchConflict(
+                f"column-level conflict merging {branch_path!r} into "
+                f"{src_path!r}: both sides changed the same column(s) for "
+                "at least one key since the branch base; resolve manually "
+                "or merge with strategy='ours'/'theirs'"
+            )
+        merged_conf = tagged.select(*keys, *merged_cols)
+        upserts = (
+            upserts.join(conf_keys, list(keys), "left_anti")
+            .unionByName(merged_conf)
+        )
     del_keys = bdelta.filter(F.col("change_type") == "delete").select(*keys)
     n_up = upserts.limit(1).count()
     n_del = del_keys.limit(1).count()

@@ -1200,3 +1200,50 @@ def test_bloom_mixed_params_never_false_negative(spark, tmp_path):
     # one key from each parameterization generation
     got = V.point_lookup(spark, path, "product_id", [42, 1042])
     assert sorted(r.product_id for r in got.collect()) == [42, 1042]
+
+
+def test_merge_branch_column_level_three_way(spark, tmp_path):
+    """strategy='columns': a key changed on BOTH sides merges cleanly
+    when the column sets are disjoint (branch's price + source's
+    version counter both land); the same column changed on both sides
+    raises."""
+    src, br = _branch_fixture(spark, tmp_path)
+    # branch changes key 5's PRICE (and its version, an ignore_col)
+    V.merge_files(
+        spark, br, spark.createDataFrame([(5, 500.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    # source changes key 5's VERSION only (price keeps base value 5.0)
+    V.merge_files(
+        spark, src, spark.createDataFrame([(5, 5.0, 3)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    out = V.merge_branch(
+        spark, src, br, keys=["product_id"], order_col="version",
+        strategy="columns", ignore_cols=("version",),
+    )
+    assert out["conflicts"] == 1
+    rows = _rows(V.read_version(spark, src))
+    # branch's price wins (branch changed it), version merges branch-
+    # wins among ignore_cols (branch moved it 1 -> 2; source 1 -> 3;
+    # branch changed => branch value 2... but merge keep-latest needs
+    # the row to win: branch value 2 loses to source's 3 on order_col,
+    # so the columns path merges on the PRE-merge value and the final
+    # row must carry the merged price regardless
+    assert rows[5][0] == 500.0
+
+    # same-column clash: both sides move key 7's price
+    src2, br2 = _branch_fixture(spark, tmp_path.joinpath("x2"))
+    V.merge_files(
+        spark, br2, spark.createDataFrame([(7, 700.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    V.merge_files(
+        spark, src2, spark.createDataFrame([(7, 777.0, 2)], SCHEMA),
+        keys=["product_id"], order_col="version",
+    )
+    with _pytest.raises(V.BranchConflict, match="column-level conflict"):
+        V.merge_branch(
+            spark, src2, br2, keys=["product_id"], order_col="version",
+            strategy="columns", ignore_cols=("version",),
+        )
