@@ -135,3 +135,99 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "nation")
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "bfs_trade_hops",
+    oracle=f"""
+    -- BFS shortest-hop distances over the sparsified trade graph
+    -- (each nation keeps its top-2 heaviest outgoing trade edges —
+    -- a RELATIVE sparsifier, so the graph shape is scale-invariant),
+    -- from nation 0, depth-capped at {BFS_MAX_HOPS}. Recursive-CTE
+    -- min-distance twin of the frontier-expansion loop.
+    WITH RECURSIVE e0 AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rk
+        FROM e0
+      ) WHERE rk <= 2
+    ), reach(node, d) AS (
+      SELECT CAST(0 AS INT), 0
+      UNION
+      SELECT CAST(e.dst AS INT), r.d + 1
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.d < {BFS_MAX_HOPS}
+    )
+    SELECT r.node, n.n_name, CAST(min(r.d) AS BIGINT) AS min_hops
+    FROM reach r JOIN nation n ON n.n_nationkey = r.node
+    GROUP BY r.node, n.n_name
+    ORDER BY min_hops, node
+    """,
+)
+def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop distances (frontier expansion) from nation 0
+    over the top-2-out-edges trade graph — the graph-traversal
+    primitive alongside PageRank, connected components
+    (dedup clustering), and the recursive-CTE ancestor rollup.
+
+    Scale shape: the ONLY fact-data work is the edge aggregate (one
+    lineitem pass, dimensions broadcast); the loop then runs on the
+    node-count-sized frontier with broadcast joins, expanding at most
+    ``BFS_MAX_HOPS`` rounds — at a billion-node graph the same loop
+    keys frontier joins on the edge table's partitioning and
+    localCheckpoints per round (duplicate_clusters' pattern).
+    """
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    w_top = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 2)
+        .select("src", "dst")
+        .cache()
+    )
+    dist = spark.createDataFrame([(0, 0)], "node int, d int")
+    frontier = dist
+    for _ in range(BFS_MAX_HOPS):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        new_nodes = nxt.join(F.broadcast(dist.select("node")), "node", "left_anti")
+        frontier = new_nodes.groupBy("node").agg(F.min("d").alias("d"))
+        dist = dist.unionByName(frontier)
+    return (
+        dist.groupBy("node")
+        .agg(F.min("d").cast("bigint").alias("min_hops"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("node"), "n_name")),
+            "node",
+        )
+        .select("node", "n_name", "min_hops")
+        .orderBy("min_hops", "node")
+    )
