@@ -636,3 +636,98 @@ def image_patchify_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+FRAME_SAMPLES = 256
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("energy", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+    ]
+)
+
+
+def audio_frame_energies(media: DataFrame, frame: int = FRAME_SAMPLES) -> DataFrame:
+    """Windowed signal energy over decoded PCM — the DSP feature step
+    ahead of VAD/spectrogram embedding: parse the RIFF/WAVE header
+    (real byte decode), cut the 8-bit sample stream into ``frame``-
+    sample windows (remainder dropped), and emit each window's exact
+    integer energy Σ(s-128)² — one numpy blocked reshape per clip
+    inside Arrow-batched mapInPandas, no per-sample Python."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es, rates = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                rate, n, _dur, _msq = decode_wav(buf)
+                samples = np.frombuffer(buf, dtype=np.uint8, count=n, offset=44)
+                gh = n // frame
+                if gh == 0:
+                    continue
+                centered = samples[: gh * frame].astype(np.int64) - 128
+                energies = (centered * centered).reshape(gh, frame).sum(axis=1)
+                for i in range(gh):
+                    ids.append(mid)
+                    idxs.append(i)
+                    es.append(int(energies[i]))
+                    rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_energy, schema=ENERGY_SCHEMA)
+
+
+@query(
+    "audio_frame_energy",
+    oracle=f"""
+    -- arithmetic twin of the frame-energy rollup: frame counts,
+    -- stride indices, and sample rate are pure arithmetic over the
+    -- WAV header fields the Python worker must parse from raw bytes
+    -- (clips shorter than one {FRAME_SAMPLES}-sample frame emit
+    -- nothing). Exact per-frame energies (byte math, not
+    -- SQL-expressible) are pinned in
+    -- tests/test_llm_ops.py::test_audio_frame_energy_exact_values.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(CASE WHEN length(text) < 64
+                                      THEN rpad(text, 64, '.')
+                                      ELSE text END)) AS n,
+             CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n // {FRAME_SAMPLES} AS BIGINT) AS n_frames,
+           CAST(n // {FRAME_SAMPLES} - 1 AS INT) AS last_frame_idx,
+           sample_rate
+    FROM m
+    WHERE n // {FRAME_SAMPLES} > 0
+    ORDER BY media_id
+    """,
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy rollup per audio clip: window count, stride
+    extent, and the header-parsed sample rate — every value produced
+    by the REAL byte-level decoder + blocked energy kernel, every
+    value independently derivable from the construction arithmetic.
+    Exact energies are pytest-pinned."""
+    media = documents_as_wav_media(load_table(spark, sf_dir, "documents"))
+    frames = audio_frame_energies(media)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_idx").alias("last_frame_idx"),
+            F.max("sample_rate").alias("sample_rate"),
+        )
+        .orderBy("media_id")
+    )

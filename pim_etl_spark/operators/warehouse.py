@@ -760,3 +760,94 @@ def scd2_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey bigint, o_orderpriority string, valid_from timestamp, "
         "valid_to timestamp, is_current boolean",
     ).orderBy("o_custkey", "valid_from")
+
+
+@query(
+    "scd2_interval_lookup",
+    oracle="""
+    -- the READ side of SCD Type 2 (temporal point-in-interval join):
+    -- each late-1997 lineitem shipment resolves the priority its
+    -- customer's interval held AT ship time — a range join against
+    -- the interval table, half-open [valid_from, valid_to).
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rnp
+      FROM orders
+    ), runs AS (
+      SELECT o_custkey, o_orderpriority,
+             min(o_orderdate) AS valid_from, min(rn) AS first_rn
+      FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnp
+    ), scd AS (
+      SELECT o_custkey, o_orderpriority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY first_rn) AS valid_to
+      FROM runs
+    ), facts AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1998-09-01'
+    )
+    SELECT f.o_custkey,
+           s.o_orderpriority AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_shipments
+    FROM facts f JOIN scd s
+      ON s.o_custkey = f.o_custkey
+     AND f.l_shipdate >= s.valid_from
+     AND (s.valid_to IS NULL OR f.l_shipdate < s.valid_to)
+    GROUP BY f.o_custkey, s.o_orderpriority
+    ORDER BY f.o_custkey, priority_at_ship
+    """,
+)
+def scd2_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact-to-dimension lookup: late shipments join the SCD2
+    priority interval in force AT ship time (half-open intervals, the
+    open row matching everything after its start). The join is an
+    equi-join on the customer key plus a range predicate — Spark plans
+    it as a hash join with the range as a post-filter, so there is no
+    all-pairs blowup; at 100 TB the dimension side is
+    interval-count-sized and broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_pri = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = (
+        orders.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.row_number().over(w_all).alias("rn"),
+            F.row_number().over(w_pri).alias("rnp"),
+        )
+        .groupBy("o_custkey", "o_orderpriority", (F.col("rn") - F.col("rnp")).alias("g"))
+        .agg(F.min("o_orderdate").alias("valid_from"), F.min("rn").alias("first_rn"))
+    )
+    scd = runs.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("o_custkey").orderBy("first_rn"))
+        .alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1998-09-01"
+    )
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select("o_custkey", "l_shipdate")
+    joined = facts.join(
+        F.broadcast(scd),
+        (facts.o_custkey == scd.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(facts.o_custkey, F.col("o_orderpriority").alias("priority_at_ship"))
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+        .orderBy("o_custkey", "priority_at_ship")
+    )

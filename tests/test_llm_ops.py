@@ -501,3 +501,27 @@ def test_patchify_exact_values(spark):
         assert r.patch_sum == int(tile.sum())
         luma = (tile.astype(float) @ np.array([0.299, 0.587, 0.114])).mean()
         assert abs(r.patch_mean_luma - luma) < 1e-9
+
+
+def test_audio_frame_energy_exact_values(spark):
+    """Per-frame energies must equal an independent per-sample
+    recomputation on a planted clip — catches a wrong header offset,
+    a centering bug (unsigned 8-bit PCM is offset-128), or a frame
+    reshape mixup."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import (
+        audio_frame_energies,
+        documents_as_wav_media,
+    )
+
+    text = "".join(chr(32 + (i * 11) % 90) for i in range(600))
+    docs = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    rows = audio_frame_energies(documents_as_wav_media(docs)).collect()
+    samples = np.frombuffer(text.encode(), np.uint8)
+    n_frames = len(samples) // 256
+    assert len(rows) == n_frames == 2
+    for r in rows:
+        seg = samples[r.frame_idx * 256 : (r.frame_idx + 1) * 256].astype(np.int64) - 128
+        assert r.energy == int((seg * seg).sum())
+        assert r.sample_rate == (2 % 3 + 1) * 8000
