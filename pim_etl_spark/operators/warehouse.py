@@ -851,3 +851,99 @@ def scd2_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shipments"))
         .orderBy("o_custkey", "priority_at_ship")
     )
+
+
+@query(
+    "bitemporal_asof_query",
+    oracle="""
+    -- bitemporal query: SYSTEM time = commit-log snapshot (the store
+    -- as of the SECOND ingested batch, i.e. facts before 1997),
+    -- BUSINESS time = the validity interval holding on 1995-06-01.
+    -- The oracle rebuilds that world closed-form: SCD2 over pre-1997
+    -- facts only, then the interval covering the business date.
+    WITH scoped AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM orders
+      WHERE o_custkey % 10 = 3 AND o_orderdate < DATE '1997-01-01'
+    ), seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rnp
+      FROM scoped
+    ), runs AS (
+      SELECT o_custkey, o_orderpriority,
+             min(o_orderdate) AS valid_from, min(rn) AS first_rn
+      FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnp
+    ), scd AS (
+      SELECT o_custkey, o_orderpriority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY first_rn) AS valid_to
+      FROM runs
+    )
+    SELECT o_custkey, o_orderpriority AS priority_then, valid_from
+    FROM scd
+    WHERE valid_from <= TIMESTAMP '1995-06-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-01')
+    ORDER BY o_custkey
+    """,
+)
+def bitemporal_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF: the two time axes composed — SYSTEM time via
+    commit-log time travel (read the SCD2 store at the snapshot that
+    had ingested only the first two batches), BUSINESS time via the
+    validity interval covering 1995-06-01. "What did we believe on
+    ingest day 2 the customer's priority was on 1995-06-01?" — the
+    question neither axis answers alone. Built from the same
+    incremental batches as ``scd2_incremental_maintenance``; the
+    snapshot read proves later commits are invisible to the
+    time-traveled world."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.pipeline import versioned as V
+
+    scoped = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 3)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-bitemporal-")
+    try:
+        cuts = [
+            scoped.filter(F.col("o_orderdate") < "1995-01-01"),
+            scoped.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            scoped.filter(F.col("o_orderdate") >= "1997-01-01"),
+        ]
+        versions = []
+        for i, b in enumerate(cuts, start=1):
+            scd2_apply_batch(
+                spark, tbl, b,
+                key="o_custkey", attr="o_orderpriority",
+                ts_col="o_orderdate", seq_col="o_orderkey", batch_no=i,
+            )
+            versions.append(V.current_version(tbl))
+        biz_date = "1995-06-01"
+        rows = (
+            V.read_version(spark, tbl, versions[1])  # system time: batch 2
+            .filter(
+                (F.col("valid_from") <= biz_date)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > biz_date))
+            )
+            .select(
+                "o_custkey",
+                F.col("o_orderpriority").alias("priority_then"),
+                "valid_from",
+            )
+            .orderBy("o_custkey")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_custkey bigint, priority_then string, valid_from timestamp"
+    ).orderBy("o_custkey")
