@@ -210,17 +210,23 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .cache()
     )
-    dist = spark.createDataFrame([(0, 0)], "node int, d int")
-    frontier = dist
+    # depth-capped BFS unrolls as a path union: layer k+1 = layer k ⋈
+    # edges, all reached (node, d) pairs union once, ONE final min-agg
+    # resolves shortest hops. No per-round anti-join/dedup shuffles —
+    # with out-degree capped at 2 by the sparsifier, path count is
+    # bounded (≤ 2^k per node), so deferring dedup to the end is
+    # cheaper than four rounds of shuffle. An unbounded-degree graph
+    # flips that trade: dedup per round (duplicate_clusters' loop).
+    layers = [spark.createDataFrame([(0, 0)], "node int, d int")]
     for _ in range(BFS_MAX_HOPS):
-        nxt = (
-            F.broadcast(frontier)
+        layers.append(
+            F.broadcast(layers[-1])
             .join(edges, F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        new_nodes = nxt.join(F.broadcast(dist.select("node")), "node", "left_anti")
-        frontier = new_nodes.groupBy("node").agg(F.min("d").alias("d"))
-        dist = dist.unionByName(frontier)
+    dist = layers[0]
+    for layer in layers[1:]:
+        dist = dist.unionByName(layer)
     return (
         dist.groupBy("node")
         .agg(F.min("d").cast("bigint").alias("min_hops"))
