@@ -813,3 +813,280 @@ def trend_forecast_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "iqr_outlier_fences",
+    oracle="""
+    -- Tukey-fence outlier audit per order status, on integer cents:
+    -- the quartile interpolation carries <=2 true decimals, 1.5*IQR
+    -- <=3, so round(.,4) is boundary-free and the fence comparisons
+    -- against integer cents are engine-identical.
+    WITH c AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), q AS (
+      SELECT status,
+             quantile_cont(CAST(cents AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(cents AS DOUBLE), 0.75) AS q3
+      FROM c GROUP BY status
+    )
+    SELECT c.status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN CAST(c.cents AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN CAST(c.cents AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+           round(any_value(q.q1 - 1.5 * (q.q3 - q.q1)), 4) AS fence_lo,
+           round(any_value(q.q3 + 1.5 * (q.q3 - q.q1)), 4) AS fence_hi
+    FROM c JOIN q USING (status)
+    GROUP BY c.status ORDER BY c.status
+    """,
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5×IQR) outlier detection per group — the robust
+    anomaly audit for price QA. One exact-quartile aggregate
+    (group-cardinality-sized, broadcast back) + one counting pass."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = cents.groupBy("status").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("cents").cast("double"), F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        cents.join(F.broadcast(q), "status")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("cents").cast("double") < lo).cast("bigint")).alias("n_low_outliers"),
+            F.sum((F.col("cents").cast("double") > hi).cast("bigint")).alias("n_high_outliers"),
+            F.round(F.any_value(lo), 4).alias("fence_lo"),
+            F.round(F.any_value(hi), 4).alias("fence_hi"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "price_histogram_equidepth",
+    oracle="""
+    -- equi-DEPTH histogram (quantile buckets) — the complement of the
+    -- existing equi-width one: quartile boundaries from exact
+    -- interpolation on cents, rows assigned by counting exceeded
+    -- boundaries (integer-vs-double compares, engine-identical).
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), b AS (
+      SELECT quantile_cont(CAST(cents AS DOUBLE), 0.25) AS b1,
+             quantile_cont(CAST(cents AS DOUBLE), 0.50) AS b2,
+             quantile_cont(CAST(cents AS DOUBLE), 0.75) AS b3
+      FROM c
+    )
+    SELECT (CASE WHEN CAST(cents AS DOUBLE) > b3 THEN 3
+                 WHEN CAST(cents AS DOUBLE) > b2 THEN 2
+                 WHEN CAST(cents AS DOUBLE) > b1 THEN 1
+                 ELSE 0 END) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c, b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram: one exact-percentile
+    scalar aggregate broadcast to a counting pass — two scans, no
+    sort, no shuffle wider than the 4-row result."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    b = cents.agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.25)).alias("b1"),
+        F.percentile(F.col("cents").cast("double"), F.lit(0.50)).alias("b2"),
+        F.percentile(F.col("cents").cast("double"), F.lit(0.75)).alias("b3"),
+    )
+    x = F.col("cents").cast("double")
+    bucket = (
+        F.when(x > F.col("b3"), 3)
+        .when(x > F.col("b2"), 2)
+        .when(x > F.col("b1"), 1)
+        .otherwise(0)
+    )
+    return (
+        cents.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "rolling_median_revenue",
+    oracle="""
+    -- rolling median (robust smoothing) of a customer's order values
+    -- over the 3 most recent orders: window median on integer cents —
+    -- the result is a whole or half cent, exactly representable, so
+    -- no rounding is needed at all.
+    SELECT o_custkey, o_orderkey,
+           median(CAST(cents AS DOUBLE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS rolling_median_cents
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 50 = 0
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window median — the robust (outlier-insensitive)
+    smoother a price-trend monitor uses where a rolling mean would
+    chase spikes. Keyed window, 3-row frame, exact median on cents."""
+    from pyspark.sql import Window
+
+    # Spark rejects median() with a window FRAME — for a 3-row frame
+    # the median is closed-form lag arithmetic instead:
+    # median(a,b,c) = a+b+c - max - min (exact on integer cents)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    staged = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v0"),
+        )
+        .withColumn("v1", F.lag("v0", 1).over(w))
+        .withColumn("v2", F.lag("v0", 2).over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    x0, x1, x2 = (F.col(c).cast("double") for c in ("v0", "v1", "v2"))
+    med3 = x0 + x1 + x2 - F.greatest(x0, x1, x2) - F.least(x0, x1, x2)
+    med = (
+        F.when(F.col("rn") == 1, x0)
+        .when(F.col("rn") == 2, (x0 + x1) / 2)
+        .otherwise(med3)
+    )
+    return staged.select(
+        "o_custkey", "o_orderkey", med.alias("rolling_median_cents")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "chisq_independence_cells",
+    oracle="""
+    -- chi-square independence audit (status x priority), emitted PER
+    -- CELL: each cell's (obs-exp)^2/exp uses only +,-,*,/ on exact
+    -- integer counts — correctly-rounded IEEE ops on identical
+    -- operands, so the floor-scaled contribution is engine-identical.
+    -- (The TOTAL is deliberately not summed here: cross-cell sum
+    -- order differs between engines — NOTES.md.)
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT status, sum(obs) AS r FROM cells GROUP BY status
+    ), tot2 AS (
+      SELECT priority, sum(obs) AS c FROM cells GROUP BY priority
+    ), n AS (
+      SELECT sum(obs) AS n FROM cells
+    )
+    SELECT cells.status, cells.priority, cells.obs,
+           CAST(floor(
+             (CAST(cells.obs AS DOUBLE) - CAST(tot.r AS DOUBLE) * tot2.c / n.n)
+             * (CAST(cells.obs AS DOUBLE) - CAST(tot.r AS DOUBLE) * tot2.c / n.n)
+             / (CAST(tot.r AS DOUBLE) * tot2.c / n.n) * 10000
+           ) AS BIGINT) AS chisq_contrib_e4
+    FROM cells JOIN tot USING (status) JOIN tot2 USING (priority), n
+    ORDER BY cells.status, cells.priority
+    """,
+)
+def chisq_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categorical columns,
+    per contingency cell — the statistical-dependence detector for
+    feed QA (a supplier whose status distribution shifts with priority
+    shows up as large contributions). One grouped count (the only
+    data-sized pass); margins and expectations are cell-count-sized."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    r = cells.groupBy("status").agg(F.sum("obs").alias("r"))
+    c = cells.groupBy("priority").agg(F.sum("obs").alias("c"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    contrib = (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp
+    return (
+        cells.join(F.broadcast(r), "status")
+        .join(F.broadcast(c), "priority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "status",
+            "priority",
+            "obs",
+            F.floor(contrib * 10000).cast("bigint").alias("chisq_contrib_e4"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "missing_value_imputation",
+    oracle="""
+    -- group-median imputation: sizes for keys %13 are DELETED
+    -- deterministically (the planted missingness), then refilled with
+    -- the brand's median over the surviving values — median of
+    -- integers is a whole or half, exactly representable.
+    WITH planted AS (
+      SELECT p_partkey, p_brand,
+             CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_size END AS size
+      FROM part
+    ), med AS (
+      SELECT p_brand, median(CAST(size AS DOUBLE)) AS brand_median
+      FROM planted WHERE size IS NOT NULL GROUP BY p_brand
+    )
+    SELECT p.p_partkey,
+           p.size IS NULL AS was_missing,
+           CASE WHEN p.size IS NULL THEN m.brand_median
+                ELSE CAST(p.size AS DOUBLE) END AS imputed_size
+    FROM planted p JOIN med m USING (p_brand)
+    ORDER BY p.p_partkey
+    """,
+)
+def missing_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median missing-value imputation — the feed-repair step
+    for suppliers that omit attributes: deterministic planted
+    missingness, per-brand exact median over survivors (brand-count-
+    sized aggregate, broadcast back), null-aware refill."""
+    planted = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_partkey") % 13 == 0, F.lit(None)).otherwise(F.col("p_size")).alias("size"),
+    )
+    med = (
+        planted.filter(F.col("size").isNotNull())
+        .groupBy("p_brand")
+        .agg(F.median(F.col("size").cast("double")).alias("brand_median"))
+    )
+    return (
+        planted.join(F.broadcast(med), "p_brand")
+        .select(
+            "p_partkey",
+            F.col("size").isNull().alias("was_missing"),
+            F.when(F.col("size").isNull(), F.col("brand_median"))
+            .otherwise(F.col("size").cast("double"))
+            .alias("imputed_size"),
+        )
+        .orderBy("p_partkey")
+    )
