@@ -947,3 +947,95 @@ def bitemporal_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_custkey bigint, priority_then string, valid_from timestamp"
     ).orderBy("o_custkey")
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    -- k-anonymity over the quasi-identifier (nation, segment): group
+    -- sizes, the violating-group count for k=5, and the re-identified
+    -- population — the privacy audit run before sharing a customer
+    -- extract.
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(group_size) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT) AS n_reidentifiable_rows,
+           min(group_size) >= 5 AS satisfies_k5
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: are there quasi-identifier combinations
+    (nation × market segment) shared by fewer than k individuals? One
+    grouped count (QI-cardinality-sized) + one scalar rollup — the
+    check a data-sharing pipeline runs before releasing an extract,
+    and the dual of the PII-redaction operator (which scrubs values;
+    this bounds linkability)."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    small = (F.col("group_size") < 5).cast("bigint")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum(small).alias("n_violating_groups"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)).alias(
+            "n_reidentifiable_rows"
+        ),
+        (F.min("group_size") >= 5).alias("satisfies_k5"),
+    )
+
+
+@query(
+    "key_skew_gini",
+    oracle="""
+    -- Gini coefficient of the shuffle-key load distribution — the
+    -- skew diagnostic that predicts hot reducers before a job runs.
+    -- Entirely integer arithmetic on exact counts:
+    -- G_e6 = (2*Σ(i*x_i) - (n+1)*Σx) * 1e6 // (n*Σx), x sorted asc.
+    WITH counts AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS x
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x ASC, l_suppkey ASC) AS i
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(x) AS BIGINT) AS n_rows,
+           CAST(max(x) AS BIGINT) AS max_key_rows,
+           CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+                // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+    FROM ranked
+    """,
+)
+def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report: the Gini coefficient of per-key row
+    counts (0 = perfectly even, →1 = one hot key) — the diagnostic
+    that tells you whether a groupBy/join key needs salting BEFORE the
+    job melts a reducer. The ranked window runs over the key-count
+    aggregate (key-cardinality-sized), never the fact table, and the
+    coefficient is exact integer arithmetic — no FP, no drift."""
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = counts.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.col("x").asc(), F.col("l_suppkey").asc()))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("n_rows"),
+        F.max("x").alias("max_key_rows"),
+        F.expr(
+            "(2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000 div (count(1) * sum(x))"
+        ).alias("gini_e6"),
+    )
