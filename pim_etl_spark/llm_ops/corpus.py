@@ -1348,3 +1348,88 @@ def quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dataset_card_summary",
+    oracle="""
+    -- the dataset-card ("datasheet") rollup a corpus release ships
+    -- with: per source, volume, token totals, language diversity as
+    -- the Gini-Simpson index (1 - sum p_i^2 — rational, so it stays
+    -- in exact integer arithmetic; entropy would drag in log()), and
+    -- the exact-duplicate rate from normalized-text hashes.
+    WITH t AS (
+      SELECT source, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc,
+             n_chars
+      FROM documents
+    ), lc AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY source, lang
+    ), lang_div AS (
+      SELECT source,
+             CAST((sum(c) * sum(c) - sum(c * c)) * 1000000
+                  // (sum(c) * sum(c)) AS BIGINT) AS lang_gini_simpson_e6,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM lc GROUP BY source
+    ), base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tc) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+      FROM t GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.total_chars,
+           d.n_langs, d.lang_gini_simpson_e6,
+           CAST((b.n_docs - b.n_unique) * 1000000 // b.n_docs AS BIGINT)
+             AS dup_rate_e6
+    FROM base b JOIN lang_div d USING (source)
+    ORDER BY b.source
+    """,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per source — the datasheet a corpus release
+    ships with: volume, token/char totals, language count and
+    diversity (Gini-Simpson, exact integer arithmetic — entropy would
+    need log(), which is not cross-engine exact), and the exact-dup
+    rate. Two grouped aggregates over (source) and (source, lang);
+    the only data-sized work is one scan + the hash distinct."""
+    from pim_etl_spark import functions as pf
+    from pim_etl_spark.llm_ops.dedup import _norm_text
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5(_norm_text(F.col("text"))).alias("h"),
+        pf.token_count(F.col("text")).alias("tc"),
+        "n_chars",
+    )
+    lc = t.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_div = lc.groupBy("source").agg(
+        F.expr(
+            "(sum(c) * sum(c) - sum(c * c)) * 1000000 div (sum(c) * sum(c))"
+        ).alias("lang_gini_simpson_e6"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    base = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("h").alias("n_unique"),
+    )
+    return (
+        base.join(lang_div, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "lang_gini_simpson_e6",
+            F.expr("(n_docs - n_unique) * 1000000 div n_docs").alias("dup_rate_e6"),
+        )
+        .orderBy("source")
+    )
