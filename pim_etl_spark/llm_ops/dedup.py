@@ -768,3 +768,80 @@ def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("train_id")
     )
+
+
+# --- AllPairs/PPJoin-style prefix-filtered exact similarity join ----------
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    -- the prefix filter is LOSSLESS for Jaccard >= 0.5, so the exact
+    -- all-pairs truth set IS the expected output — identical truth
+    -- CTE to minhash_lsh_candidates, reached here deterministically
+    -- (no hashing anywhere in the engine path)
+    WITH {_TRUTH_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM truth ORDER BY doc_a, doc_b
+    """,
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — the deterministic, lossless counterpart to the
+    probabilistic MinHash-LSH path over the same 3-token shingle sets
+    and the same integer-exact threshold (2·|∩| >= |∪|, i.e. J >= 0.5).
+
+    Principle: order every shingle by global document frequency
+    (rarest first, ties by value); a doc's PREFIX is its first
+    ``|s| - ceil(0.5·|s|) + 1`` shingles in that order. Any pair with
+    J >= 0.5 must share at least one PREFIX shingle — so joining on
+    prefix shingles alone finds every qualifying pair, and exact
+    verification of candidates filters false positives. Recall is 1 by
+    theorem, precision 1 by verification; the oracle pins both.
+
+    Scale shape: document frequency is one explode + window count
+    (shuffle keyed on shingle); the candidate join is keyed on PREFIX
+    shingles only — the rarest ~half of each doc's shingles — so
+    bucket sizes track the frequency ordering's whole point: common
+    shingles never become join keys. Verification touches candidates
+    only (never all pairs), exactly like the LSH path's collision set.
+    The two entries form a cross-check: a banding bug over-prunes LSH,
+    a prefix-length bug over-prunes here; both hash-gate against the
+    same truth set.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs)
+    # (doc_id, n, shingle) with global df per shingle via window count
+    # over the shingle partition — no separate df table or join
+    exploded = sh.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("shingle")
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    # rank shingles per doc rarest-first; prefix keeps n - ceil(n/2) + 1
+    rk = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        exploded.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") / 2) + 1)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("__u", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("__i") * 2 >= F.col("__u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__i").cast("double") / F.col("__u"), 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

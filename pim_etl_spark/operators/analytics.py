@@ -1090,3 +1090,88 @@ def missing_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+EWMA_TAPS = 16  # dyadic half-life-1 kernel, truncated at 16 taps
+
+
+def _ewma_oracle() -> str:
+    num_terms = ["cents * 32768"] + [
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (15 - j)}" for j in range(1, EWMA_TAPS)
+    ]
+    den_terms = ["32768"] + [
+        f"CASE WHEN lag(cents, {j}) OVER w IS NOT NULL THEN {1 << (15 - j)} ELSE 0 END"
+        for j in range(1, EWMA_TAPS)
+    ]
+    return f"""
+    -- 16-tap dyadic EWMA (weight 2^-j for the j-th most recent order):
+    -- numerator and denominator are EXACT BIGINT sums, the single
+    -- final division is correctly rounded on identical operands, so
+    -- the doubles are bit-identical cross-engine (NOTES.md rule)
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), t AS (
+      SELECT o_custkey,
+             {" + ".join(num_terms)} AS num,
+             {" + ".join(den_terms)} AS den,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM c
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+    FROM t WHERE rn = 1
+    ORDER BY o_custkey
+    """
+
+
+@query("ewma_order_value", oracle=_ewma_oracle())
+def ewma_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer exponentially-weighted moving average of order
+    value (most recent order's smoothed level) — the classic
+    time-series smoother, expressed as a FINITE dyadic kernel so it is
+    cross-engine exact: weights are 2^-j over the last 16 orders,
+    amounts are integer cents, so numerator and denominator are exact
+    BIGINT window sums (order-insensitive, no float accumulation) and
+    only the FINAL division produces a double — correctly rounded on
+    identical operands, hence bit-identical in any IEEE engine. The
+    truncation error vs the infinite kernel is < 2^-16 of one order's
+    weight — below any reporting precision.
+
+    Plan shape: the 16 lag() calls plus row_number plus count all
+    share one Window partition (o_custkey) — Catalyst collapses them
+    into a single sort per partition after ONE exchange; per-customer
+    history is short, so no per-group state concern at any scale.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").asc())
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", cents.alias("cents"))
+    )
+    num = F.col("cents") * F.lit(1 << 15).cast("bigint")
+    den = F.lit(1 << 15).cast("bigint")
+    for j in range(1, EWMA_TAPS):
+        lagged = F.lag("cents", j).over(w)
+        weight = F.lit(1 << (15 - j)).cast("bigint")
+        num = num + F.coalesce(lagged, F.lit(0)) * weight
+        den = den + F.when(lagged.isNotNull(), weight).otherwise(F.lit(0))
+    wn = Window.partitionBy("o_custkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        base.withColumn("num", num)
+        .withColumn("den", den)
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_orders", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("ewma_cents"),
+        )
+        .orderBy("o_custkey")
+    )

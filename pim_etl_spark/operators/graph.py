@@ -237,3 +237,113 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "n_name", "min_hops")
         .orderBy("min_hops", "node")
     )
+
+
+TRI_TOP_EDGES = 3
+
+
+@query(
+    "triangle_count_trade",
+    oracle=f"""
+    -- per-nation triangle participation over the UNDIRECTED
+    -- sparsified trade graph (top-{TRI_TOP_EDGES} heaviest out-edges per
+    -- nation, then symmetrized); canonical a<b<c join enumeration
+    WITH e0 AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rk
+        FROM e0
+      ) WHERE rk <= {TRI_TOP_EDGES}
+    ), und AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM sparse GROUP BY 1, 2
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), member AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT CAST(n.n_nationkey AS INT) AS node, n.n_name,
+           CAST(coalesce(m.c, 0) AS BIGINT) AS n_triangles
+    FROM nation n
+    LEFT JOIN (SELECT node, count(*) AS c FROM member GROUP BY 1) m
+      ON m.node = n.n_nationkey
+    ORDER BY node
+    """,
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts — the clustering-structure primitive
+    completing the graph family (PageRank = centrality, BFS =
+    distance, connected components = dedup clustering, triangles =
+    cohesion). Canonical enumeration: every undirected edge is stored
+    once as (a < b) and triangles join as a<b<c, so each triangle is
+    produced exactly once.
+
+    Scale shape: as with PageRank/BFS, the only fact-data pass is the
+    edge aggregate (dimensions broadcast, one lineitem shuffle); the
+    triangle join runs on the sparsified nation graph. On a graph that
+    stays large, the same canonical join is the standard distributed
+    algorithm — ordering vertices by DEGREE (not id) bounds the join
+    fan-out by arboricity (m^1.5 worst case), and the two joins key on
+    edge endpoints, so it partitions cleanly.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    w_top = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    und = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= TRI_TOP_EDGES)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .cache()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    counts = member.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        F.broadcast(nat)
+        .join(counts, nat.n_nationkey == counts.node, "left")
+        .select(
+            F.col("n_nationkey").cast("int").alias("node"),
+            "n_name",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .orderBy("node")
+    )
