@@ -251,3 +251,32 @@ def test_blocked_joins_never_cartesian(spark, sf_dir, name):
     plan = _plan(get_queries()[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_prefix_filter_join_is_equi_join_on_shingle(spark, sf_dir):
+    """The PPJoin candidate stage must plan as an equi-join keyed on
+    the prefix shingle (plus the length/position filters applied as
+    post-join predicates) — a CartesianProduct or nested-loop here is
+    exactly the all-pairs blowup prefix filtering exists to avoid."""
+    plan = _plan(get_queries()["prefix_filter_jaccard_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+
+
+def test_ewma_windows_collapse_to_one_customer_exchange(spark, sf_dir):
+    """All 16 lag() taps + row_number + count share the o_custkey
+    partition, so the plan must contain exactly ONE hash Exchange on
+    the data path (plus the output sort's range exchange) — a second
+    hashpartitioning means the window specs stopped sharing a sort."""
+    plan = _plan(get_queries()["ewma_order_value"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2500]
+    assert "Join" not in plan, plan[:2500]
+
+
+def test_triangle_join_stays_broadcast_no_cartesian(spark, sf_dir):
+    """Triangle enumeration joins the sparsified (nation-sized) edge
+    set; dimension joins in the edge build must broadcast, and the
+    canonical a<b<c joins are equi-joins — no cartesian anywhere."""
+    plan = _plan(get_queries()["triangle_count_trade"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:2500]
