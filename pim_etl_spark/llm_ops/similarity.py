@@ -1176,3 +1176,151 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_vec_id")
     )
+
+
+KM_K = 4  # deterministic seeds: the 4 smallest vec_ids
+
+
+@query(
+    "kmeans_int_lloyd",
+    oracle=f"""
+    -- Lloyd's k-means, 2 unrolled iterations, over int-quantized
+    -- codes: every distance is the EXACT integer ||n·x - s||² (scaled
+    -- by the centroid's point count to avoid fractional centroids),
+    -- so assignment argmins are bit-identical cross-engine — the
+    -- iterative-clustering primitive under the full hash gate.
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+    ), q AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS c
+      FROM m WHERE mx > mn
+    ), c0 AS (
+      SELECT vec_id AS cluster, c AS s, CAST(1 AS BIGINT) AS n
+      FROM q ORDER BY vec_id LIMIT {KM_K}
+    ), d1 AS (
+      SELECT q.vec_id, c0.cluster,
+             CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+                  i -> (c0.n * q.c[i] - c0.s[i]) * (c0.n * q.c[i] - c0.s[i])))
+               AS DOUBLE) / CAST(c0.n * c0.n AS DOUBLE) AS d
+      FROM q, c0
+    ), a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rk
+        FROM d1
+      ) WHERE rk = 1
+    ), sums1 AS (
+      SELECT a1.cluster, t.i, sum(q.c[t.i]) AS sv
+      FROM a1 JOIN q USING (vec_id), range(1, 65) t(i)
+      GROUP BY 1, 2
+    ), cent1 AS (
+      SELECT s.cluster, list(s.sv ORDER BY s.i) AS s, n.n
+      FROM sums1 s JOIN (SELECT cluster, count(*) AS n FROM a1 GROUP BY 1) n
+        USING (cluster)
+      GROUP BY s.cluster, n.n
+    ), d2 AS (
+      SELECT q.vec_id, cent1.cluster,
+             CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+                  i -> (cent1.n * q.c[i] - cent1.s[i]) * (cent1.n * q.c[i] - cent1.s[i])))
+               AS DOUBLE) / CAST(cent1.n * cent1.n AS DOUBLE) AS d
+      FROM q, cent1
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rk
+      FROM d2
+    ) WHERE rk = 1
+    ORDER BY vec_id
+    """,
+)
+def kmeans_int_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means under the FULL hash gate — per-
+    vector final assignments pinned exactly, which no float k-means
+    can do cross-engine (centroid means accumulate in engine-specific
+    order). The trick: run on the int8-quantized codes (the exact
+    affine from ``embedding_int8_quantize``) and never form fractional
+    centroids — a centroid is its (per-dim BIGINT sum s, count n), and
+    the distance argmin compares ||n·x - s||² / n², whose numerator is
+    an exact integer (max |n·x - s| < 2^20, ×64 dims < 2^53) and whose
+    single division is correctly rounded on identical operands. Ties
+    break on cluster id; both engines see identical doubles.
+
+    Scale shape: textbook distributed k-means — the centroid table
+    (k rows) broadcasts into a map-side assignment (crossJoin of k
+    struct rows, argmin via one window over vec_id), and the update
+    step is a (cluster, dim) partial-agg shuffle of k×64 cells with
+    map-side combine. Iterations chain as lineage; at real scale each
+    round would localCheckpoint (duplicate_clusters' loop pattern).
+    Seeds are the {KM_K} smallest vec_ids (deterministic, like
+    ``semantic_dedup_cells``); 2 unrolled rounds match the oracle.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    q = (
+        emb.select("vec_id", "v", mn.alias("mn"), mx.alias("mx"))
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast(
+                    "long"
+                ),
+            ).alias("c"),
+        )
+        .cache()  # feeds every assignment and every update round
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist_num = F.aggregate(
+            F.zip_with(
+                F.col("c"),
+                F.col("s"),
+                lambda x, si: (F.col("n") * x - si) * (F.col("n") * x - si),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cluster",
+            (dist_num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias("d"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cluster").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.join(q, "vec_id").select(
+            "cluster", F.posexplode("c").alias("pos", "val")
+        )
+        sums = ex.groupBy("cluster", "pos").agg(F.sum("val").alias("sv"))
+        arrs = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sv"))), lambda st: st["sv"]
+            ).alias("s")
+        )
+        ns = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        return arrs.join(ns, "cluster")
+
+    c0 = (
+        q.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            F.col("vec_id").alias("cluster"), F.col("c").alias("s"), F.lit(1).cast("long").alias("n")
+        )
+    )
+    a1 = assign(c0)
+    c1 = update(a1)
+    return assign(c1).orderBy("vec_id")
