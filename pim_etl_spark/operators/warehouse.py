@@ -1039,3 +1039,59 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000 div (count(1) * sum(x))"
         ).alias("gini_e6"),
     )
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+    -- MDM golden record with PER-COLUMN survivorship: each attribute
+    -- independently takes its most recent TRUSTED value, so different
+    -- columns of one golden row may come from different source
+    -- events. Trust masks are deterministic: value is untrusted on
+    -- 'error' events, the props key is untrusted when divisible by 3.
+    SELECT user_id,
+           max_by(value, event_id) FILTER (
+             WHERE event_type <> 'error') AS latest_value,
+           max_by(CAST(json_extract(props, '$.k') AS BIGINT), event_id) FILTER (
+             WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 3 <> 0) AS latest_prop_k,
+           max(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase_ts,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_source_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge with column-level survivorship — the MDM
+    semantics one step past the reference's row-level keep-latest
+    upsert (mongodb_loader.py:93-197): each attribute survives
+    INDEPENDENTLY as the most recent value passing that attribute's
+    trust rule, so a golden row is a column-wise composite of several
+    source events. Expressed as ``max_by`` aggregates with per-column
+    filters — one exchange on the grouping key, map-side partials, no
+    window, no self-join (the naive formulation is one ranked window
+    per column: N columns × N shuffles).
+
+    Scale: a single hash aggregate keyed on the entity id; each
+    max_by partial carries one (value, event_id) pair per column —
+    state is O(columns), not O(history). This is the plan shape that
+    survives a 10^9-entity master table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("value", F.when(F.col("event_type") != "error", F.col("event_id"))).alias(
+                "latest_value"
+            ),
+            F.max_by(k, F.when(k % 3 != 0, F.col("event_id"))).alias("latest_prop_k"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "last_purchase_ts"
+            ),
+            F.count_distinct(F.col("event_type")).cast("bigint").alias("n_source_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
