@@ -1095,3 +1095,70 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "fd_violation_repair",
+    oracle="""
+    -- constraint-based data repair: for every LHS violating the
+    -- candidate FD o_custkey -> o_orderpriority, repair to the
+    -- MAJORITY value (tie -> lexicographic min) and report how many
+    -- rows the repair would rewrite — the holistic-cleaning
+    -- counterpart of functional_dependency_check's detection pass.
+    WITH groups AS (
+      SELECT o_custkey, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_custkey, o_orderpriority, n,
+             sum(n) OVER (PARTITION BY o_custkey) AS n_total,
+             count(*) OVER (PARTITION BY o_custkey) AS n_variants,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM groups
+    )
+    SELECT o_custkey,
+           o_orderpriority AS canonical_priority,
+           CAST(n_variants AS BIGINT) AS n_variants,
+           CAST(n_total - n AS BIGINT) AS n_rows_repaired
+    FROM ranked
+    WHERE rk = 1 AND n_variants > 1
+    ORDER BY o_custkey
+    """,
+)
+def fd_violation_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote repair plan for a violated functional dependency
+    (`functional_dependency_check` finds violations; this entry
+    decides the fix): per violating LHS, the canonical RHS is the most
+    frequent value with a deterministic tie-break, and the cost is the
+    number of rows a repair rewrite would touch.
+
+    Plan shape: one partial-agg shuffle to (LHS, RHS) counts — the
+    only pass over fact rows — then windows over the LHS-grouped
+    count table (LHS-cardinality-sized, already partitioned by the
+    window key after the groupBy, so the window adds NO exchange).
+    Applying the repair at scale is then a broadcast join of this
+    repair plan against the fact table — decision and rewrite stay
+    separate, Write-Audit-Publish style.
+    """
+    groups = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_custkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        groups.withColumn("n_total", F.sum("n").over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter((F.col("rk") == 1) & (F.col("n_variants") > 1))
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("canonical_priority"),
+            F.col("n_variants").cast("bigint").alias("n_variants"),
+            (F.col("n_total") - F.col("n")).cast("bigint").alias("n_rows_repaired"),
+        )
+        .orderBy("o_custkey")
+    )
