@@ -569,3 +569,157 @@ def keyword_extraction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score_e3", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+BPE_TRAIN_ROUNDS = 3
+BPE_TRAIN_WORDS = 100  # train on the top-100 word-frequency dictionary
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled 3-round BPE trainer twin. Token sequences are encoded
+    as '||'-anchored strings so the greedy leftmost merge IS a plain
+    non-overlapping replace('|a||b|' -> '|ab|'): the doubled separator
+    leaves each flank's second '|' intact, so back-to-back occurrences
+    all merge in one pass (a single '|' separator would have its
+    anchor consumed by the previous match)."""
+    parts = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"t{r - 1}"
+        parts.append(f"""p{r} AS (
+      SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
+             CAST(sum(freq) AS BIGINT) AS wt
+      FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS p
+            FROM {prev})
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT a, b, wt FROM p{r} ORDER BY wt DESC, a ASC, b ASC LIMIT 1
+    ), t{r} AS (
+      SELECT freq, seq,
+             list_filter(string_split(seq, '||'), x -> x <> '') AS toks
+      FROM (
+        SELECT freq,
+               replace({prev}.seq, '|' || b{r}.a || '||' || b{r}.b || '|',
+                       '|' || b{r}.a || b{r}.b || '|') AS seq
+        FROM {prev}, b{r}
+      )
+    )""")
+    chain = ",\n    ".join(parts)
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS left_unit, b AS right_unit, "
+        f"a || b AS merged_unit, wt AS pair_weight FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+    -- 3 unrolled rounds of BPE training over the top-{BPE_TRAIN_WORDS}
+    -- word-frequency dictionary: count adjacent unit pairs (weighted
+    -- by word frequency), adopt the best pair as a merge rule with a
+    -- deterministic tie-break, apply it greedily to every word, and
+    -- repeat on the NEW unit sequences. The learned merge table is
+    -- the output — full training-state iteration, not one statistic.
+    WITH words AS (
+      SELECT w AS word, freq FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+          FROM documents
+        ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1
+      ) ORDER BY freq DESC, word ASC LIMIT {BPE_TRAIN_WORDS}
+    ), t0 AS (
+      SELECT freq,
+             '||' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                    i -> word[i]), '||') || '||' AS seq,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+      FROM words
+    ), {chain}
+    SELECT * FROM (
+      {finals}
+    ) ORDER BY merge_round
+    """
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a dataflow — the full iterative loop
+    (``bpe_merge_pair_counts`` computes one round's statistic; this
+    entry carries the evolving tokenization STATE across rounds):
+    per round, adjacent-unit pair weights aggregate over the word
+    dictionary, the argmax pair (deterministic tie-break) becomes a
+    merge rule, and the rule applies greedily to every word before the
+    next round counts again. Output: the learned merge table.
+
+    Greedy leftmost application without a per-row loop: unit sequences
+    live as '||'-anchored strings, so one non-overlapping ``replace``
+    of '|a||b|' with '|ab|' is EXACTLY BPE's scan — the doubled
+    separator keeps the next occurrence's anchor intact when matches
+    are back-to-back (a single separator drops every second merge).
+
+    Scale shape: word-dict construction is the only pass over the
+    corpus (one explode + count shuffle, map-side combined); each
+    round then runs on the dictionary (vocab-sized, frequency-weighted
+    — the classic BPE trainer trains on word counts, not the raw
+    stream). The 1-row argmax broadcasts into the rewrite; rounds
+    chain as lineage. At real vocab sizes (10^5 words) the same plan
+    holds; more rounds = a longer chain with per-round checkpoints.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(BPE_TRAIN_WORDS)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.substring(F.col("w"), i, 1)
+    )
+    state = words.select(
+        "freq", F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||")).alias("seq")
+    )
+    merges = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        toks = F.filter(F.split("seq", r"\|\|"), lambda x: x != "")
+        staged = state.select("freq", "seq", toks.alias("toks"))
+        pairs = staged.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("wt"))
+            .orderBy(F.col("wt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("left_unit"),
+                F.col("b").alias("right_unit"),
+                F.concat("a", "b").alias("merged_unit"),
+                F.col("wt").alias("pair_weight"),
+            )
+        )
+        state = staged.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+                F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+            ).alias("seq"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_round")

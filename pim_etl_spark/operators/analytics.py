@@ -1175,3 +1175,81 @@ def ewma_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "cusum_change_point",
+    oracle="""
+    -- offline change-point detection per event stream: the CUSUM
+    -- statistic S_t = t*total - n*prefix_t is kept n-SCALED so every
+    -- value is an exact BIGINT (no fractional mean anywhere); the
+    -- change point is argmax |S_t| with a deterministic tie-break.
+    WITH seq AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER w AS t,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER w AS prefix_cents,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS total_cents
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id ASC)
+    ), stat AS (
+      SELECT event_type, t, n,
+             abs(t * total_cents - n * prefix_cents) AS abs_stat
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(t AS BIGINT) AS change_pos,
+           CAST(abs_stat AS BIGINT) AS max_abs_stat_scaled
+    FROM (
+      SELECT event_type, t, n, abs_stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs_stat DESC, t ASC) AS rk
+      FROM stat
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection per event stream — where
+    does each series' level most plausibly shift? The textbook
+    statistic max_t |prefix_t - t·mean| is rescaled by n (S_t =
+    t·total - n·prefix_t) so it stays exact BIGINT arithmetic:
+    cents <= 1e4, n·prefix < 2^44 — no float mean, no cross-engine
+    accumulation-order drift, bit-exact argmax.
+
+    Plan shape: the prefix sum, the per-group totals, and the argmax
+    ranking are three window specs over the SAME partition key, so
+    Catalyst runs them after ONE exchange on event_type; nothing else
+    shuffles. Low group cardinality caps parallelism here — at scale
+    the partition key widens to (entity, day) exactly like the
+    sessionization entries, and the same plan holds.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wo = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    wp = Window.partitionBy("event_type")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("t", F.row_number().over(wo))
+        .withColumn("prefix_cents", F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("total_cents", F.sum("cents").over(wp))
+    )
+    stat = seq.withColumn(
+        "abs_stat", F.abs(F.col("t") * F.col("total_cents") - F.col("n") * F.col("prefix_cents"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("abs_stat").desc(), F.col("t").asc())
+    return (
+        stat.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("t").cast("bigint").alias("change_pos"),
+            F.col("abs_stat").cast("bigint").alias("max_abs_stat_scaled"),
+        )
+        .orderBy("event_type")
+    )
