@@ -65,3 +65,131 @@ def test_dims_roundtrip(run_expr, lwh, unit):
 def test_token_count_matches_python(run_expr, words):
     text = " ".join(words)
     assert run_expr(pf.token_count("v"), text) == len(words)
+
+
+# --- algorithmic-entry properties (round 5, session 3) --------------------
+#
+# Spark-side randomized checks against pure-Python references: the
+# oracle gate pins behavior on the fixture corpora; these pin it on
+# ADVERSARIAL corpora hypothesis invents (tiny vocabularies, repeated
+# docs, all-identical docs) where prefix/position pruning and integer
+# k-means tie-breaks are most likely to have edge bugs.
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _shingle_set(text: str) -> frozenset:
+    toks = text.split()
+    if len(toks) < 3:
+        return frozenset([" ".join(toks)])
+    return frozenset(
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_join_equals_bruteforce(spark, texts):
+    """prefix_filter_jaccard_join must equal the brute-force all-pairs
+    truth set (J >= 0.5 on shingle sets) on ANY corpus — the prefix,
+    length, and position prunes are all claimed lossless."""
+    import pim_etl_spark.llm_ops.dedup as dd
+    from pim_etl_spark.catalog import get_queries  # noqa: F401  (registration)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # reuse the entry's internals by monkey-level call: build the same
+    # pipeline via the public query fn requires a parquet dir, so call
+    # the module pieces directly
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="prop-docs-")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.prefix_filter_jaccard_join(spark, d).collect()
+    }
+    sets = {i: _shingle_set(" ".join(t.lower().split())) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 2 * inter >= union:
+                    want.add((a, b))
+    assert got == want
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=4, max_size=4),
+        min_size=5,
+        max_size=16,
+    )
+)
+def test_kmeans_int_lloyd_matches_python_reference(spark, vecs):
+    """kmeans_int_lloyd assignments must equal a pure-Python Lloyd's
+    run with the same integer-exact rules (quantized codes, (sum, n)
+    centroids, d = ||n·x - s||²/n², tie -> smallest cluster id)."""
+    import os, shutil, tempfile
+
+    import pim_etl_spark.llm_ops.similarity as sim
+
+    d = tempfile.mkdtemp(prefix="prop-emb-")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = {r["vec_id"]: r["cluster"] for r in sim.kmeans_int_lloyd(spark, d).collect()}
+
+    import math
+
+    def quant(v):
+        mn, mx = min(v), max(v)
+        if mx <= mn:
+            return None
+        return [math.floor((x - mn) / (mx - mn) * 255) for x in v]
+
+    codes = {i: quant([float(x) for x in v]) for i, v in enumerate(vecs)}
+    codes = {i: c for i, c in codes.items() if c is not None}
+    seeds = sorted(codes)[: sim.KM_K]
+    cents = {i: (codes[i], 1) for i in seeds}
+
+    def assign(cents):
+        out = {}
+        for vid, c in codes.items():
+            best = None
+            for cid in sorted(cents):
+                s, n = cents[cid]
+                num = sum((n * x - si) * (n * x - si) for x, si in zip(c, s))
+                dd_ = num / (n * n)
+                if best is None or dd_ < best[0] or (dd_ == best[0] and cid < best[1]):
+                    best = (dd_, cid)
+            out[vid] = best[1]
+        return out
+
+    if not cents:
+        assert got == {}
+        shutil.rmtree(d, ignore_errors=True)
+        return
+    a1 = assign(cents)
+    cents2 = {}
+    for vid, cid in a1.items():
+        s, n = cents2.get(cid, ([0] * len(codes[vid]), 0))
+        cents2[cid] = ([a + b for a, b in zip(s, codes[vid])], n + 1)
+    want = assign(cents2)
+    assert got == want
+    shutil.rmtree(d, ignore_errors=True)
