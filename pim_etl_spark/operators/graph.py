@@ -347,3 +347,102 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+SSSP_MAX_HOPS = 4
+SSSP_TOP_EDGES = 3
+SSSP_COST_SCALE = 1_000_000_000
+
+
+@query(
+    "sssp_trade_cost",
+    oracle=f"""
+    -- single-source cheapest trade route from nation 0 over the
+    -- top-{SSSP_TOP_EDGES}-out-edge graph, edge cost = {SSSP_COST_SCALE} // weight
+    -- (busier lanes are cheaper), depth-capped at {SSSP_MAX_HOPS} hops.
+    -- Recursive path enumeration + one final min — the weighted
+    -- sibling of bfs_trade_hops' min-distance twin.
+    WITH RECURSIVE e0 AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst, {SSSP_COST_SCALE} // w AS cost FROM (
+        SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rk
+        FROM e0
+      ) WHERE rk <= {SSSP_TOP_EDGES}
+    ), reach(node, d, h) AS (
+      SELECT CAST(0 AS INT), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT CAST(e.dst AS INT), r.d + e.cost, r.h + 1
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.h < {SSSP_MAX_HOPS}
+    )
+    SELECT r.node, n.n_name, CAST(min(r.d) AS BIGINT) AS min_cost
+    FROM reach r JOIN nation n ON n.n_nationkey = r.node
+    GROUP BY r.node, n.n_name
+    ORDER BY min_cost, node
+    """,
+)
+def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (depth-capped Bellman-Ford
+    unrolled as a path union) — the weighted sibling of
+    ``bfs_trade_hops``: integer edge costs ({SSSP_COST_SCALE} // trade
+    count, so both engines floor-divide identically), hop cap 4,
+    ONE final min-aggregate resolves the cheapest route per node.
+
+    Scale shape: identical to BFS — the only fact-data pass is the
+    edge aggregate; layers expand by broadcast joins against the
+    sparsified edge set (out-degree capped at {SSSP_TOP_EDGES}, so
+    path count per node is bounded by {SSSP_TOP_EDGES}^{SSSP_MAX_HOPS});
+    deferring the min to the end avoids per-round min-agg shuffles.
+    An unbounded-degree or unbounded-depth graph flips to per-round
+    relax + min + localCheckpoint (duplicate_clusters' loop).
+    """
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    w_top = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("int").alias("src"),
+            F.col("c_nationkey").cast("int").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= SSSP_TOP_EDGES)
+        .select("src", "dst", F.floor(F.lit(SSSP_COST_SCALE) / F.col("w")).alias("cost"))
+        .cache()
+    )
+    layers = [spark.createDataFrame([(0, 0)], "node int, d long")]
+    for _ in range(SSSP_MAX_HOPS):
+        layers.append(
+            F.broadcast(layers[-1])
+            .join(edges, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
+        )
+    dist = layers[0]
+    for layer in layers[1:]:
+        dist = dist.unionByName(layer)
+    return (
+        dist.groupBy("node")
+        .agg(F.min("d").cast("bigint").alias("min_cost"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("node"), "n_name")),
+            "node",
+        )
+        .select("node", "n_name", "min_cost")
+        .orderBy("min_cost", "node")
+    )
