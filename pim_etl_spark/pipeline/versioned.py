@@ -696,6 +696,15 @@ def merge_files(
         if f in parent_fstats and prune_col in parent_fstats[f]
     ]
     unstatted = [f for f in parent_files if f not in {r[0] for r in stats_rows}]
+    # adaptive: pruning is a Spark job (batch-keys × stats join); on a
+    # table of <= 3 files it can save at most 2 candidate opens, which
+    # the candidate scan absorbs for free — skip the job entirely and
+    # let the input_file_name semi-join resolve touched files. At real
+    # file counts (the 100 TB case) pruning is always active; Delta
+    # makes the same call when stats are absent.
+    if len(parent_files) <= 3:
+        stats_rows = []
+        unstatted = list(parent_files)
     if stats_rows:
         key_type = dict(incoming.dtypes)[prune_col]
         stats_df = spark.createDataFrame(stats_rows, ["__f", "__lo", "__hi"]).select(
