@@ -1433,3 +1433,71 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "group_leakage_safe_split",
+    oracle="""
+    -- leakage-safe train/val/test: the md5 bucket keys on the GROUP
+    -- (source), not the row, so every doc of a source lands in ONE
+    -- split — near-duplicate documents inside a source can never
+    -- straddle train and eval (the contamination vector row-level
+    -- hashing leaves open). The audit proves it: per source, exactly
+    -- one distinct split.
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5('grp:' || source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5('grp:' || source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(max(splits_per_source) AS BIGINT) AS max_splits_per_source
+    FROM assigned
+    JOIN (
+      SELECT source AS s2, count(DISTINCT split) AS splits_per_source
+      FROM assigned GROUP BY 1
+    ) ON source = s2
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def group_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test assignment — the leakage-safe
+    counterpart of ``hash_split_assignment``: the deterministic md5
+    bucket keys on the SOURCE, so all documents of one provenance
+    (which share templates, boilerplate, and near-duplicates) fall in
+    the same split; row-level hashing would scatter near-identical
+    docs across train and eval. The output carries its own audit
+    column: max distinct splits touched by any source must be 1.
+
+    Scale shape: the split expression is scan-local (a hash of an
+    existing column — no join against a group table, no shuffle to
+    assign); only the audit rollup shuffles, keyed first by source
+    (group-cardinality-sized) then by split (3 rows). The salt
+    (``grp:``) decorrelates the bucket from every other md5 gate in
+    the catalog.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("grp:"), F.col("source"))), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    assigned = docs.select("source", "n_chars", split.alias("split"))
+    per_source = assigned.groupBy(F.col("source").alias("s2")).agg(
+        F.count_distinct("split").alias("splits_per_source")
+    )
+    return (
+        assigned.join(per_source, F.col("source") == F.col("s2"))
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.max("splits_per_source").cast("bigint").alias("max_splits_per_source"),
+        )
+        .orderBy("split")
+    )
