@@ -279,7 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
             "history", "rollback", "vacuum", "refresh-rollup", "clone", "replicate",
-            "merge-branch",
+            "merge-branch", "apply-deletes",
         ],
         default="sync",
     )
@@ -447,6 +447,13 @@ def main(argv: list[str] | None = None) -> int:
             ignore_cols=("last_sync",),
         )
         out["status"] = "success"
+    elif args.action == "apply-deletes":
+        # materialize pending merge-on-read deletion vectors so raw-file
+        # ops (merge/CDC/optimize/clone) unblock and vacuum can reclaim
+        # the sidecars
+        from pim_etl_spark.pipeline import versioned as V
+
+        out = {"status": "success", **V.apply_deletes(spark, args.gold)}
     elif args.action == "status":
         out = run_status(spark, args.gold)
     elif args.action == "compact":

@@ -301,8 +301,16 @@ def _commit(
     extra: dict | None = None,
     expect_parent: int | None = None,
     carry_shards: Sequence[str] | None = None,
+    delete_files: Sequence[str] | None = None,
 ) -> int:
     """Atomically publish a new snapshot naming exactly ``files``.
+
+    ``delete_files`` are the snapshot's outstanding merge-on-read
+    position-delete sidecars. ``None`` (default) inherits the
+    parent's — correct for any commit that carries the parent's data
+    files untouched (append) or was guarded against pending deletes;
+    pass an explicit list to set them (``delete_where_mor``) or ``()``
+    to clear (``apply_deletes``, full-snapshot overwrite).
 
     ``txn=(app_id, txn_version)`` records idempotence state (Delta's
     txnAppId/txnVersion): the manifest carries a map of the highest
@@ -318,9 +326,12 @@ def _commit(
     state on top of the winner."""
     parent = current_version(path) if expect_parent is None else expect_parent
     version = parent + 1
-    parent_txn = read_manifest(path, parent, materialize=False).get("txn", {}) if parent else {}
+    parent_meta = read_manifest(path, parent, materialize=False) if parent else {}
+    parent_txn = parent_meta.get("txn", {})
     if txn:
         parent_txn = {**parent_txn, txn[0]: txn[1]}
+    if delete_files is None:
+        delete_files = parent_meta.get("delete_files", [])
     os.makedirs(_manifest_dir(path), exist_ok=True)
     import time as _time
 
@@ -333,6 +344,8 @@ def _commit(
         "txn": parent_txn,
         **(extra or {}),
     }
+    if delete_files:
+        manifest["delete_files"] = sorted(delete_files)
     if carry_shards is None and len(files) <= MANIFEST_SHARD_SIZE:
         manifest["files"] = sorted(files)
         manifest["file_stats"] = file_stats or {}
@@ -439,6 +452,7 @@ def commit_snapshot(
     return _commit(
         path, files, op, {"files_written": len(files)},
         file_stats=fstats, expect_parent=version - 1,
+        delete_files=(),  # full overwrite: parent DVs reference replaced files
     )
 
 
@@ -480,7 +494,8 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     """Time-travel read: the table exactly as of snapshot ``version``
     (default: latest). Only manifest-listed files are scanned, so
     readers are fully isolated from in-flight writes."""
-    files = snapshot_files(path, version)
+    v = current_version(path) if version is None else version
+    files = snapshot_files(path, v)
     if not files:
         raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
     # mergeSchema: a snapshot may reference files from commits that
@@ -488,7 +503,14 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     # added columns as NULL. (At 100 TB store the schema in the
     # manifest instead of footer-probing every file — Delta does; the
     # footer read here is per-file metadata, not data.)
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    dvs = read_manifest(path, v, materialize=False).get("delete_files")
+    if dvs:
+        # merge-on-read: subtract this snapshot's position-delete
+        # sidecars (broadcast anti-join — O(pending deletes) read tax,
+        # reclaimed by apply_deletes)
+        df = _apply_delete_vectors(spark, path, df, dvs)
+    return df
 
 
 def point_lookup_plan(
@@ -578,11 +600,17 @@ def point_lookup(
             spark.read.option("mergeSchema", "true").parquet(first).filter(F.lit(False))
         )
     paths = [_entry_path(path, f) for f in plan["candidates"]]
-    return (
+    out = (
         spark.read.option("mergeSchema", "true")
         .parquet(*paths)
         .filter(F.col(col).isin(val_list))
     )
+    dvs = read_manifest(path, plan["version"], materialize=False).get("delete_files")
+    if dvs:
+        # merge-on-read: a point lookup must not return a row whose
+        # position a pending deletion vector covers
+        out = _apply_delete_vectors(spark, path, out, dvs)
+    return out
 
 
 def history_df(spark: SparkSession, path: str) -> DataFrame:
@@ -674,6 +702,7 @@ def merge_files(
         return {"version": version, "files_rewritten": 0, "files_kept": 0, "files_skipped": 0}
 
     pointer = read_manifest(path, parent, materialize=False)
+    _require_no_pending_deletes(path, pointer, "merge_files")
     if "shards" in pointer:
         return _merge_files_sharded(
             spark, path, incoming, keys, order_col, pointer, parent,
@@ -957,6 +986,7 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
         # confusing missing-'_manifests/v000000.json' FileNotFoundError
         raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
     manifest = read_manifest(path, parent)
+    _require_no_pending_deletes(path, manifest, "delete_where")
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
     data_dir = os.path.join(path, _DATA)
@@ -1019,6 +1049,238 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     return {"version": version, "files_rewritten": len(touched), "files_kept": len(kept)}
 
 
+_DV_FILE_COL = "file_name"
+_DV_POS_COL = "pos"
+
+
+def _pending_delete_files(manifest: dict) -> list[str]:
+    return list(manifest.get("delete_files", []))
+
+
+def _require_no_pending_deletes(path: str, manifest: dict, op: str) -> None:
+    """Ops that rewrite or diff RAW data files are unsound while
+    merge-on-read deletion vectors are outstanding (a raw rewrite
+    would resurrect deleted rows; a file-set diff would miss them).
+    Mirrors Delta's rule that such commands materialize deletion
+    vectors first."""
+    if manifest.get("delete_files"):
+        raise RuntimeError(
+            f"{op} on {path!r} is blocked by pending merge-on-read deletes "
+            f"({len(manifest['delete_files'])} deletion-vector file(s)); run "
+            "apply_deletes() (orchestrator --action apply-deletes) to "
+            "materialize them first"
+        )
+
+
+def _write_delete_files(matches: DataFrame, path: str, version: int) -> list[str]:
+    """Materialize a position-delete DataFrame (``file_name``,
+    ``pos``) as immutable parquet sidecar files in ``data/`` under a
+    ``dv-`` prefix (Iceberg v2's position-delete files; Delta's
+    deletion vectors). The shuffle to one task touches only MATCHED
+    positions — the data scan that found them stays parallel. DVs are
+    deletes-since-last-compaction-sized by design: a delete large
+    enough to make this shuffle hurt belongs in the copy-on-write
+    ``delete_where`` instead."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    matches.repartition(1).write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    names = []
+    for i, f in enumerate(sorted(os.listdir(staging))):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"dv-v{version:06d}-{token}-{i:05d}.parquet"
+        os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
+        names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    return names
+
+
+def _apply_delete_vectors(
+    spark: SparkSession, path: str, df: DataFrame, delete_files: Sequence[str]
+) -> DataFrame:
+    """Filter ``df`` (a raw scan of manifest data files) through the
+    snapshot's position-delete files: anti-join on (containing file
+    basename, row index within the file). The DV side is broadcast —
+    it is bounded by deletes since the last ``apply_deletes``
+    compaction, and that compaction is exactly the pressure valve when
+    it grows. Row positions come from the parquet reader's
+    ``_metadata.row_index`` (stable per immutable file), so the writer
+    (which recorded positions the same way) and every reader agree by
+    construction."""
+    dv = spark.read.parquet(*[_entry_path(path, d) for d in delete_files]).select(
+        F.col(_DV_FILE_COL).alias("__dv_f"), F.col(_DV_POS_COL).alias("__dv_p")
+    )
+    return (
+        df.withColumn(
+            "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        )
+        .withColumn("__p", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv),
+            (F.col("__f") == F.col("__dv_f")) & (F.col("__p") == F.col("__dv_p")),
+            "left_anti",
+        )
+        .drop("__f", "__p")
+    )
+
+
+def delete_where_mor(spark: SparkSession, path: str, predicate, key_range=None) -> dict:
+    """Merge-on-read DELETE (Iceberg v2 position deletes / Delta
+    deletion vectors): instead of rewriting every touched data file
+    (``delete_where``'s copy-on-write), record the deleted rows'
+    (file, position) pairs in a parquet sidecar and carry EVERY data
+    file into the new manifest by name. Readers apply the vectors as
+    a broadcast anti-join (``read_version``); ``apply_deletes`` later
+    materializes them in one compaction pass.
+
+    This is the right half of the write-amplification trade: a
+    scattered small delete (GDPR erasure of a few keys across a
+    thousand 1 GB files) costs O(matched rows) here vs O(matched
+    FILES) rewritten under copy-on-write — at 100 TB that is MBs
+    instead of TBs of write. The read tax is one broadcast anti-join
+    until compaction. Deletes stack: positions already recorded by an
+    earlier vector are excluded, so each sidecar holds only NEW
+    deletes and ``dv_rows_added`` is exact.
+
+    ``key_range=(col, lo, hi)`` prunes the match scan with manifest
+    min/max stats exactly as in ``delete_where``."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    manifest = read_manifest(path, parent)
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
+    parent_dvs = _pending_delete_files(manifest)
+
+    scan_files = list(parent_files)
+    skipped = 0
+    if key_range is not None:
+        col, lo, hi = key_range
+        scan_files = []
+        for f in parent_files:
+            st = parent_fstats.get(f, {}).get(col)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                skipped += 1
+            else:
+                scan_files.append(f)
+
+    n_added = 0
+    new_dvs: list[str] = []
+    if scan_files:
+        matches = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[_entry_path(path, f) for f in scan_files])
+            .filter(predicate)
+            .select(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    _DV_FILE_COL
+                ),
+                F.col("_metadata.row_index").alias(_DV_POS_COL),
+            )
+        )
+        if parent_dvs:
+            prior = spark.read.parquet(
+                *[_entry_path(path, d) for d in parent_dvs]
+            ).select(_DV_FILE_COL, _DV_POS_COL)
+            matches = matches.join(
+                F.broadcast(prior), [_DV_FILE_COL, _DV_POS_COL], "left_anti"
+            )
+        new_dvs = _write_delete_files(matches, path, parent + 1)
+        if new_dvs:
+            n_added = (
+                spark.read.parquet(*[_entry_path(path, d) for d in new_dvs]).count()
+            )
+            if n_added == 0:
+                for d in new_dvs:
+                    os.remove(_entry_path(path, d))
+                new_dvs = []
+    version = _commit(
+        path,
+        list(parent_files),
+        "delete-mor",
+        {
+            "files_rewritten": 0,
+            "files_kept": len(parent_files),
+            "files_skipped": skipped,
+            "dv_files_added": len(new_dvs),
+            "dv_rows_added": n_added,
+        },
+        file_stats=parent_fstats,
+        expect_parent=parent,
+        delete_files=parent_dvs + new_dvs,
+    )
+    return {
+        "version": version,
+        "files_rewritten": 0,
+        "dv_files_added": len(new_dvs),
+        "dv_rows_added": n_added,
+    }
+
+
+def apply_deletes(spark: SparkSession, path: str, stats_cols: Sequence[str] = ()) -> dict:
+    """Materialize pending merge-on-read deletion vectors: rewrite
+    ONLY the data files that actually carry deleted positions (anti-
+    joined against the vectors), carry every untouched file by name,
+    and commit a snapshot with no ``delete_files`` — after which every
+    blocked raw-file op (merge, CDC, optimize, clone) is sound again
+    and ``vacuum`` reclaims the sidecars. The MoR analogue of Delta's
+    REORG TABLE ... APPLY (PURGE); cost is O(files with deletes +
+    vector rows), never O(table)."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    manifest = read_manifest(path, parent)
+    dvs = _pending_delete_files(manifest)
+    if not dvs:
+        return {"version": parent, "files_rewritten": 0, "dv_files_applied": 0}
+    parent_files = manifest["files"]
+    parent_fstats = manifest.get("file_stats", {})
+    dv_df = spark.read.parquet(*[_entry_path(path, d) for d in dvs])
+    touched_base = {r[0] for r in dv_df.select(_DV_FILE_COL).distinct().collect()}
+    by_base = {os.path.basename(_entry_path(path, f)): f for f in parent_files}
+    touched = [by_base[b] for b in sorted(touched_base) if b in by_base]
+    kept = [f for f in parent_files if f not in set(touched)]
+    new_files: list[str] = []
+    new_fstats: dict = {}
+    if touched:
+        survivors = _apply_delete_vectors(
+            spark,
+            path,
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in touched]
+            ),
+            dvs,
+        )
+        cols = tuple(stats_cols) or (
+            tuple(
+                c
+                for c in next(iter(parent_fstats.values()), {})
+                if c != _BLOOM_KEY
+            )
+            if parent_fstats
+            else ()
+        )
+        new_files, new_fstats = _write_data_files(
+            survivors, path, parent + 1, stats_cols=cols
+        )
+    version = _commit(
+        path,
+        kept + new_files,
+        "apply-deletes",
+        {"files_rewritten": len(touched), "files_kept": len(kept), "dv_files_applied": len(dvs)},
+        file_stats={**{f: parent_fstats[f] for f in kept if f in parent_fstats}, **new_fstats},
+        expect_parent=parent,
+        delete_files=(),
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "dv_files_applied": len(dvs),
+    }
+
+
 def delete_matching(
     spark: SparkSession, path: str, match_df: DataFrame, keys: Sequence[str]
 ) -> dict:
@@ -1035,6 +1297,7 @@ def delete_matching(
     if parent == 0:
         raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
     manifest = read_manifest(path, parent)
+    _require_no_pending_deletes(path, manifest, "delete_matching")
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
 
@@ -1095,6 +1358,11 @@ def changes_between(
     update-vs-identical (a MERGE that rewrote a row byte-identically
     is NOT a change)."""
     ma, mb = read_manifest(path, from_version), read_manifest(path, to_version)
+    # the diff below is FILE-SET arithmetic; a snapshot with pending
+    # merge-on-read deletes is not purely file-determined, so either
+    # endpoint having them would silently miss those deletes in the feed
+    _require_no_pending_deletes(path, ma, f"changes_between(from v{from_version})")
+    _require_no_pending_deletes(path, mb, f"changes_between(to v{to_version})")
     common = set(ma["files"]) & set(mb["files"])
     a_only = [f for f in ma["files"] if f not in common]
     b_only = [f for f in mb["files"] if f not in common]
@@ -1169,6 +1437,9 @@ def rollback(path: str, to_version: int) -> int:
         f"rollback(v{to_version})",
         {"restored": to_version},
         file_stats=old.get("file_stats", {}),
+        # restore the target's MoR state too — its pending deletion
+        # vectors are part of what "the table at v{N}" means
+        delete_files=old.get("delete_files", []),
     )
 
 
@@ -1199,7 +1470,12 @@ def vacuum(
     keep_from = max(1, head - keep_last + 1)
     live: set[str] = set()
     for v in range(keep_from, head + 1):
-        live.update(read_manifest(path, v)["files"])
+        m = read_manifest(path, v)
+        live.update(m["files"])
+        # merge-on-read position-delete sidecars are part of the
+        # snapshot: deleting one would RESURRECT its deleted rows for
+        # every retained reader
+        live.update(m.get("delete_files", []))
     data_dir = os.path.join(path, _DATA)
     removed = 0
     skipped_young = 0
@@ -1911,6 +2187,9 @@ def optimize(
     from pim_etl_spark.pipeline.gold import with_zorder
 
     parent = current_version(path)
+    _require_no_pending_deletes(
+        path, read_manifest(path, parent, materialize=False), "optimize"
+    )
     files = snapshot_files(path, parent)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
@@ -1959,6 +2238,7 @@ def optimize_small_files(
     if parent == 0:
         raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
     manifest = read_manifest(path, parent)
+    _require_no_pending_deletes(path, manifest, "optimize_small_files")
     parent_files = manifest["files"]
     parent_fstats = manifest.get("file_stats", {})
     sizes = {f: os.path.getsize(_entry_path(path, f)) for f in parent_files}
@@ -2142,6 +2422,7 @@ def shallow_clone(src_path: str, dst_path: str, version: int | None = None) -> i
     are invisible to its data-dir GC)."""
     v = current_version(src_path) if version is None else version
     m = read_manifest(src_path, v)
+    _require_no_pending_deletes(src_path, m, "shallow_clone")
     abs_files = [_entry_path(src_path, f) for f in m["files"]]
     abs_stats = {
         _entry_path(src_path, f): st for f, st in m.get("file_stats", {}).items()
@@ -2643,3 +2924,101 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_rows bigint, total_price double, branch_merged_clean boolean"
     )
+
+
+@query(
+    "versioned_mor_delete",
+    oracle="""
+    -- closed-form twin of the merge-on-read delete lifecycle:
+    --   v1 bootstrap = orders with o_orderkey % 4 = 2
+    --   v2 MoR delete p1: o_orderdate < 1997-01-01 (DV sidecar, 0 rewrites)
+    --   v3 MoR delete p2: o_orderkey % 9 = 0 (stacked; positions already
+    --      deleted by p1 are EXCLUDED, so its dv_rows count p2 AND NOT p1)
+    --   v4 apply_deletes = compaction; same rows as v3, DVs cleared.
+    -- Every (rows, price sum, pending-dv rows) triple is arithmetic on
+    -- the orders table, so a vector that misses a row, resurrects one
+    -- on compaction, or double-counts a stacked delete hash-mismatches.
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderkey % 4 = 2
+    ),
+    p1 AS (SELECT * FROM scoped WHERE o_orderdate < DATE '1997-01-01'),
+    p2_new AS (SELECT * FROM scoped
+               WHERE o_orderkey % 9 = 0 AND o_orderdate >= DATE '1997-01-01'),
+    live3 AS (SELECT * FROM scoped
+              WHERE o_orderdate >= DATE '1997-01-01' AND o_orderkey % 9 <> 0)
+    SELECT CAST(1 AS INT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(0 AS BIGINT) AS pending_dv_rows
+    FROM scoped
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST((SELECT count(*) FROM scoped) - count(*) AS BIGINT),
+           round((SELECT sum(o_totalprice) FROM scoped) - sum(o_totalprice), 2),
+           CAST(count(*) AS BIGINT)
+    FROM p1
+    UNION ALL
+    SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 2),
+           CAST((SELECT count(*) FROM p1) + (SELECT count(*) FROM p2_new) AS BIGINT)
+    FROM live3
+    UNION ALL
+    SELECT CAST(4 AS INT), CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 2), CAST(0 AS BIGINT)
+    FROM live3
+    ORDER BY version
+    """,
+)
+def versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE lifecycle under the hash gate (Iceberg v2
+    position deletes / Delta deletion vectors): bootstrap → two
+    STACKED MoR deletes (each writing only a position sidecar, zero
+    data files rewritten — asserted, not just claimed: the row's
+    ``pending_dv_rows`` comes from the manifest's recorded vector
+    rows) → ``apply_deletes`` compaction that must reproduce the
+    pre-compaction rows exactly with vectors cleared.
+
+    Scale story: a scattered delete across a thousand 1 GB files costs
+    O(matched rows) of sidecar here vs O(matched files) of rewrite
+    under copy-on-write; the read tax until compaction is one
+    broadcast anti-join on (file, row position). Per-version stats are
+    collected driver-side (4 rows — the store lives in a run-scoped
+    temp dir); everything data-sized stays distributed.
+    """
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 2)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-vstore-mor-")
+    try:
+        commit_snapshot(
+            orders.repartitionByRange(4, "o_orderkey"), tbl,
+            op="bootstrap", stats_cols=("o_orderkey",),
+        )
+        d1 = delete_where_mor(spark, tbl, F.col("o_orderdate") < "1997-01-01")
+        d2 = delete_where_mor(spark, tbl, F.col("o_orderkey") % 9 == 0)
+        assert d1["files_rewritten"] == 0 and d2["files_rewritten"] == 0
+        pending = {1: 0, 2: d1["dv_rows_added"],
+                   3: d1["dv_rows_added"] + d2["dv_rows_added"]}
+        apply_deletes(spark, tbl)
+        pending[4] = 0  # post-compaction manifest carries no vectors
+        head = read_manifest(tbl, current_version(tbl), materialize=False)
+        assert not head.get("delete_files")
+        rows = []
+        for v in (1, 2, 3, 4):
+            stats = (
+                read_version(spark, tbl, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("o_totalprice"), 2).alias("s"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, stats["n"], float(stats["s"]), pending[v]))
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, total_price double, pending_dv_rows bigint"
+    ).orderBy("version")

@@ -1247,3 +1247,125 @@ def test_merge_branch_column_level_three_way(spark, tmp_path):
             spark, src2, br2, keys=["product_id"], order_col="version",
             strategy="columns", ignore_cols=("version",),
         )
+
+
+def test_mor_delete_records_vectors_without_rewrites(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    files_v1 = set(V.read_manifest(path, 1)["files"])
+
+    out = V.delete_where_mor(spark, path, F.col("product_id") % 10 == 3)
+    assert out["files_rewritten"] == 0
+    assert out["dv_rows_added"] == 4  # 3, 13, 23, 33
+    m2 = V.read_manifest(path, 2)
+    # every data file carried by name; the only new artifact is the sidecar
+    assert set(m2["files"]) == files_v1
+    assert len(m2["delete_files"]) == out["dv_files_added"] == 1
+    assert V.read_version(spark, path).count() == 36
+    assert sorted(
+        r.product_id for r in V.read_version(spark, path).collect()
+    ) == [i for i in range(40) if i % 10 != 3]
+    # time travel to v1 ignores the later vector
+    assert V.read_version(spark, path, 1).count() == 40
+
+
+def test_mor_deletes_stack_and_exclude_prior_positions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") < 10)
+    # overlaps the first delete on 0..9; only 10..19 are NEW positions
+    out = V.delete_where_mor(spark, path, F.col("product_id") < 20)
+    assert out["dv_rows_added"] == 10
+    assert V.read_version(spark, path).count() == 20
+    # a fully-shadowed delete adds no vector file at all
+    out3 = V.delete_where_mor(spark, path, F.col("product_id") < 5)
+    assert out3["dv_rows_added"] == 0 and out3["dv_files_added"] == 0
+    assert V.read_version(spark, path).count() == 20
+
+
+def test_mor_key_range_hint_skips_unmatched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)  # range-clustered: 10 keys/file
+    out = V.delete_where_mor(
+        spark, path, (F.col("product_id") >= 35) & (F.col("product_id") <= 37),
+        key_range=("product_id", 35, 37),
+    )
+    assert out["dv_rows_added"] == 3
+    # 3 of 4 files provably out of range — never opened for the match scan
+    assert V.history(path)[-1]["stats"]["files_skipped"] == 3
+
+
+def test_mor_apply_deletes_materializes_and_unblocks(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") % 4 == 1)
+    before = sorted(r.product_id for r in V.read_version(spark, path).collect())
+
+    # raw-file ops are blocked while vectors are pending
+    batch = spark.createDataFrame([(0, 9.0, 9)], SCHEMA)
+    with pytest.raises(RuntimeError, match="apply_deletes"):
+        V.merge_files(spark, path, batch, keys=["product_id"], order_col="version")
+    with pytest.raises(RuntimeError, match="apply_deletes"):
+        V.delete_where(spark, path, F.col("product_id") == 0)
+    with pytest.raises(RuntimeError, match="apply_deletes"):
+        V.changes_between(spark, path, ["product_id"], 1, 2)
+    with pytest.raises(RuntimeError, match="apply_deletes"):
+        V.shallow_clone(path, str(tmp_path / "clone"))
+
+    out = V.apply_deletes(spark, path)
+    # only the files that actually carry deleted positions are rewritten
+    assert out["files_rewritten"] == 4 and out["dv_files_applied"] == 1
+    after = sorted(r.product_id for r in V.read_version(spark, path).collect())
+    assert after == before
+    assert "delete_files" not in V.read_manifest(path, V.current_version(path))
+    # unblocked: merge works again, CDC between compacted versions works
+    V.merge_files(spark, path, batch, keys=["product_id"], order_col="version")
+    assert V.read_version(spark, path).filter(F.col("version") == 9).count() == 1
+
+
+def test_mor_append_keeps_vectors_valid_and_vacuum_retains_sidecars(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") < 4)
+    # blind append never touches existing files, so vectors stay valid
+    V.commit_append(
+        spark.createDataFrame([(200, 1.0, 2), (201, 2.0, 2)], SCHEMA), path
+    )
+    assert V.read_version(spark, path).count() == 38
+    dv_names = V.read_manifest(path, 3, materialize=False)["delete_files"]
+    assert dv_names  # inherited by the append commit
+    # vacuum with the MoR head retained must keep the sidecars
+    V.vacuum(path, keep_last=1, min_age_seconds=0)
+    assert V.read_version(spark, path).count() == 38
+    # after compaction the sidecars become unreferenced and are reclaimed
+    V.apply_deletes(spark, path)
+    V.vacuum(path, keep_last=1, min_age_seconds=0)
+    data_dir = os.path.join(path, "data")
+    assert not [f for f in os.listdir(data_dir) if f.startswith("dv-")]
+    assert V.read_version(spark, path).count() == 38
+
+
+def test_mor_rollback_restores_vector_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") < 10)   # v2: 30 rows
+    V.apply_deletes(spark, path)                                # v3: compacted
+    V.rollback(path, 2)                                         # v4 == v2
+    assert V.read_version(spark, path).count() == 30
+    assert V.read_manifest(path, 4, materialize=False)["delete_files"]
+    # point lookup applies pending vectors too
+    assert V.point_lookup(spark, path, "product_id", [3]).count() == 0
+    assert V.point_lookup(spark, path, "product_id", [13]).count() == 1
