@@ -903,3 +903,84 @@ def hierarchy_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(anc_id) AS BIGINT) AS sum_anc_ids
         FROM anc GROUP BY depth ORDER BY depth
     """)
+
+
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+    -- sketch bytes differ per engine, so the hash-gated output is the
+    -- EXACT hierarchy (nations, distinct ordering customers per
+    -- region) plus a 2%-relative-error predicate the Spark side
+    -- evaluates against its own merged sketch (the
+    -- approx_quantile_sketch pattern). The oracle pins the flag at 1:
+    -- a union that loses registers or an estimate outside the
+    -- datasketches HLL error envelope fails the gate.
+    SELECT r.r_name,
+           CAST(count(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS exact_customers,
+           CAST(1 AS INT) AS est_within_2pct
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 4 Apache DataSketches HLL): build
+    ONE HLL sketch of distinct ordering customers per nation, then
+    roll nations up to regions by UNIONING THE SKETCHES — never
+    re-touching row data. This is the 100 TB cardinality pattern:
+    count-distinct does not decompose (you cannot sum per-nation
+    distincts in general), but sketches do — a daily job sketches each
+    partition once, and any ad-hoc rollup (region, continent, global)
+    is a byte-level merge of kilobyte sketches.
+
+    The hash-gated columns are the exact twin (region customer counts
+    — computable exactly here because each customer belongs to one
+    nation, so region = disjoint union) and a 2% relative-error flag
+    on the merged estimate (datasketches HLL at default lgK=12 has
+    ~1.6% RSE ceiling; the flag fails if union drops registers).
+    Plan: one shuffle to (nation) partials, then a 25-row sketch merge
+    — the rollup itself moves no data."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count_distinct("o_custkey").alias("exact_n"),
+        )
+    )
+    per_region = (
+        per_nation.join(
+            F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            # exact region count = sum of disjoint per-nation exacts
+            # (a customer has exactly one nation)
+            F.sum("exact_n").cast("bigint").alias("exact_customers"),
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"),
+        )
+    )
+    return per_region.select(
+        "r_name",
+        "n_nations",
+        "exact_customers",
+        # integer-exact 2% envelope: |est - exact| * 50 <= exact
+        (
+            F.abs(F.col("est") - F.col("exact_customers")) * 50
+            <= F.col("exact_customers")
+        )
+        .cast("int")
+        .alias("est_within_2pct"),
+    ).orderBy("r_name")

@@ -1253,3 +1253,258 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the first 6 hex chars of an md5
+# (cum. pmf × 16^6 as zero-padded hex) — the deterministic multiplicity
+# gate both engines evaluate identically, byte for byte.
+_POISSON_HEX = ["5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f", "fffa8b"]
+_BOOT_B = 32
+
+
+def _poisson_boot_oracle() -> str:
+    w_case = "CASE WHEN b = -1 THEN 1 " + " ".join(
+        f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(_POISSON_HEX)
+    ) + " ELSE 7 END"
+    return f"""
+    -- deterministic Poisson bootstrap: replicate b's multiplicity for a
+    -- row is Poisson(1) via the md5 inverse-CDF gate (same hex
+    -- thresholds the engine uses); sums stay exact DECIMAL, each mean
+    -- is ONE double division, and the CI bounds are fixed ORDER
+    -- STATISTICS (2nd smallest / 2nd largest of {_BOOT_B} replicate
+    -- means) — no percentile interpolation to drift cross-engine.
+    -- b = -1 is the sentinel replicate with weight 1: the point
+    -- estimate, computed in the same pass.
+    WITH exploded AS (
+      SELECT o_orderpriority AS priority, t.b,
+             substr(md5('boot:' || o_orderkey || ':' || t.b), 1, 6) AS h,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      CROSS JOIN (SELECT CAST(range AS INT) - 1 AS b
+                  FROM range({_BOOT_B} + 1)) t
+    ),
+    weighted AS (
+      SELECT priority, b, price, {w_case} AS w FROM exploded
+    ),
+    reps AS (
+      SELECT priority, b,
+             CAST(sum(w) AS BIGINT) AS nw,
+             CAST(CAST(sum(price * w) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+                  AS DOUBLE) AS mean_b
+      FROM weighted GROUP BY 1, 2
+      HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT priority, mean_b,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY mean_b, b) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n_reps
+      FROM reps WHERE b >= 0
+    )
+    SELECT base.priority,
+           base.nw AS n_rows,
+           base.mean_b AS mean_price,
+           ci.ci_lo, ci.ci_hi,
+           ci.n_replicates
+    FROM (SELECT priority, nw, mean_b FROM reps WHERE b = -1) base
+    JOIN (
+      SELECT priority,
+             max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+             max(CASE WHEN rn = n_reps - 1 THEN mean_b END) AS ci_hi,
+             CAST(max(n_reps) AS BIGINT) AS n_replicates
+      FROM ranked GROUP BY 1
+    ) ci USING (priority)
+    ORDER BY priority
+    """
+
+
+@query("poisson_bootstrap_ci", oracle=_poisson_boot_oracle())
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean order
+    value per priority — via the POISSON bootstrap, the resampling
+    scheme that actually works on partitioned data: classical
+    resampling needs n draws from the full dataset (a global
+    operation), but Binomial(n, 1/n) → Poisson(1) as n grows, so each
+    row independently contributes a Poisson(1) multiplicity to each
+    replicate — embarrassingly parallel, single pass, no global state.
+
+    Determinism without RNG state: the multiplicity is an inverse-CDF
+    gate on md5(row, replicate) hex (the catalog's md5-gate idiom), so
+    both engines draw the identical "sample". Replicate sums stay in
+    exact DECIMAL (2dp money — NOTES rounding rule), each replicate
+    mean is one correctly-rounded double division, and the CI bounds
+    are fixed order statistics (2nd smallest / 2nd largest of 32
+    replicate means ≈ a 94% interval) — no percentile interpolation,
+    bit-identical cross-engine. The b = -1 sentinel replicate carries
+    weight 1 everywhere: the point estimate rides the same scan.
+
+    Scale shape: one scan, a 33× in-task explode that partial-agg
+    collapses BEFORE the exchange (shuffle volume is |groups| × 33
+    partial rows per task, independent of data size), one window over
+    the replicate-sized frame. At 100 TB this is the only bootstrap
+    you can afford; B scales the explode factor, never the shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    exploded = orders.select(
+        "priority", "o_orderkey", "price",
+        F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = F.when(F.col("b") == -1, F.lit(1))
+    for k, t in enumerate(_POISSON_HEX):
+        w = w.when(h < t, F.lit(k))
+    w = w.otherwise(F.lit(7))
+    reps = (
+        exploded.withColumn("w", w)
+        .groupBy("priority", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("nw"),
+            (
+                F.sum(F.col("price") * F.col("w")).cast("double")
+                / F.sum("w").cast("bigint")
+            ).cast("double").alias("mean_b"),
+        )
+        .filter(F.col("nw") > 0)
+    )
+    rnw = Window.partitionBy("priority").orderBy("mean_b", "b")
+    cnt = Window.partitionBy("priority")
+    ci = (
+        reps.filter(F.col("b") >= 0)
+        .withColumn("rn", F.row_number().over(rnw))
+        .withColumn("n_reps", F.count(F.lit(1)).over(cnt))
+        .groupBy("priority")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("n_reps") - 1, F.col("mean_b"))
+            ).alias("ci_hi"),
+            F.max("n_reps").cast("bigint").alias("n_replicates"),
+        )
+    )
+    base = reps.filter(F.col("b") == -1).select(
+        "priority", F.col("nw").alias("n_rows"), F.col("mean_b").alias("mean_price")
+    )
+    return (
+        base.join(ci, "priority")
+        .select("priority", "n_rows", "mean_price", "ci_lo", "ci_hi", "n_replicates")
+        .orderBy("priority")
+    )
+
+
+@query(
+    "association_rules_lift",
+    oracle="""
+    -- association rules over basket pairs: directional confidence and
+    -- lift as FLOOR-SCALED integers (×10^4, integer division) — the
+    -- NOTES rule for ratios of small integers, where round() can land
+    -- exactly on .5 and the engines' rounding modes split. lift > 1e4
+    -- means the pair co-occurs more than independence predicts.
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_baskets AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    support AS (
+      SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY 1
+    )
+    SELECT p.part_a, p.part_b, CAST(p.n_co AS BIGINT) AS n_co,
+           CAST((p.n_co * 10000) // sa.n_orders AS BIGINT) AS conf_ab_e4,
+           CAST((p.n_co * 10000) // sb.n_orders AS BIGINT) AS conf_ba_e4,
+           CAST((p.n_co * nb.n * 10000) // (sa.n_orders * sb.n_orders)
+                AS BIGINT) AS lift_e4
+    FROM pairs p
+    JOIN support sa ON sa.l_partkey = p.part_a
+    JOIN support sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n_baskets nb
+    WHERE p.n_co >= 2
+    ORDER BY lift_e4 DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from basket co-occurrence — the metric layer
+    on top of ``basket_pair_affinity``: directional confidence
+    (P(b|a), P(a|b)) and lift (observed/expected co-occurrence under
+    independence), ranked by lift. All three are ratios of small
+    integers, so they are emitted floor-scaled ×10^4 via integer
+    division (exact in both engines; ``round`` on such ratios can land
+    exactly on .5 where Spark HALF_UP and DuckDB HALF_EVEN disagree).
+
+    Plan shape matches the affinity entry: the pair self-join is keyed
+    on orderkey (fan-out bounded by basket size, linear in lineitem),
+    supports join back by part key, and the single basket count is a
+    broadcast scalar. The n_co >= 2 floor plus top-100-by-lift keeps
+    the output the decision-relevant head."""
+    from pim_etl_spark.sources import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = items.select(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(
+            support.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_orders_a")
+            ),
+            "part_a",
+        )
+        .join(
+            support.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_orders_b")
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.expr("n_co * 10000 div n_orders_a").cast("bigint").alias("conf_ab_e4"),
+            F.expr("n_co * 10000 div n_orders_b").cast("bigint").alias("conf_ba_e4"),
+            F.expr("n_co * n * 10000 div (n_orders_a * n_orders_b)")
+            .cast("bigint")
+            .alias("lift_e4"),
+        )
+        .orderBy(F.col("lift_e4").desc(), "part_a", "part_b")
+        .limit(100)
+    )
