@@ -1351,36 +1351,109 @@ def changes_between(
     with ``change_type`` insert/update/delete.
 
     Manifest-aware: files present in BOTH manifests are identical by
-    construction (data files are immutable) and provably contribute no
-    change — only each side's exclusive files are read and joined, so
-    the diff costs O(changed files), not O(table). The join is a
-    full-outer on the keys with null-safe column comparison deciding
-    update-vs-identical (a MERGE that rewrote a row byte-identically
-    is NOT a change)."""
+    construction (data files are immutable) and contribute a change
+    ONLY through the deletion-vector delta — only each side's
+    exclusive files plus the rows named by new/undone vector positions
+    are read and joined, so the diff costs O(changed files + DV rows),
+    not O(table). The join is a full-outer on the keys with null-safe
+    column comparison deciding update-vs-identical (a MERGE that
+    rewrote a row byte-identically is NOT a change). Merge-on-read
+    delete commits thus flow through the feed as 'delete' rows without
+    compaction — the Delta CDF + deletion-vectors pairing."""
     ma, mb = read_manifest(path, from_version), read_manifest(path, to_version)
-    # the diff below is FILE-SET arithmetic; a snapshot with pending
-    # merge-on-read deletes is not purely file-determined, so either
-    # endpoint having them would silently miss those deletes in the feed
-    _require_no_pending_deletes(path, ma, f"changes_between(from v{from_version})")
-    _require_no_pending_deletes(path, mb, f"changes_between(to v{to_version})")
     common = set(ma["files"]) & set(mb["files"])
     a_only = [f for f in ma["files"] if f not in common]
     b_only = [f for f in mb["files"] if f not in common]
     data_dir = os.path.join(path, _DATA)
+    dva_files = _pending_delete_files(ma)
+    dvb_files = _pending_delete_files(mb)
 
-    def _side(files, template_version):
+    def _side(files, template_version, dv_files):
         if files:
             # mergeSchema, consistent with read_version: one side's
             # exclusive files may themselves span a schema-evolution
             # commit; a sampled footer schema would null out evolved
             # columns and fabricate spurious 'update' rows in the feed
-            return spark.read.option("mergeSchema", "true").parquet(
+            df = spark.read.option("mergeSchema", "true").parquet(
                 *[_entry_path(path, f) for f in files]
             )
+            if dv_files:
+                # that side's visibility, not its raw bytes: rows its
+                # deletion vectors cover were never part of the snapshot
+                df = _apply_delete_vectors(spark, path, df, dv_files)
+            return df
         return read_version(spark, path, template_version).limit(0)
 
-    a = _side(a_only, from_version)
-    b = _side(b_only, to_version)
+    a = _side(a_only, from_version, dva_files)
+    b = _side(b_only, to_version, dvb_files)
+
+    if dva_files or dvb_files:
+        # merge-on-read CDC: on files COMMON to both manifests the bytes
+        # are identical, so the only visibility change is the deletion-
+        # vector delta. Positions in (dvB - dvA) were visible at
+        # from_version and are not at to_version -> the row joins the
+        # 'from' side (a 'delete' in the feed); positions in (dvA - dvB)
+        # — possible after a rollback across a compaction — re-appear ->
+        # the 'to' side (an 'insert'). Cost stays O(changed files + DV
+        # rows): only common files actually named by delta positions are
+        # re-opened, discovered from the (DV-sized) delta itself.
+        def _dv_positions(dv_files):
+            if not dv_files:
+                return None
+            return spark.read.parquet(
+                *[_entry_path(path, d) for d in dv_files]
+            ).select(_DV_FILE_COL, _DV_POS_COL)
+
+        dva = _dv_positions(dva_files)
+        dvb = _dv_positions(dvb_files)
+
+        def _delta(x, y):
+            if x is None:
+                return None
+            if y is None:
+                return x
+            return x.join(F.broadcast(y), [_DV_FILE_COL, _DV_POS_COL], "left_anti")
+
+        common_base = {os.path.basename(_entry_path(path, f)): f for f in common}
+
+        def _rows_at(positions):
+            if positions is None:
+                return None
+            hit_files = [
+                common_base[r[0]]
+                for r in positions.select(_DV_FILE_COL).distinct().collect()
+                if r[0] in common_base
+            ]
+            if not hit_files:
+                return None
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in hit_files]
+            )
+            return (
+                scan.withColumn(
+                    "__f",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                )
+                .withColumn("__p", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(
+                        positions.select(
+                            F.col(_DV_FILE_COL).alias("__f"),
+                            F.col(_DV_POS_COL).alias("__p"),
+                        )
+                    ),
+                    ["__f", "__p"],
+                    "left_semi",
+                )
+                .drop("__f", "__p")
+            )
+
+        newly_deleted = _rows_at(_delta(dvb, dva))
+        if newly_deleted is not None:
+            a = a.unionByName(newly_deleted, allowMissingColumns=True)
+        undeleted = _rows_at(_delta(dva, dvb))
+        if undeleted is not None:
+            b = b.unionByName(undeleted, allowMissingColumns=True)
     a, b = _align_schemas(a, b)  # diff across a schema-evolution commit
     # ignore_cols: audit/watermark columns (last_sync, _ingested_at)
     # whose refresh should not register as a content change

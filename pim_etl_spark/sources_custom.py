@@ -177,10 +177,23 @@ _ARROW_TO_DDL = {
 
 
 class ChangeFilePartition(InputPartition):
-    def __init__(self, file_path: str, version: int, op: str):
+    def __init__(
+        self,
+        file_path: str,
+        version: int,
+        op: str,
+        dv_path: str | None = None,
+        file_map: dict | None = None,
+    ):
+        # dv_path set => this partition emits the rows a merge-on-read
+        # deletion-vector sidecar covers, with file_map resolving the
+        # vector's file basenames to full paths; unset => it emits the
+        # rows of one newly-added data file at file_path
         self.file_path = file_path
         self.version = version
         self.op = op
+        self.dv_path = dv_path
+        self.file_map = file_map or {}
 
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
@@ -264,13 +277,76 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     parts.append(
                         ChangeFilePartition(os.path.join(data_dir, f), v, manifest["op"])
                     )
+            # merge-on-read delete commits add no data files — their
+            # change is the NEW deletion-vector sidecars (manifest
+            # delete_files minus parent's). Emit the covered rows with
+            # the commit's op so consumers can anti-apply them
+            # downstream; positions already recorded by the parent are
+            # excluded by construction (delete_where_mor stacks).
+            parent_dvs = (
+                set(
+                    V.read_manifest(self.table_path, parent, materialize=False).get(
+                        "delete_files", []
+                    )
+                )
+                if parent
+                else set()
+            )
+            new_dvs = [
+                d for d in manifest.get("delete_files", []) if d not in parent_dvs
+            ]
+            if new_dvs:
+                # manifest entries may be absolute (shallow-cloned
+                # files living in another table's data dir); resolve
+                # basename -> full path here where the manifest is in
+                # hand, so read() never guesses
+                by_base = {
+                    os.path.basename(V._entry_path(self.table_path, f)): V._entry_path(
+                        self.table_path, f
+                    )
+                    for f in manifest["files"]
+                }
+                for d in new_dvs:
+                    parts.append(
+                        ChangeFilePartition(
+                            data_dir, v, manifest["op"],
+                            dv_path=V._entry_path(self.table_path, d),
+                            file_map=by_base,
+                        )
+                    )
         # a pure-rollback/no-new-file range still needs ≥0 partitions;
         # Spark handles an empty list as an empty micro-batch
         return parts
 
     def read(self, partition: ChangeFilePartition):
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if partition.dv_path is not None:
+            # deletion-vector partition: resolve each covered (file,
+            # position) back to its row — one take() per referenced
+            # data file, O(vector rows) total
+            dv = pq.read_table(partition.dv_path)
+            by_file: dict[str, list[int]] = {}
+            for fname, pos in zip(
+                dv.column("file_name").to_pylist(), dv.column("pos").to_pylist()
+            ):
+                by_file.setdefault(fname, []).append(pos)
+            for fname, positions in sorted(by_file.items()):
+                full = partition.file_map.get(
+                    fname, os.path.join(partition.file_path, fname)
+                )
+                rows = pq.read_table(full).take(sorted(positions))
+                n = rows.num_rows
+                rows = rows.append_column(
+                    "_commit_version", pa.array([partition.version] * n, pa.int64())
+                ).append_column(
+                    "_commit_op", pa.array([partition.op] * n, pa.string())
+                )
+                yield from rows.to_batches()
+            return
 
         table = pq.read_table(partition.file_path)
         n = table.num_rows

@@ -226,3 +226,49 @@ def test_changefeed_rate_limit_drains_over_multiple_triggers(spark, tmp_path):
 
     # run 3: caught up — nothing new
     assert drain() == got2
+
+
+def test_changefeed_emits_mor_delete_rows(spark, tmp_path):
+    """A merge-on-read delete commit adds NO data files — its change is
+    the deletion-vector sidecar. The stream must emit the covered rows
+    (values resolved from the untouched data files by position) tagged
+    `_commit_op='delete-mor'`, so downstream consumers can anti-apply
+    them; stacked vectors emit only their NEW positions."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.sources_custom import register
+
+    register(spark)
+    tbl = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    boot = spark.createDataFrame(
+        [(k, float(k), 1) for k in range(10)],
+        "product_id long, base_price double, version long",
+    ).repartitionByRange(2, "product_id")
+    V.commit_snapshot(boot, tbl, op="bootstrap", stats_cols=("product_id",))
+    V.delete_where_mor(spark, tbl, F.col("product_id").isin(2, 7))   # v2
+    V.delete_where_mor(spark, tbl, F.col("product_id") < 4)          # v3: 0,1,3 new
+
+    q = (
+        spark.readStream.format("pim_changefeed")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    dels = {
+        (r.product_id, r._commit_version, r.base_price)
+        for r in rows
+        if r._commit_op == "delete-mor"
+    }
+    assert dels == {(2, 2, 2.0), (7, 2, 7.0), (0, 3, 0.0), (1, 3, 1.0), (3, 3, 3.0)}
+    # bootstrap rows emitted once, with the right op
+    assert sum(1 for r in rows if r._commit_op == "bootstrap") == 10

@@ -1317,8 +1317,6 @@ def test_mor_apply_deletes_materializes_and_unblocks(spark, tmp_path):
     with pytest.raises(RuntimeError, match="apply_deletes"):
         V.delete_where(spark, path, F.col("product_id") == 0)
     with pytest.raises(RuntimeError, match="apply_deletes"):
-        V.changes_between(spark, path, ["product_id"], 1, 2)
-    with pytest.raises(RuntimeError, match="apply_deletes"):
         V.shallow_clone(path, str(tmp_path / "clone"))
 
     out = V.apply_deletes(spark, path)
@@ -1369,3 +1367,103 @@ def test_mor_rollback_restores_vector_state(spark, tmp_path):
     # point lookup applies pending vectors too
     assert V.point_lookup(spark, path, "product_id", [3]).count() == 0
     assert V.point_lookup(spark, path, "product_id", [13]).count() == 1
+
+
+def test_mor_cdc_emits_vector_deletes_without_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") % 10 == 7)  # v2
+    feed = V.changes_between(spark, path, ["product_id"], 1, 2).collect()
+    assert {r.change_type for r in feed} == {"delete"}
+    assert sorted(r.product_id for r in feed) == [7, 17, 27, 37]
+    # second stacked vector: the incremental feed v2->v3 holds ONLY the
+    # new positions, not a replay of the first vector's
+    V.delete_where_mor(spark, path, F.col("product_id") < 10)        # v3
+    feed2 = V.changes_between(spark, path, ["product_id"], 2, 3).collect()
+    assert sorted(r.product_id for r in feed2) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert {r.change_type for r in feed2} == {"delete"}
+    # and the span 1->3 is the union
+    span = V.changes_between(spark, path, ["product_id"], 1, 3).collect()
+    assert len(span) == 13 and {r.change_type for r in span} == {"delete"}
+
+
+def test_mor_cdc_rollback_undelete_appears_as_insert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    V.delete_where_mor(spark, path, F.col("product_id") < 5)  # v2
+    V.rollback(path, 1)                                       # v3: undeletes 0..4
+    feed = V.changes_between(spark, path, ["product_id"], 2, 3).collect()
+    assert sorted(r.product_id for r in feed) == [0, 1, 2, 3, 4]
+    assert {r.change_type for r in feed} == {"insert"}
+
+
+def test_mor_cdc_with_values_and_mixed_commits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=20, files=2)
+    V.delete_where_mor(spark, path, F.col("product_id") == 3)  # v2 (DV)
+    # v3: blind append rides on top of the pending vector
+    V.commit_append(spark.createDataFrame([(100, 1.0, 3)], SCHEMA), path)
+    feed = V.changes_between(
+        spark, path, ["product_id"], 1, 3, with_values=True
+    ).collect()
+    by_key = {r.product_id: r for r in feed}
+    assert by_key[3].change_type == "delete" and by_key[3].old_base_price == 3.0
+    assert by_key[100].change_type == "insert" and by_key[100].new_base_price == 1.0
+    assert len(feed) == 2
+
+
+def test_mor_replica_sync_flows_vector_deletes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _bootstrap(spark, src, n=30, files=3)
+    V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+    assert V.read_version(spark, dst).count() == 30
+    V.delete_where_mor(spark, src, F.col("product_id") % 3 == 0)
+    out = V.sync_replica(spark, src, dst, keys=["product_id"], order_col="version")
+    assert out["applied_through"] == V.current_version(src)
+    assert sorted(r.product_id for r in V.read_version(spark, dst).collect()) == [
+        i for i in range(30) if i % 3 != 0
+    ]
+
+
+def test_mor_delete_flows_through_incremental_rollup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "base")
+    rollup = str(tmp_path / "rollup")
+    boot = spark.range(12).selectExpr(
+        "id AS product_id", "id % 3 AS grp", "CAST(id AS DOUBLE) AS base_price",
+        "CAST(1 AS LONG) AS version",
+    ).repartitionByRange(2, "product_id")
+    V.commit_snapshot(boot, base, stats_cols=("product_id",))
+    V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    # a merge-on-read delete is just another base commit to the rollup
+    V.delete_where_mor(spark, base, F.col("product_id").isin(1, 4, 7))
+    out = V.refresh_rollup(
+        spark, base, rollup, keys=["product_id"],
+        group_cols=("grp",), sum_cols=("base_price",),
+    )
+    assert out["base_versions_applied"] == [2]
+    got = {
+        (r.grp,): (r.n_rows, r.base_price)
+        for r in V.read_version(spark, rollup).collect()
+    }
+    want = {
+        (r.grp,): (r.n_rows, r.base_price)
+        for r in V.read_version(spark, base)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("base_price").alias("base_price"))
+        .collect()
+    }
+    assert got == want
