@@ -21,7 +21,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -729,5 +729,132 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frame_idx").alias("last_frame_idx"),
             F.max("sample_rate").alias("sample_rate"),
         )
+        .orderBy("media_id")
+    )
+
+
+AHASH_SCHEMA = "media_id long, hash_hi long, hash_lo long"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image (the classic aHash): decode
+    the P6 PPM header + pixel buffer (REAL byte decode), project RGB
+    to integer luma (299·R + 587·G + 114·B — BT.601 ×1000, no
+    floats), sample an 8×8 grid (row/col strides ⌊i·h/8⌋, ⌊j·w/8⌋),
+    and set bit k = i·8+j iff 64·luma_k > Σluma (strict, integer
+    exact). The 64-bit hash is emitted as (hi, lo) 32-bit halves in
+    BIGINTs so no value ever touches the int64 sign bit.
+
+    One numpy fancy-index per image inside Arrow-batched mapInPandas —
+    the sanctioned Python escape hatch; payload bytes never shuffle
+    (the hash does)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                m = PPM_HEADER_RE.match(buf)
+                if not m:
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                body = (
+                    np.frombuffer(buf, dtype=np.uint8, offset=m.end(), count=w * h * 3)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                luma = body[:, :, 0] * 299 + body[:, :, 1] * 587 + body[:, :, 2] * 114
+                si = (np.arange(8) * h) // 8
+                sj = (np.arange(8) * w) // 8
+                v = luma[np.ix_(si, sj)].reshape(-1)  # k = i*8 + j, row-major
+                total = int(v.sum())
+                bits = 64 * v > total
+                los.append(int(sum(1 << k for k in range(32) if bits[k])))
+                his.append(int(sum(1 << (k - 32) for k in range(32, 64) if bits[k])))
+                ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=AHASH_SCHEMA)
+
+
+@query(
+    "image_ahash_neardup",
+    oracle="""
+    -- full arithmetic twin of the perceptual hash: the PPM payload is
+    -- constructed from the (pure-ASCII) document text, so every
+    -- sampled pixel byte is ord(substr(text, ...)) and the entire
+    -- 64-bit aHash — luma projection, grid strides, strict
+    -- mean-threshold bits — is recomputed exactly in SQL. A decoder
+    -- that misparses the header, reads a stray byte, or drifts the
+    -- threshold flips bits and hash-mismatches.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN length(text) < 96 THEN rpad(text, 96, '.')
+                  ELSE text END AS t
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, t,
+             length(t) % 29 + 3 AS w,
+             length(t) // ((length(t) % 29 + 3) * 3) AS h
+      FROM m
+    ),
+    luma AS (
+      SELECT d.media_id, g.i * 8 + g.j AS k,
+             299 * ord(substr(d.t, CAST((((g.i * d.h) // 8) * d.w
+                                          + ((g.j * d.w) // 8)) * 3 + 1 AS INT), 1))
+           + 587 * ord(substr(d.t, CAST((((g.i * d.h) // 8) * d.w
+                                          + ((g.j * d.w) // 8)) * 3 + 2 AS INT), 1))
+           + 114 * ord(substr(d.t, CAST((((g.i * d.h) // 8) * d.w
+                                          + ((g.j * d.w) // 8)) * 3 + 3 AS INT), 1)) AS v
+      FROM dims d
+      CROSS JOIN (SELECT a.range AS i, b.range AS j
+                  FROM range(8) a, range(8) b) g
+    ),
+    tot AS (
+      SELECT media_id, sum(v) AS s FROM luma GROUP BY media_id
+    ),
+    hashes AS (
+      SELECT l.media_id,
+             CAST(sum(CASE WHEN l.k >= 32 AND 64 * l.v > t.s
+                           THEN CAST(1 AS BIGINT) << CAST(l.k - 32 AS INT)
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN l.k < 32 AND 64 * l.v > t.s
+                           THEN CAST(1 AS BIGINT) << CAST(l.k AS INT)
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM luma l JOIN tot t USING (media_id)
+      GROUP BY l.media_id
+    )
+    SELECT media_id, hash_hi, hash_lo,
+           CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT) AS bucket_n
+    FROM hashes
+    ORDER BY media_id
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image lake —
+    the multimodal member of the dedup family: aHash every image
+    (real PPM decode, integer luma, strict mean threshold), then
+    bucket by the 64-bit hash; visually-identical renditions collide
+    while the metadata-only exact-dup pass (checksum) misses them.
+
+    Scale shape: payloads stay in the scan tasks (only 3 BIGINTs per
+    image ever shuffle), bucketing is one hash exchange, and a
+    near-dup tier at Hamming ≤ t would band the 64 bits exactly like
+    ``simhash_buckets`` does. The whole hash is recomputed
+    closed-form by the oracle — the strongest possible gate on a
+    binary decode path."""
+    media = documents_as_ppm_media(load_table(spark, sf_dir, "documents"))
+    hashes = image_ahash(media)
+    wb = Window.partitionBy("hash_hi", "hash_lo")
+    return (
+        hashes.withColumn("bucket_n", F.count(F.lit(1)).over(wb).cast("bigint"))
+        .select("media_id", "hash_hi", "hash_lo", "bucket_n")
         .orderBy("media_id")
     )

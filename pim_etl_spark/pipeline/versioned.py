@@ -3095,3 +3095,83 @@ def versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, total_price double, pending_dv_rows bigint"
     ).orderBy("version")
+
+
+@query(
+    "versioned_schema_evolution",
+    oracle="""
+    -- closed-form twin of the schema-evolution lifecycle: v1 has no
+    -- discount_pct column at all; the v2 MERGE carries the widened
+    -- batch schema (keys % 6 = 0 updated with a doubled price AND the
+    -- new column), and the v2 read must surface untouched rows with a
+    -- typed NULL in the evolved column. A read that drops the column
+    -- (missing mergeSchema), fabricates non-NULLs, or loses evolved
+    -- values on the rewrite path hash-mismatches.
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT CAST(1 AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_with_discount,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM scoped
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN o_orderkey % 6 = 0
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+    FROM scoped
+    ORDER BY version
+    """,
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the hash gate: a MERGE whose batch
+    carries a column the table has never seen (Delta's mergeSchema
+    write). The widened schema must propagate to the rewritten files,
+    untouched files must surface the new column as typed NULL on read
+    (parquet mergeSchema — per-file footer union), and time travel to
+    v1 must still show the ORIGINAL two-column shape. The per-version
+    (rows, non-null evolved values, price sum) triple is closed-form
+    arithmetic on orders."""
+    import tempfile
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 == 3)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-vstore-evo-")
+    try:
+        commit_snapshot(
+            orders.withColumn("version", F.lit(1).cast("long"))
+            .repartitionByRange(4, "o_orderkey"),
+            tbl, op="bootstrap", stats_cols=("o_orderkey",),
+        )
+        batch = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("version"),
+            (F.col("o_orderkey") % 100).cast("double").alias("discount_pct"),
+        )
+        merge_files(spark, tbl, batch, keys=["o_orderkey"], order_col="version")
+        rows = []
+        for v in (1, 2):
+            df = read_version(spark, tbl, v)
+            n_disc = (
+                F.sum(F.col("discount_pct").isNotNull().cast("long"))
+                if "discount_pct" in df.columns
+                else F.lit(0).cast("long")
+            )
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                n_disc.alias("d"),
+                F.round(F.sum("o_totalprice"), 2).alias("s"),
+            ).collect()[0]
+            rows.append((v, stats["n"], stats["d"], float(stats["s"])))
+        # the time-travel read of v1 must NOT leak the evolved column
+        assert "discount_pct" not in read_version(spark, tbl, 1).columns
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, n_with_discount bigint, total_price double"
+    ).orderBy("version")

@@ -525,3 +525,56 @@ def test_audio_frame_energy_exact_values(spark):
         seg = samples[r.frame_idx * 256 : (r.frame_idx + 1) * 256].astype(np.int64) - 128
         assert r.energy == int((seg * seg).sum())
         assert r.sample_rate == (2 % 3 + 1) * 8000
+
+
+def test_image_ahash_exact_bits_and_dup_collision(spark):
+    """The 64-bit aHash must equal an independent per-pixel
+    recomputation on a planted image (catches a wrong grid stride, a
+    luma-weight slip, or a >= vs > threshold drift), and two payloads
+    built from identical text must collide in one bucket."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import (
+        documents_as_ppm_media,
+        image_ahash,
+    )
+
+    text = "".join(chr(33 + (i * 7) % 90) for i in range(500))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text[::-1])], "doc_id long, text string"
+    )
+    rows = {r.media_id: r for r in image_ahash(documents_as_ppm_media(docs)).collect()}
+
+    # independent recomputation for doc 1
+    n = len(text)
+    w = n % 29 + 3
+    h = n // (w * 3)
+    body = np.frombuffer(text.encode(), np.uint8)[: w * h * 3].astype(np.int64)
+    luma = (
+        body.reshape(h, w, 3)[:, :, 0] * 299
+        + body.reshape(h, w, 3)[:, :, 1] * 587
+        + body.reshape(h, w, 3)[:, :, 2] * 114
+    )
+    v = luma[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)].reshape(-1)
+    bits = 64 * v > int(v.sum())
+    lo = int(sum(1 << k for k in range(32) if bits[k]))
+    hi = int(sum(1 << (k - 32) for k in range(32, 64) if bits[k]))
+    assert (rows[1].hash_hi, rows[1].hash_lo) == (hi, lo)
+    # identical text -> identical payload -> hash collision
+    assert (rows[2].hash_hi, rows[2].hash_lo) == (hi, lo)
+    # reversed text -> different image -> (near-certainly) different hash
+    assert (rows[3].hash_hi, rows[3].hash_lo) != (hi, lo)
+
+
+def test_image_ahash_uniform_image_hashes_to_zero(spark):
+    """A constant-color image has every sampled luma equal to the mean;
+    the STRICT > threshold must leave all 64 bits unset (a >= drift
+    would set them all)."""
+    from pim_etl_spark.llm_ops.multimodal import (
+        documents_as_ppm_media,
+        image_ahash,
+    )
+
+    docs = spark.createDataFrame([(9, "x" * 300)], "doc_id long, text string")
+    r = image_ahash(documents_as_ppm_media(docs)).collect()[0]
+    assert (r.hash_hi, r.hash_lo) == (0, 0)
