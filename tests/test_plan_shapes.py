@@ -280,3 +280,40 @@ def test_triangle_join_stays_broadcast_no_cartesian(spark, sf_dir):
     plan = _plan(get_queries()["triangle_count_trade"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2500]
     assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:2500]
+
+
+def test_poisson_bootstrap_partial_agg_before_exchange(spark, sf_dir):
+    """poisson_bootstrap_ci: the 33x explode must collapse into
+    map-side partial aggregation BEFORE the shuffle — the exchange
+    carries (group, replicate) partials only. One data exchange for
+    the replicate agg; everything after operates on replicate-sized
+    frames; the base x ci combine is a broadcast join."""
+    plan = _plan(get_queries()["poisson_bootstrap_ci"](spark, sf_dir))
+    # partial+final pair around the (priority, b) exchange
+    assert _count(r"HashAggregate", plan) >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:2000]
+
+
+def test_image_ahash_payload_never_shuffles(spark, sf_dir):
+    """image_ahash_neardup: payload bytes must stay inside the scan
+    tasks — every Exchange in the plan moves only the 3-BIGINT hash
+    rows (no 'payload' column may appear below an Exchange's output
+    schema), and the bucket window is the single hash exchange."""
+    df = get_queries()["image_ahash_neardup"](spark, sf_dir)
+    plan = _plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1), plan[:2000]
+    # the mapInPandas output is (media_id, hash_hi, hash_lo) — payload
+    # is consumed before any shuffle boundary
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan[:2000]
+
+
+def test_hll_rollup_single_data_exchange(spark, sf_dir):
+    """hll_mergeable_rollup: one hash exchange builds the per-nation
+    sketches; the region rollup merges 25 sketch rows — dimensions
+    stay broadcast, nothing degrades to SMJ."""
+    plan = _plan(get_queries()["hll_mergeable_rollup"](spark, sf_dir))
+    assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
