@@ -723,3 +723,87 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_round")
+
+
+@query(
+    "phrase_proximity_search",
+    oracle="""
+    -- positional phrase search twin: the same inverted index (term,
+    -- doc, position) built with unnest + generate_subscripts, the
+    -- same adjacency join, the same corpus-argmax phrase selection
+    -- (count DESC, then lexicographic — a total order).
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS p
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2, a.p
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    ),
+    top1 AS (
+      SELECT w1, w2 FROM big GROUP BY 1, 2
+      ORDER BY count(*) DESC, w1, w2 LIMIT 1
+    )
+    SELECT g.doc_id, g.w1, g.w2,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(g.p) AS BIGINT) AS first_pos
+    FROM big g JOIN top1 USING (w1, w2)
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id
+    """,
+)
+def phrase_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search through a POSITIONAL inverted index — the
+    capability BM25/keyword entries lack: "data pipeline" as a phrase,
+    not a bag. The index is (term, doc, position) via posexplode; a
+    phrase match is an equi-join of the index with itself on
+    (doc, position+1) — which is how Lucene/ES position postings
+    answer phrase queries, expressed as a join Catalyst can shuffle on
+    (doc_id): never a scan per query term, never a regex over raw
+    text. The searched phrase is the corpus's top bigram, chosen by a
+    deterministic argmax inside the entry (count DESC, lexicographic
+    tie-break) so the whole pipeline — index build, phrase selection,
+    proximity join — sits under one hash gate.
+
+    Scale shape: the index is tokens-sized and partitions by doc_id;
+    the adjacency join co-partitions on the same key (one exchange,
+    reused); the 1-row phrase frame broadcasts into the match. At
+    100 TB the index is the thing you persist (bucketed by term for
+    term-keyed lookups); this entry proves the query mechanics."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    index = docs.select(
+        "doc_id", F.posexplode(tok).alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "term")
+    a = index.alias("a")
+    b = index.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.p") == F.col("a.p") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.term").alias("w1"),
+        F.col("b.term").alias("w2"),
+        F.col("a.p").alias("p"),
+    ).cache()  # feeds BOTH the argmax and the match (Catalyst does not
+    # share a subtree that feeds two sides — NOTES prefix-join lesson)
+    top1 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    return (
+        big.join(F.broadcast(top1), ["w1", "w2"])
+        .groupBy("doc_id", "w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("p").cast("bigint").alias("first_pos"),
+        )
+        .select("doc_id", "w1", "w2", "n_occurrences", "first_pos")
+        .orderBy("doc_id")
+    )

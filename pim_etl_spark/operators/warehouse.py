@@ -1162,3 +1162,77 @@ def fd_violation_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# Benford's-law expected first-digit proportions, floor(log10(1+1/d)·1e4)
+# — precomputed constants so neither engine evaluates a transcendental.
+_BENFORD_E4 = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def _benford_oracle() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in _BENFORD_E4.items()
+    )
+    return f"""
+    -- Benford first-digit audit: the leading digit of the BIGINT cent
+    -- amount via string head (bigint→string renders identically in
+    -- both engines — never float formatting), observed share
+    -- floor-scaled ×10^4 by integer division, expected share from
+    -- precomputed constants (no transcendental in either engine).
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counted AS (
+      SELECT digit, count(*) AS n, sum(count(*)) OVER () AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST((n * 10000) // total AS BIGINT) AS observed_e4,
+           CAST(CASE digit {expected} END AS BIGINT) AS benford_e4,
+           CAST(abs((n * 10000) // total - CASE digit {expected} END)
+                AS BIGINT) AS abs_dev_e4
+    FROM counted
+    ORDER BY digit
+    """
+
+
+@query("benford_first_digit_audit", oracle=_benford_oracle())
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit over order amounts — the
+    forensic-accounting data-quality check: naturally-occurring
+    multiplicative amounts lead with digit d at probability
+    log10(1+1/d); fabricated or truncated data shows up as first-digit
+    skew. Everything stays exact integers: the leading digit comes
+    from the BIGINT cent amount's string head (identical rendering in
+    both engines — float formatting never touches the value), observed
+    shares are floor-scaled ×10^4 by integer division, and the
+    expected shares are precomputed constants, so no transcendental is
+    evaluated anywhere. One partial-agg shuffle on 9 digit groups; the
+    share window runs over the 9-row aggregate."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    counted = counted.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E4.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        counted.select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 10000 div total").cast("bigint").alias("observed_e4"),
+            expected.cast("bigint").alias("benford_e4"),
+            F.abs(
+                F.expr("n * 10000 div total") - expected
+            ).cast("bigint").alias("abs_dev_e4"),
+        )
+        .orderBy("digit")
+    )
