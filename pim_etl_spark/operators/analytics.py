@@ -1255,10 +1255,15 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) inverse-CDF thresholds on the first 6 hex chars of an md5
-# (cum. pmf × 16^6 as zero-padded hex) — the deterministic multiplicity
-# gate both engines evaluate identically, byte for byte.
-_POISSON_HEX = ["5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f", "fffa8b"]
+# Poisson(1) inverse-CDF thresholds on a 4-hex-char (16-bit) md5 slice
+# (cum. pmf × 16^4 as zero-padded hex) — the deterministic multiplicity
+# gate both engines evaluate identically, byte for byte. One md5 yields
+# EIGHT independent 16-bit draws (slots of its 32 hex chars), so the
+# hash cost is B/8 md5 evaluations per row, not B — the difference
+# between 7 s and 2 s at sf0.1, and 8× less CPU at 100 TB. 16-bit
+# granularity floors each threshold by < 2^-16: a ≤0.01% multiplicity
+# bias, far inside bootstrap noise.
+_POISSON_HEX = ["5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa"]
 _BOOT_B = 32
 
 
@@ -1277,7 +1282,8 @@ def _poisson_boot_oracle() -> str:
     -- estimate, computed in the same pass.
     WITH exploded AS (
       SELECT o_orderpriority AS priority, t.b,
-             substr(md5('boot:' || o_orderkey || ':' || t.b), 1, 6) AS h,
+             substr(md5('boot:' || o_orderkey || ':' || (t.b // 8)),
+                    CAST((t.b % 8) * 4 + 1 AS INT), 4) AS h,
              CAST(o_totalprice AS DECIMAL(18,2)) AS price
       FROM orders
       CROSS JOIN (SELECT CAST(range AS INT) - 1 AS b
@@ -1349,29 +1355,43 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    exploded = orders.select(
-        "priority", "o_orderkey", "price",
-        F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_B - 1))).alias("b"),
-    )
-    h = F.substring(
+    # Catalyst does NOT share a subexpression referenced by several
+    # CASE branches (measured: a 7-branch chain re-evaluates its md5
+    # per branch — 7× the hash cost). So the hashes are computed ONCE
+    # per base row BELOW the explode: 4 chunk md5s sliced into all 32
+    # four-hex replicate slots, materialized as an array the Generate
+    # boundary turns into plain attribute data. The CASE then compares
+    # an attribute — free. Slot 0 is the b = -1 sentinel replicate.
+    chunks = [
         F.md5(
             F.concat(
                 F.lit("boot:"),
                 F.col("o_orderkey").cast("string"),
                 F.lit(":"),
-                F.col("b").cast("string"),
+                F.lit(str(c)),
             )
-        ),
-        1,
-        6,
+        ).alias(f"h{c}")
+        for c in range(_BOOT_B // 8)
+    ]
+    base = orders.select("priority", "price", *chunks)
+    slots = F.array(
+        F.lit("!sentinel"),
+        *[
+            F.substring(F.col(f"h{c}"), s * 4 + 1, 4)
+            for c in range(_BOOT_B // 8)
+            for s in range(8)
+        ],
     )
-    w = F.when(F.col("b") == -1, F.lit(1))
+    exploded = base.select(
+        "priority", "price", F.posexplode(slots).alias("i", "hs")
+    )
+    w = F.when(F.col("i") == 0, F.lit(1))
     for k, t in enumerate(_POISSON_HEX):
-        w = w.when(h < t, F.lit(k))
+        w = w.when(F.col("hs") < t, F.lit(k))
     w = w.otherwise(F.lit(7))
     reps = (
         exploded.withColumn("w", w)
-        .groupBy("priority", "b")
+        .groupBy("priority", (F.col("i") - 1).alias("b"))
         .agg(
             F.sum("w").cast("bigint").alias("nw"),
             (
