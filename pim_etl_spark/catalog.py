@@ -200,6 +200,62 @@ _EARLY = (
     "stream_latest_event_per_user",
 )
 
+# Within the pending class, these order FIRST: entries whose code is
+# the round's newest (merge-on-read vectors, schema evolution, image
+# aHash) or whose earlier proof was INVALIDATED by a read-path rewrite
+# (the gold/versioned lifecycles after the round-5 MoR-aware
+# read_version/changes_between changes — q21 precedent). Registration
+# order alone put them LAST because pipeline/versioned.py and
+# multimodal import late, which under a 50-entry driver window meant
+# the riskiest entries were the ones never sampled. Demoted pending
+# entries are stable siblings of already-proven shapes and surface in
+# the next round's window once this round's greens fold.
+_PENDING_FIRST = (
+    "versioned_mor_delete",
+    "versioned_schema_evolution",
+    "image_ahash_neardup",
+    "gold_time_travel_diff",
+    "gold_change_feed",
+    "gold_bucketed_sync",
+    "incremental_rollup_minmax",
+    "incremental_rollup_maintenance",
+    "versioned_replica_sync",
+    "versioned_point_lookup",
+    "versioned_branch_merge",
+    "stream_left_outer_attribution",
+    "image_patchify_grid",
+    "audio_frame_energy",
+    "poisson_bootstrap_ci",
+    "phrase_proximity_search",
+    "benford_first_digit_audit",
+    "association_rules_lift",
+    "hll_mergeable_rollup",
+    "group_leakage_safe_split",
+)
+
+# ...and these order LAST within pending (the 50-entry driver window
+# forces a choice with 64 pending): stable statistical entries whose
+# oracle shape mirrors an already-proven sibling (window/agg twins of
+# stats_aggregates / percentile / robust families), each pinned by the
+# local parity suite at sf0.001 AND sf0.01. They surface in the next
+# round's window once this round's greens fold into _DRIVER_GREEN.
+_PENDING_LAST = (
+    "trend_forecast_by_priority",
+    "iqr_outlier_fences",
+    "price_histogram_equidepth",
+    "rolling_median_revenue",
+    "chisq_independence_cells",
+    "missing_value_imputation",
+    "winsorized_price_stats",
+    "robust_scaled_doc_scores",
+    "weighted_systematic_sample",
+    "pareto_frontier_parts",
+    "k_anonymity_audit",
+    "key_skew_gini",
+    "fk_integrity_audit",
+    "functional_dependency_check",
+)
+
 
 def _priority_order(names) -> list[str]:
     """Unverified-first ordering: streaming proofs, then pending
@@ -213,6 +269,13 @@ def _priority_order(names) -> list[str]:
         for n in pending
         if n in ORACLES and n not in _LOW_PRIORITY_TWINS and n not in _EARLY
     ]
+    first = [n for n in oracled if n in _PENDING_FIRST]
+    last = [n for n in oracled if n in _PENDING_LAST]
+    oracled = (
+        first
+        + [n for n in oracled if n not in _PENDING_FIRST and n not in _PENDING_LAST]
+        + last
+    )
     rows_only = [n for n in pending if n not in ORACLES and n not in _LOW_PRIORITY_TWINS]
     twins = [n for n in pending if n in _LOW_PRIORITY_TWINS]
     return early + oracled + rows_only + twins + proven
