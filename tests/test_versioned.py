@@ -1467,3 +1467,63 @@ def test_mor_delete_flows_through_incremental_rollup(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_random_op_sequences_with_mor_match_dict_model(spark, tmp_path):
+    """Model-based check extended with merge-on-read ops: randomized
+    mor-delete / apply / merge / rollback sequences must leave the
+    store equal to a dict replaying the same ops. merge is only legal
+    after pending vectors are applied (the guard), so the generator
+    applies first — exactly what a real writer must do."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        path = str(tmp_path / f"m{case}")
+        model: dict[int, float] = {k: float(k) for k in range(12)}
+        snapshots = {}
+        _bootstrap(spark, path, n=12, files=2)
+        snapshots[1] = dict(model)
+        step = 1
+        for _ in range(6):
+            op = rng.choice(["mor", "apply_then_merge", "rollback", "mor"])
+            if op == "mor":
+                doom = rng.randrange(4)
+                V.delete_where_mor(spark, path, F.col("product_id") % 4 == doom)
+                model = {k: v for k, v in model.items() if k % 4 != doom}
+                step += 1
+            elif op == "apply_then_merge":
+                had_dvs = bool(
+                    V.read_manifest(path, step, materialize=False).get("delete_files")
+                )
+                out = V.apply_deletes(spark, path)
+                if had_dvs:
+                    step += 1
+                assert out["version"] == step
+                batch = {
+                    rng.randrange(20): float(round(rng.uniform(1, 9), 2))
+                    for _ in range(rng.randint(1, 4))
+                }
+                V.merge_files(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k, v, step + 1) for k, v in batch.items()], SCHEMA
+                    ),
+                    keys=["product_id"], order_col="version",
+                )
+                model.update(batch)
+                step += 1
+            else:
+                target = rng.choice(sorted(snapshots))
+                V.rollback(path, to_version=target)
+                model = dict(snapshots[target])
+                step += 1
+            snapshots[step] = dict(model)
+            assert V.current_version(path) == step
+            got = {
+                r.product_id: r.base_price
+                for r in V.read_version(spark, path).collect()
+            }
+            assert got == model, f"case {case} step {step} diverged"
