@@ -214,6 +214,7 @@ _PENDING_FIRST = (
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",
+    "image_resize_block_mean",
     "gold_time_travel_diff",
     "gold_change_feed",
     "gold_bucketed_sync",

@@ -858,3 +858,117 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "hash_hi", "hash_lo", "bucket_n")
         .orderBy("media_id")
     )
+
+
+RESIZE_SCHEMA = "media_id long, cell_i int, cell_j int, n_px long, luma_sum long, mean_luma_e2 long"
+
+
+def image_resize_block_mean(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Block-mean image RESIZE (downsample) to a ``grid``×``grid``
+    thumbnail: every source pixel (r, c) is assigned to output cell
+    (r·grid // h, c·grid // w) — the exact integer form of
+    area-average resampling — and each cell emits its integer luma sum,
+    pixel count, and floor-scaled mean. One bincount per image inside
+    Arrow-batched mapInPandas; no per-pixel Python."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cis, cjs, ns, sums = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                m = PPM_HEADER_RE.match(buf)
+                if not m:
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                body = (
+                    np.frombuffer(buf, dtype=np.uint8, offset=m.end(), count=w * h * 3)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                luma = body[:, :, 0] * 299 + body[:, :, 1] * 587 + body[:, :, 2] * 114
+                ci = (np.arange(h) * grid) // h
+                cj = (np.arange(w) * grid) // w
+                flat_cell = (ci[:, None] * grid + cj[None, :]).ravel()
+                cell_sum = np.bincount(flat_cell, weights=None, minlength=grid * grid)
+                cell_luma = np.bincount(
+                    flat_cell, weights=luma.ravel(), minlength=grid * grid
+                ).astype(np.int64)
+                for k in range(grid * grid):
+                    if cell_sum[k] == 0:
+                        # images narrower/shorter than the grid leave
+                        # cells with no source pixels — no output row
+                        continue
+                    ids.append(mid)
+                    cis.append(k // grid)
+                    cjs.append(k % grid)
+                    ns.append(int(cell_sum[k]))
+                    sums.append(int(cell_luma[k]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "cell_i": pd.Series(cis, dtype="int32"),
+                    "cell_j": pd.Series(cjs, dtype="int32"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                    "mean_luma_e2": pd.Series(
+                        [s * 100 // n if n else 0 for s, n in zip(sums, ns)],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "image_resize_block_mean",
+    oracle="""
+    -- full arithmetic twin of area-average resize: every pixel's cell
+    -- assignment ((r*4)//h, (c*4)//w), its BT.601 integer luma from
+    -- the construction text bytes, per-cell exact sums/counts, and
+    -- the floor-scaled mean are recomputed in SQL. Wrong header
+    -- offset, a transposed (r, c), or interpolation drift all
+    -- hash-mismatch. Scoped to doc_id % 7 = 0 to keep the per-pixel
+    -- unnest oracle tractable; the engine path is per-image numpy.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN length(text) < 96 THEN rpad(text, 96, '.')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    dims AS (
+      SELECT media_id, t,
+             length(t) % 29 + 3 AS w,
+             length(t) // ((length(t) % 29 + 3) * 3) AS h
+      FROM m
+    ),
+    px AS (
+      SELECT d.media_id,
+             CAST((p.range // d.w) * 4 // d.h AS INT) AS cell_i,
+             CAST((p.range % d.w) * 4 // d.w AS INT) AS cell_j,
+             299 * ord(substr(d.t, CAST(p.range * 3 + 1 AS INT), 1))
+           + 587 * ord(substr(d.t, CAST(p.range * 3 + 2 AS INT), 1))
+           + 114 * ord(substr(d.t, CAST(p.range * 3 + 3 AS INT), 1)) AS v
+      FROM dims d JOIN range(961) p ON p.range < d.w * d.h
+    )
+    SELECT media_id, cell_i, cell_j,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS luma_sum,
+           CAST((sum(v) * 100) // count(*) AS BIGINT) AS mean_luma_e2
+    FROM px
+    GROUP BY 1, 2, 3
+    ORDER BY media_id, cell_i, cell_j
+    """,
+)
+def image_resize_block_mean_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-average image resize under the hash gate — the explicit
+    'resize' verb of the multimodal surface: decode each PPM, assign
+    every pixel to its 4×4 thumbnail cell by exact integer arithmetic,
+    and emit per-cell (count, luma sum, floor-scaled mean). The oracle
+    recomputes all of it per pixel from the construction text, so the
+    decode + resample kernel is value-gated end to end. Payload bytes
+    never shuffle — 16 integer rows per image do."""
+    media = documents_as_ppm_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    )
+    return image_resize_block_mean(media).orderBy("media_id", "cell_i", "cell_j")

@@ -578,3 +578,48 @@ def test_image_ahash_uniform_image_hashes_to_zero(spark):
     docs = spark.createDataFrame([(9, "x" * 300)], "doc_id long, text string")
     r = image_ahash(documents_as_ppm_media(docs)).collect()[0]
     assert (r.hash_hi, r.hash_lo) == (0, 0)
+
+
+def test_image_resize_block_mean_exact_and_short_image(spark):
+    """Block-mean resize must equal an independent per-pixel
+    recomputation (cell assignment (r*4)//h, (c*4)//w; integer luma;
+    floor-scaled mean), and an image shorter than the 4-row grid must
+    emit only the non-empty cells — no zero-count padding rows."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import (
+        documents_as_ppm_media,
+        image_resize_block_mean,
+    )
+
+    text = "".join(chr(33 + (i * 11) % 90) for i in range(400))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = image_resize_block_mean(documents_as_ppm_media(docs)).collect()
+
+    n = len(text)
+    w = n % 29 + 3
+    h = n // (w * 3)
+    body = np.frombuffer(text.encode(), np.uint8)[: w * h * 3].astype(np.int64)
+    luma = (
+        body.reshape(h, w, 3)[:, :, 0] * 299
+        + body.reshape(h, w, 3)[:, :, 1] * 587
+        + body.reshape(h, w, 3)[:, :, 2] * 114
+    )
+    ci = (np.arange(h) * 4) // h
+    cj = (np.arange(w) * 4) // w
+    expect = {}
+    for r in range(h):
+        for c in range(w):
+            key = (int(ci[r]), int(cj[c]))
+            s, cnt = expect.get(key, (0, 0))
+            expect[key] = (s + int(luma[r, c]), cnt + 1)
+    assert {(r.cell_i, r.cell_j): (r.luma_sum, r.n_px) for r in rows} == expect
+    assert all(r.mean_luma_e2 == r.luma_sum * 100 // r.n_px for r in rows)
+
+    # 96-byte padded minimum → w = 96%29+3 = 12, h = 96//36 = 2 rows:
+    # cell_i can only take values {0, 2} ((0*4)//2, (1*4)//2) — the
+    # empty grid rows must not appear.
+    short = spark.createDataFrame([(2, "y" * 10)], "doc_id long, text string")
+    srows = image_resize_block_mean(documents_as_ppm_media(short)).collect()
+    assert sorted({r.cell_i for r in srows}) == [0, 2]
+    assert all(r.n_px > 0 for r in srows)
