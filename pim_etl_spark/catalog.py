@@ -215,6 +215,11 @@ _PENDING_FIRST = (
     "versioned_schema_evolution",
     "image_ahash_neardup",
     "image_resize_block_mean",
+    "cep_pattern_error_reset",
+    "theta_audience_overlap",
+    "kll_mergeable_quantiles",
+    "stream_cep_pattern_totals",
+    "audio_resample_decimate",
     "gold_time_travel_diff",
     "gold_change_feed",
     "gold_bucketed_sync",

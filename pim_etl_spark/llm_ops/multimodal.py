@@ -972,3 +972,95 @@ def image_resize_block_mean_entry(spark: SparkSession, sf_dir: str) -> DataFrame
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     )
     return image_resize_block_mean(media).orderBy("media_id", "cell_i", "cell_j")
+
+
+RESAMPLE_SCHEMA = (
+    "media_id long, rate_out long, n_out long, sum_out long, wsum_out long"
+)
+
+
+def audio_resample_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Audio RESAMPLE (decimate by ``factor`` with block-mean
+    anti-aliasing): output sample k is the floor-mean of input samples
+    [k·factor, (k+1)·factor) — the integer form of average-pooling
+    downsampling; the final partial block averages its remainder. Per
+    media the gate carries the output stream closed-form: its length,
+    plain sum, and position-weighted sum Σ k·out[k] (which pins every
+    output value AND position without shuffling per-sample rows)."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, sums, wsums = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    rate, n, _, _ = decode_wav(buf)
+                except (ValueError, IndexError):
+                    continue
+                pcm = np.frombuffer(buf, dtype=np.uint8, offset=44).astype(np.int64)
+                blk = np.arange(n) // factor
+                out = np.bincount(blk, weights=pcm) // np.bincount(blk)
+                out = out.astype(np.int64)
+                ids.append(mid)
+                rates.append(rate // factor)
+                ns.append(len(out))
+                sums.append(int(out.sum()))
+                wsums.append(int((np.arange(len(out)) * out).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "rate_out": pd.Series(rates, dtype="int64"),
+                    "n_out": pd.Series(ns, dtype="int64"),
+                    "sum_out": pd.Series(sums, dtype="int64"),
+                    "wsum_out": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_resample, schema=RESAMPLE_SCHEMA)
+
+
+@query(
+    "audio_resample_decimate",
+    oracle="""
+    -- full arithmetic twin of decimate-by-4 block-mean resampling:
+    -- every sample's byte value, its block assignment i//4, the
+    -- floor-mean per block, and the position-weighted output checksum
+    -- are recomputed per sample in SQL. range(1024) bounds the unnest
+    -- (max padded doc length in this slice is 569 across all SFs);
+    -- rate_out = rate//4 checks the header parse too.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 3 + 1) * 8000 AS rate,
+             CASE WHEN length(text) < 64 THEN rpad(text, 64, '.')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id % 7 = 1
+    ),
+    blocks AS (
+      SELECT media_id, rate,
+             CAST(p.range // 4 AS BIGINT) AS blk,
+             sum(ord(substr(t, CAST(p.range + 1 AS INT), 1))) // count(*) AS out_v
+      FROM m JOIN range(1024) p ON p.range < length(t)
+      GROUP BY 1, 2, 3
+    )
+    SELECT media_id,
+           CAST(rate // 4 AS BIGINT) AS rate_out,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(out_v) AS BIGINT) AS sum_out,
+           CAST(sum(blk * out_v) AS BIGINT) AS wsum_out
+    FROM blocks
+    GROUP BY media_id, rate
+    ORDER BY media_id
+    """,
+)
+def audio_resample_decimate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean audio resampling under the hash gate — the audio
+    twin of `image_resize_block_mean`, completing the decode /
+    feature-extract / frame-sample / RESAMPLE verb set of the
+    multimodal surface. The real RIFF/WAVE parser feeds an
+    average-pooling decimator; the oracle recomputes every output
+    sample per input byte, so header parsing, block assignment, and
+    floor-mean arithmetic are all value-gated."""
+    media = documents_as_wav_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 1)
+    )
+    return audio_resample_decimate(media).orderBy("media_id")

@@ -984,3 +984,185 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_within_2pct"),
     ).orderBy("r_name")
+
+
+@query(
+    "theta_audience_overlap",
+    oracle="""
+    -- sketch bytes differ per engine, so the hash gate carries the
+    -- EXACT per-region audience sets (1996 buyers, 1997 buyers, both,
+    -- churned = 1996-only) plus envelope flags the Spark side
+    -- evaluates against its own theta estimates (the
+    -- hll_mergeable_rollup pattern). At every tested SF the per-
+    -- region cardinalities sit below the sketch's k=4096 exact-mode
+    -- threshold, so a correct implementation matches the exact twin
+    -- and the flags pin at 1; losing retained hashes in the
+    -- intersection/difference set algebra fails the gate.
+    WITH buyers AS (
+      SELECT r.r_name, o.o_custkey,
+             max(CASE WHEN year(o.o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN year(o.o_orderdate) = 1997 THEN 1 ELSE 0 END) AS in_b
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY r.r_name, o.o_custkey
+    )
+    SELECT r_name,
+           CAST(sum(in_a) AS BIGINT) AS exact_1996,
+           CAST(sum(in_b) AS BIGINT) AS exact_1997,
+           CAST(sum(in_a * in_b) AS BIGINT) AS exact_both,
+           CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS exact_churned,
+           CAST(1 AS INT) AS est_within_2pct,
+           CAST(1 AS INT) AS setops_within_5pct
+    FROM buyers
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap analytics via Apache DataSketches THETA
+    sketches (Spark 4 builtins) — the set-operation complement of
+    `hll_mergeable_rollup`: HLL unions merge, but only theta supports
+    INTERSECTION and DIFFERENCE, the "bought in 1996 AND 1997" /
+    "churned after 1996" questions. At 100 TB this is the pattern that
+    replaces a customer-level self-join across two year-long scans: a
+    daily job sketches each partition once, and any cross-period
+    overlap is kilobyte-level set algebra on the stored sketches.
+
+    One shuffle builds per-(region, customer) period flags; the
+    second-level agg (25 rows) builds both period sketches AND the
+    exact twin from the same frame. Hash-gated columns are the exact
+    audience sizes plus envelope flags on the sketch estimates (2% on
+    the period estimates, 5% on intersection/difference, whose
+    relative error is amplified by the inclusion-exclusion algebra)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    buyers = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_custkey")
+        .agg(
+            F.max((F.year("o_orderdate") == 1996).cast("int")).alias("in_a"),
+            F.max((F.year("o_orderdate") == 1997).cast("int")).alias("in_b"),
+        )
+    )
+    per_region = buyers.groupBy("r_name").agg(
+        F.sum("in_a").cast("bigint").alias("exact_1996"),
+        F.sum("in_b").cast("bigint").alias("exact_1997"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_both"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("exact_churned"),
+        F.expr("theta_sketch_agg(CASE WHEN in_a = 1 THEN o_custkey END)").alias("sk_a"),
+        F.expr("theta_sketch_agg(CASE WHEN in_b = 1 THEN o_custkey END)").alias("sk_b"),
+    )
+    est_a = F.expr("theta_sketch_estimate(sk_a)")
+    est_b = F.expr("theta_sketch_estimate(sk_b)")
+    est_both = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+    est_churn = F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))")
+    within = lambda est, exact, mult: (  # noqa: E731
+        F.abs(est - F.col(exact)) * mult <= F.col(exact)
+    )
+    return per_region.select(
+        "r_name",
+        "exact_1996",
+        "exact_1997",
+        "exact_both",
+        "exact_churned",
+        (within(est_a, "exact_1996", 50) & within(est_b, "exact_1997", 50))
+        .cast("int")
+        .alias("est_within_2pct"),
+        (within(est_both, "exact_both", 20) & within(est_churn, "exact_churned", 20))
+        .cast("int")
+        .alias("setops_within_5pct"),
+    ).orderBy("r_name")
+
+
+@query(
+    "kll_mergeable_quantiles",
+    oracle="""
+    -- the third mergeable-sketch class (HLL = union cardinality,
+    -- theta = set ops, KLL = QUANTILES): sketch bytes differ per
+    -- engine, so the hash gate carries the exact per-region order
+    -- counts (KLL tracks n exactly through merges — a union that
+    -- drops rows fails on n alone) plus rank-envelope flags the Spark
+    -- side computes exactly by re-counting rows <= the sketch's
+    -- answer: the returned median/p90 must sit within 2.5% rank error
+    -- (k=200 KLL guarantees ~1.65% at 99% confidence).
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1 AS INT) AS med_rank_ok,
+           CAST(1 AS INT) AS p90_rank_ok
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Spark 4 DataSketches KLL),
+    completing the sketch trifecta with `hll_mergeable_rollup` (union
+    cardinality) and `theta_audience_overlap` (set operations): build
+    one KLL sketch of order totals (integer cents) per NATION, merge
+    nations into regions at the byte level, then answer median/p90
+    without re-touching row data. This is the 100 TB percentile
+    pattern — exact percentiles need a full sort per query, but
+    per-partition KLL sketches merge associatively, so any rollup
+    level answers from kilobytes.
+
+    The gate: per-region n from the MERGED sketch must equal the exact
+    count (KLL carries n exactly — merges that drop rows fail here),
+    and the sketch's median/p90 answers are validated by an exact
+    rank re-count (rows <= answer within 2.5% of target rank)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "c_nationkey",
+            (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    per_nation = base.groupBy("r_name", "c_nationkey").agg(
+        F.expr("kll_sketch_agg_bigint(cents)").alias("psk")
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.expr("kll_merge_agg_bigint(psk)").alias("sk")
+    )
+    answers = per_region.select(
+        "r_name",
+        F.expr("kll_sketch_get_n_bigint(sk)").alias("n_orders"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)").alias("med_est"),
+        F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)").alias("p90_est"),
+    )
+    ranked = (
+        base.join(F.broadcast(answers), "r_name")
+        .groupBy("r_name")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            F.sum((F.col("cents") <= F.col("med_est")).cast("long")).alias("rank_med"),
+            F.sum((F.col("cents") <= F.col("p90_est")).cast("long")).alias("rank_p90"),
+        )
+    )
+    return ranked.select(
+        "r_name",
+        "n_orders",
+        # |rank/n - target| <= 0.025, integer-exact: |1000*rank - target_permille*n| <= 25*n
+        (F.abs(F.col("rank_med") * 1000 - 500 * F.col("n_orders")) <= 25 * F.col("n_orders"))
+        .cast("int")
+        .alias("med_rank_ok"),
+        (F.abs(F.col("rank_p90") * 1000 - 900 * F.col("n_orders")) <= 25 * F.col("n_orders"))
+        .cast("int")
+        .alias("p90_rank_ok"),
+    ).orderBy("r_name")

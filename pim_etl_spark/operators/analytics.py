@@ -1528,3 +1528,117 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_e4").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+@query(
+    "cep_pattern_error_reset",
+    oracle="""
+    -- MATCH_RECOGNIZE-style sequence detection as layered running-
+    -- state windows: a purchase "converts" iff some view -> click ->
+    -- purchase chain exists with NO error event anywhere between the
+    -- view and the purchase (errors RESET the pattern). Row numbers
+    -- (ts, event_id ordered) make every comparison integer-exact.
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, rn,
+             coalesce(max(CASE WHEN event_type = 'error' THEN rn END)
+                 OVER w2, 0) AS last_err,
+             coalesce(max(CASE WHEN event_type = 'view' THEN rn END)
+                 OVER w2, 0) AS last_view
+      FROM numbered
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    clicks AS (
+      SELECT *,
+             coalesce(max(CASE WHEN event_type = 'click'
+                               AND last_view > last_err THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS last_valid_click
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                                 AND last_valid_click > last_err) AS BIGINT)
+               AS n_converted
+    FROM clicks
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+    ORDER BY user_id
+    """,
+)
+def cep_pattern_error_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matcher (the MATCH_RECOGNIZE
+    capability, reference analogue: per-product event ordering in
+    /root/reference/etl/transformers/midocean_transformer.py): count,
+    per user, purchases completing a view → click → purchase chain
+    where an intervening ``error`` event resets the pattern.
+
+    Instead of collecting per-user event arrays (driver-sized state)
+    or regex over concatenated strings (engine-dependent semantics),
+    the pattern compiles to THREE layered running-state window
+    functions over one (user_id) partitioning — last-error, last-view,
+    last-valid-click row numbers — so a purchase converts iff
+    ``last_valid_click > last_err`` at its position. One shuffle total;
+    per-row state is three integers regardless of history length, the
+    plan a 100 TB event stream needs (and the same windows run
+    incrementally under Structured Streaming)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(w)
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", rn)
+        .withColumn(
+            "last_err",
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "error", rn)).over(wc), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "last_view",
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "view", rn)).over(wc), F.lit(0)
+            ),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    clicks = seq.withColumn(
+        "last_valid_click",
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("last_view") > F.col("last_err")),
+                    F.col("rn"),
+                )
+            ).over(wr),
+            F.lit(0),
+        ),
+    )
+    purchases = F.sum((F.col("event_type") == "purchase").cast("long"))
+    return (
+        clicks.groupBy("user_id")
+        .agg(
+            purchases.alias("n_purchases"),
+            F.sum(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("last_valid_click") > F.col("last_err"))
+                ).cast("long")
+            ).alias("n_converted"),
+        )
+        .filter(F.col("n_purchases") > 0)
+        .orderBy("user_id")
+    )

@@ -747,3 +747,73 @@ def scd2_upsert_stream(
         .start()
     )
     q.awaitTermination()
+
+
+@query(
+    "stream_cep_pattern_totals",
+    oracle="""
+    -- batch twin of the streaming CEP state machine: identical
+    -- layered-window semantics to cep_pattern_error_reset, so the
+    -- micro-batch execution must reproduce the batch answer exactly
+    -- (the stream/batch consistency contract, on an ARBITRARY-STATE
+    -- operator rather than a built-in aggregation)
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, rn,
+             coalesce(max(CASE WHEN event_type = 'error' THEN rn END)
+                 OVER w2, 0) AS last_err,
+             coalesce(max(CASE WHEN event_type = 'view' THEN rn END)
+                 OVER w2, 0) AS last_view
+      FROM numbered
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    clicks AS (
+      SELECT *,
+             coalesce(max(CASE WHEN event_type = 'click'
+                               AND last_view > last_err THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) AS last_valid_click
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                                 AND last_valid_click > last_err) AS BIGINT)
+               AS n_converted
+    FROM clicks
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+    ORDER BY user_id
+    """,
+)
+def stream_cep_pattern_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP under the hash gate: the view → click → purchase
+    (error-resets) pattern matcher as an arbitrary-stateful operator
+    (applyInPandasWithState), executed through the micro-batch engine
+    and checked against the batch layered-window oracle. Update-mode
+    emissions are folded keep-latest per user (totals are monotone, so
+    max = latest) to stay correct if the replay splits into multiple
+    micro-batches."""
+    from pim_etl_spark.streaming.stateful import cep_pattern_stream
+
+    events = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    totals = cep_pattern_stream(events)
+    result = run_stream_to_memory(spark, totals, mode="update", state_partitions=8)
+    return (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("n_converted").alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )

@@ -387,3 +387,82 @@ def sessionized_events_stream(events: DataFrame, gap: str = "30 minutes", waterm
             "session_value",
         )
     )
+
+
+CEP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_purchases", LongType(), True),
+        StructField("n_converted", LongType(), True),
+    ]
+)
+
+CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType(), True),
+        StructField("last_err", LongType(), True),
+        StructField("last_view", LongType(), True),
+        StructField("last_valid_click", LongType(), True),
+        StructField("n_purchases", LongType(), True),
+        StructField("n_converted", LongType(), True),
+    ]
+)
+
+
+def _cep_pattern_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user CEP state machine: view → click → purchase with error
+    reset, the streaming twin of the batch `cep_pattern_error_reset`
+    windows. State is SIX integers per user regardless of history
+    length — the same three running positions the batch windows
+    compute, plus the running totals and a position offset so row
+    numbers stay globally consistent across micro-batches."""
+    n_seen, last_err, last_view, last_click, n_pur, n_conv = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0)
+    )
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            n_seen += 1
+            if et == "error":
+                last_err = n_seen
+            elif et == "view":
+                last_view = n_seen
+            elif et == "click":
+                if last_view > last_err:
+                    last_click = n_seen
+            elif et == "purchase":
+                n_pur += 1
+                if last_click > last_err:
+                    n_conv += 1
+        changed = True
+    state.update((n_seen, last_err, last_view, last_click, n_pur, n_conv))
+    if changed and n_pur > 0:
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_purchases": [n_pur], "n_converted": [n_conv]}
+        )
+
+
+def cep_pattern_stream(events: DataFrame) -> DataFrame:
+    """Streaming complex-event-processing over the event stream.
+
+    Assumes micro-batch boundaries respect per-key event-time order
+    (true for time-ordered file drops / availableNow replays); a
+    late-data-tolerant variant would buffer a watermark's worth of
+    events per key before folding, trading state for disorder
+    tolerance.
+
+    Input columns: event_id long, ts timestamp, user_id long,
+    event_type string.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cep_pattern_fn,
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -623,3 +623,28 @@ def test_image_resize_block_mean_exact_and_short_image(spark):
     srows = image_resize_block_mean(documents_as_ppm_media(short)).collect()
     assert sorted({r.cell_i for r in srows}) == [0, 2]
     assert all(r.n_px > 0 for r in srows)
+
+
+def test_audio_resample_decimate_exact_with_partial_block(spark):
+    """Decimate-by-4 block means must equal an independent per-sample
+    recomputation, including a final PARTIAL block (66 samples → 17
+    output samples, the last averaging only 2 inputs), and rate_out
+    must be the decimated header rate."""
+    import numpy as np
+
+    from pim_etl_spark.llm_ops.multimodal import (
+        audio_resample_decimate,
+        documents_as_wav_media,
+    )
+
+    text = "".join(chr(40 + (i * 13) % 80) for i in range(66))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = audio_resample_decimate(documents_as_wav_media(docs)).collect()[0]
+
+    pcm = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
+    out = [int(pcm[k * 4 : (k + 1) * 4].sum() // len(pcm[k * 4 : (k + 1) * 4]))
+           for k in range((len(pcm) + 3) // 4)]
+    assert r.n_out == len(out) == 17
+    assert r.sum_out == sum(out)
+    assert r.wsum_out == sum(k * v for k, v in enumerate(out))
+    assert r.rate_out == (1 % 3 + 1) * 8000 // 4

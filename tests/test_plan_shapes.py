@@ -317,3 +317,26 @@ def test_hll_rollup_single_data_exchange(spark, sf_dir):
     plan = _plan(get_queries()["hll_mergeable_rollup"](spark, sf_dir))
     assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_cep_pattern_single_user_exchange(spark, sf_dir):
+    """The CEP pattern matcher must keep exactly ONE hash Exchange:
+    all three running-state window layers AND the per-user aggregate
+    share the user_id partitioning (the groupBy reuses the window
+    shuffle). A second hashpartitioning means a window layer broke the
+    co-partitioning — at 100 TB that's three extra event-table
+    shuffles."""
+    plan = _plan(get_queries()["cep_pattern_error_reset"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_overlap_sketches_from_single_buyer_exchange(spark, sf_dir):
+    """Theta audience overlap: dimensions broadcast onto the orders
+    scan; the per-(region, customer) flag agg is the ONE data shuffle
+    (the 25-row region agg rides AQE's coalesced exchange of the same
+    keys' prefix is not required — but a SortMergeJoin anywhere means
+    a dimension stopped broadcasting)."""
+    plan = _plan(get_queries()["theta_audience_overlap"](spark, sf_dir))
+    assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

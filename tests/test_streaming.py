@@ -432,3 +432,61 @@ def test_scd2_upsert_stream_builds_history_across_runs(spark, tmp_path):
         (2, "X", d(1), d(4), False),
         (2, "Y", d(4), None, True),
     ]
+
+
+def test_cep_stream_state_spans_micro_batches(spark, tmp_path):
+    """The streaming CEP state machine must carry pattern state ACROSS
+    micro-batches: a view→click prefix in batch 1 converts a purchase
+    arriving in batch 2, an error in batch 2 resets before a later
+    purchase, and totals stay exactly-once when the replay is forced
+    into one-file-per-trigger micro-batches."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import TimestampType
+
+    from pim_etl_spark.streaming.queries import run_stream_to_memory
+    from pim_etl_spark.streaming.stateful import cep_pattern_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    t0 = datetime(2026, 1, 1)
+    feed = tmp_path / "cep_feed"
+    feed.mkdir()
+    # batch 1: user 1 completes view->click; user 2 buys unconverted
+    b1 = [
+        (1, t0, 1, "view"),
+        (2, t0 + timedelta(minutes=1), 1, "click"),
+        (3, t0 + timedelta(minutes=2), 2, "purchase"),
+    ]
+    # batch 2 (later event times): user 1's purchase converts via the
+    # batch-1 chain; then an error resets before a second purchase
+    b2 = [
+        (4, t0 + timedelta(minutes=10), 1, "purchase"),
+        (5, t0 + timedelta(minutes=11), 1, "error"),
+        (6, t0 + timedelta(minutes=12), 1, "purchase"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(feed))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(feed))
+
+    events = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(feed))
+    )
+    result = run_stream_to_memory(
+        spark, cep_pattern_stream(events), mode="update", state_partitions=4
+    )
+    folded = {
+        r.user_id: (r.n_purchases, r.n_converted)
+        for r in result.groupBy("user_id")
+        .agg(
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("n_converted").alias("n_converted"),
+        )
+        .collect()
+    }
+    assert folded == {1: (2, 1), 2: (1, 0)}, folded
