@@ -220,6 +220,8 @@ _PENDING_FIRST = (
     "kll_mergeable_quantiles",
     "stream_cep_pattern_totals",
     "audio_resample_decimate",
+    "variant_semistructured_access",
+    "sql_udf_inlined_tiers",
     "gold_time_travel_diff",
     "gold_change_feed",
     "gold_bucketed_sync",

@@ -258,3 +258,69 @@ def renest_skew_aware(
         .agg(F.array_sort(F.flatten(F.collect_list("__part"))).alias(out_col))
     )
     return cold.unionByName(merged)
+
+
+@query(
+    "variant_semistructured_access",
+    oracle="""
+    -- twin of the VARIANT path extractions computed straight from the
+    -- primitives the JSON was constructed from: if parse_json or any
+    -- variant_get path ('$.meta.u', '$.k', '$.tags[1]') misreads the
+    -- binary-encoded document, the per-type aggregates diverge.
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id % 100) AS BIGINT) AS sum_u,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           min(reverse(event_type)) AS tag1_min
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_semistructured_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured data (SURVEY F11's
+    modern form): nested JSON documents are parsed ONCE into the
+    binary-encoded VARIANT type, then every downstream access is a
+    typed path extraction (``variant_get``) over the encoded value —
+    no re-parse per field, which is the 100 TB reason to land
+    semi-structured feeds as variant instead of JSON strings (one
+    parse at ingest vs one parse per ``get_json_object`` call; path
+    access over the encoding is O(fields on the path)).
+
+    The documents are fabricated JVM-side from event fields (nested
+    object + array + numeric leaf), so the oracle can recompute every
+    extracted value from the primitives — wrong array indexing, a
+    dropped nesting level, or lossy numeric round-trip all
+    hash-mismatch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("k"),
+            F.array(F.col("event_type"), F.reverse(F.col("event_type"))).alias("tags"),
+            F.struct((F.col("user_id") % 100).alias("u")).alias("meta"),
+        )
+    )
+    parsed = ev.select(
+        "event_type", F.parse_json(doc).alias("v")
+    )
+    extracted = parsed.select(
+        "event_type",
+        F.expr("variant_get(v, '$.meta.u', 'bigint')").alias("u"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("u").cast("bigint").alias("sum_u"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("tag1").alias("tag1_min"),
+        )
+        .orderBy("event_type")
+    )

@@ -199,3 +199,51 @@ def coalesce_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_udf_inlined_tiers",
+    oracle="""
+    -- the SQL-UDF bodies expanded inline — if Spark's CREATE FUNCTION
+    -- resolution, argument binding, or nested invocation (taxed calls
+    -- inside an aggregate over tier groups) drifts, values mismatch
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1.19 * 100) AS BIGINT)) AS BIGINT)
+               AS taxed_cents
+    FROM orders
+    GROUP BY 1
+    ORDER BY price_tier
+    """,
+)
+def sql_udf_inlined_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``) — the
+    declarative member of the UDF surface (pandas UDF / UDTF / UDAF /
+    applyInPandas are the Python members; reference analogue: the
+    per-supplier transform helpers of
+    /root/reference/etl/transformers/midocean_transformer.py:504-515).
+    Unlike any Python UDF, a SQL UDF's body INLINES into the Catalyst
+    plan — the tier CASE and the tax arithmetic land inside
+    WholeStageCodegen with zero serialization boundary, so at 100 TB
+    the "UDF" costs exactly what the hand-written expression costs
+    (tests/test_plan_shapes.py pins the no-Python-boundary plan)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pim_price_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low' "
+        "WHEN p < 150000 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pim_taxed_cents(p DOUBLE, rate DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 + rate) * 100) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_udf_orders")
+    return spark.sql("""
+        SELECT pim_price_tier(o_totalprice) AS price_tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(pim_taxed_cents(o_totalprice, 0.19)) AS BIGINT) AS taxed_cents
+        FROM sql_udf_orders
+        GROUP BY 1
+        ORDER BY price_tier
+    """)

@@ -340,3 +340,15 @@ def test_theta_overlap_sketches_from_single_buyer_exchange(spark, sf_dir):
     plan = _plan(get_queries()["theta_audience_overlap"](spark, sf_dir))
     assert _count(r"BroadcastHashJoin", plan) >= 3, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_sql_udf_inlines_no_python_boundary(spark, sf_dir):
+    """SQL UDFs must inline into codegen: the plan contains NO Python
+    evaluation operator (the whole point of declaring the transform in
+    SQL instead of Python), and the tier CASE appears expanded in the
+    projection."""
+    plan = _plan(get_queries()["sql_udf_inlined_tiers"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:3000]
+    # the UDF bodies appear EXPANDED in the plan (the tax arithmetic
+    # inside the aggregate), proving resolution inlined them
+    assert "FLOOR" in plan and "1.19" in plan, plan[:3000]
