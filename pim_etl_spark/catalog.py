@@ -211,6 +211,8 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
+    "video_shot_boundaries",
+    "bpe_encode_corpus",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

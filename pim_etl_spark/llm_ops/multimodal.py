@@ -1064,3 +1064,125 @@ def audio_resample_decimate_entry(spark: SparkSession, sf_dir: str) -> DataFrame
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 1)
     )
     return audio_resample_decimate(media).orderBy("media_id")
+
+
+SHOT_SCHEMA = (
+    "media_id long, n_frames int, total_abs_diff long, "
+    "n_boundaries long, sum_boundary_idx long"
+)
+
+
+def video_shot_boundaries(media: DataFrame) -> DataFrame:
+    """Shot-boundary detection over the PPM video lake (the temporal
+    video verb the frame/resize/resample entries don't cover): a
+    payload's h pixel rows are consecutive frames; per frame the exact
+    integer BT.601 luma sum (×1000 weights 299/587/114) is computed,
+    and frame i is a CUT when its luma jump |L[i]−L[i−1]| exceeds
+    twice the clip's mean jump — evaluated as the integer
+    cross-multiplication |d_i|·(h−1) > 2·Σ|d| (no division, so the
+    rule is bit-identical cross-engine and threshold drift is
+    impossible). Payload bytes never leave the partition; five
+    integers per clip do — the shuffle shape a shot detector must
+    have at 100 TB."""
+
+    def _shots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, tots, nbs, sbs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                m = PPM_HEADER_RE.match(buf)
+                if not m:
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                body = (
+                    np.frombuffer(buf, dtype=np.uint8, offset=m.end(), count=w * h * 3)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                luma = body[:, :, 0] * 299 + body[:, :, 1] * 587 + body[:, :, 2] * 114
+                frame_sums = luma.sum(axis=1)
+                d = np.abs(np.diff(frame_sums))
+                total = int(d.sum())
+                cuts = np.nonzero(d * (h - 1) > 2 * total)[0] + 1
+                ids.append(mid)
+                nfs.append(h)
+                tots.append(total)
+                nbs.append(len(cuts))
+                sbs.append(int(cuts.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "total_abs_diff": pd.Series(tots, dtype="int64"),
+                    "n_boundaries": pd.Series(nbs, dtype="int64"),
+                    "sum_boundary_idx": pd.Series(sbs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_shots, schema=SHOT_SCHEMA)
+
+
+@query(
+    "video_shot_boundaries",
+    oracle="""
+    -- full arithmetic twin of shot detection: per-pixel BT.601 luma
+    -- from the construction text, per-frame (= pixel-row) exact sums,
+    -- lag diffs, and the division-free cut rule |d|·(h−1) > 2·Σ|d|
+    -- are all recomputed in SQL. A wrong frame axis, an off-by-one in
+    -- the diff index, or a float threshold all hash-mismatch. Scoped
+    -- to the 'video' slice (doc_id % 3 = 2) of the %7=3 sample to
+    -- keep the per-pixel unnest tractable (length(t) <= 577 across
+    -- SFs, so range(961) covers every w*h).
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN length(text) < 96 THEN rpad(text, 96, '.')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id % 7 = 3 AND doc_id % 3 = 2
+    ),
+    dims AS (
+      SELECT media_id, t,
+             length(t) % 29 + 3 AS w,
+             length(t) // ((length(t) % 29 + 3) * 3) AS h
+      FROM m
+    ),
+    frames AS (
+      SELECT d.media_id, d.h, CAST(p.range // d.w AS INT) AS fi,
+             sum(299 * ord(substr(d.t, CAST(p.range * 3 + 1 AS INT), 1))
+               + 587 * ord(substr(d.t, CAST(p.range * 3 + 2 AS INT), 1))
+               + 114 * ord(substr(d.t, CAST(p.range * 3 + 3 AS INT), 1))) AS L
+      FROM dims d JOIN range(961) p ON p.range < d.w * d.h
+      GROUP BY 1, 2, 3
+    ),
+    diffs AS (
+      SELECT media_id, h, fi,
+             abs(L - lag(L) OVER (PARTITION BY media_id ORDER BY fi)) AS dd
+      FROM frames
+    ),
+    scored AS (
+      SELECT media_id, h, fi, dd,
+             sum(dd) OVER (PARTITION BY media_id) AS total
+      FROM diffs
+    )
+    SELECT media_id,
+           CAST(any_value(h) AS INT) AS n_frames,
+           CAST(coalesce(any_value(total), 0) AS BIGINT) AS total_abs_diff,
+           CAST(count(CASE WHEN dd * (h - 1) > 2 * total THEN 1 END) AS BIGINT)
+             AS n_boundaries,
+           CAST(coalesce(sum(CASE WHEN dd * (h - 1) > 2 * total THEN fi END), 0) AS BIGINT)
+             AS sum_boundary_idx
+    FROM scored
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def video_shot_boundaries_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video analysis under the hash gate: decode each clip
+    (pixel rows as frames), detect cuts by relative luma jump, and
+    emit per-clip (frame count, total motion, cut count, cut-position
+    checksum). Completes the multimodal verb set: decode → features →
+    frame-sample → resize/resample → SHOT SEGMENTATION."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 == 2)
+    )
+    media = documents_as_ppm_media(docs).filter(F.col("media_type") == "video")
+    return video_shot_boundaries(media).orderBy("media_id")

@@ -807,3 +807,182 @@ def phrase_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w1", "w2", "n_occurrences", "first_pos")
         .orderBy("doc_id")
     )
+
+
+def _bpe_encode_oracle() -> str:
+    """Twin of train-then-ENCODE: the trainer chain (p/b/t CTEs,
+    identical to ``_bpe_train_oracle``) learns the merges on the
+    top-100 dict; an apply chain (a0..aN) replays each adopted rule on
+    the FULL corpus word dictionary with the same anchored-replace;
+    per round the corpus-wide token total Σ freq·|toks| is emitted."""
+    parts = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"t{r - 1}"
+        parts.append(f"""p{r} AS (
+      SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
+             CAST(sum(freq) AS BIGINT) AS wt
+      FROM (SELECT freq,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS p
+            FROM {prev})
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT a, b, wt FROM p{r} ORDER BY wt DESC, a ASC, b ASC LIMIT 1
+    ), t{r} AS (
+      SELECT freq, seq,
+             list_filter(string_split(seq, '||'), x -> x <> '') AS toks
+      FROM (
+        SELECT freq,
+               replace({prev}.seq, '|' || b{r}.a || '||' || b{r}.b || '|',
+                       '|' || b{r}.a || b{r}.b || '|') AS seq
+        FROM {prev}, b{r}
+      )
+    ), a{r} AS (
+      SELECT freq, seq,
+             list_filter(string_split(seq, '||'), x -> x <> '') AS toks
+      FROM (
+        SELECT freq,
+               replace(a{r - 1}.seq, '|' || b{r}.a || '||' || b{r}.b || '|',
+                       '|' || b{r}.a || b{r}.b || '|') AS seq
+        FROM a{r - 1}, b{r}
+      )
+    )""")
+    chain = ",\n    ".join(parts)
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_round, (SELECT a || b FROM b{r}) AS merged_unit, "
+        f"CAST(sum(freq * len(toks)) AS BIGINT) AS total_tokens FROM a{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+    -- train-then-ENCODE twin: the 3-round trainer runs on the top-100
+    -- dict exactly as in bpe_train_merges; each adopted rule is then
+    -- applied (same anchored greedy replace) to the FULL corpus word
+    -- dictionary, and the hash gate carries the corpus-wide token
+    -- total per round (round 0 = character baseline). A tokenizer
+    -- whose apply step diverges from its trainer — wrong rule order,
+    -- overlap handling, or a dict/corpus mismatch — shifts a total.
+    WITH allwords AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+      GROUP BY 1
+    ), words AS (
+      SELECT word, freq FROM allwords ORDER BY freq DESC, word ASC LIMIT {BPE_TRAIN_WORDS}
+    ), t0 AS (
+      SELECT freq,
+             '||' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                    i -> word[i]), '||') || '||' AS seq,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+      FROM words
+    ), a0 AS (
+      SELECT freq,
+             '||' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                    i -> word[i]), '||') || '||' AS seq,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS toks
+      FROM allwords
+    ), {chain}
+    SELECT * FROM (
+      SELECT 0 AS merge_round, '' AS merged_unit,
+             CAST(sum(freq * len(toks)) AS BIGINT) AS total_tokens FROM a0
+      UNION ALL {finals}
+    ) ORDER BY merge_round
+    """
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of the tokenizer loop
+    (``bpe_train_merges`` learns the rules; this entry tokenizes the
+    corpus with them): merges train on the top-100 word dict, then
+    each adopted rule replays in order over the FULL corpus word
+    dictionary (the classic encoder runs per distinct word, then
+    weights by frequency — never per raw token). Output: per merge
+    round, the corpus-wide token total Σ freq·|tokens(word)|, round 0
+    being the character baseline.
+
+    Scale shape: one corpus pass builds the (word, freq) dictionary
+    (explode + map-side-combined count); training runs on the 100-row
+    dict; encoding runs on the distinct-word dict — both vocab-sized.
+    The corpus is never re-touched per round, which is what makes BPE
+    encoding feasible at 100 TB: tokenize the dictionary, then join
+    the assignments back (or stream words through the learned table).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    allwords = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = allwords.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(BPE_TRAIN_WORDS)
+
+    def char_state(df: DataFrame) -> DataFrame:
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("w")), lambda i: F.substring(F.col("w"), i, 1)
+        )
+        return df.select(
+            "freq",
+            F.concat(F.lit("||"), F.array_join(chars, "||"), F.lit("||")).alias("seq"),
+        )
+
+    def toks(col: str = "seq"):
+        return F.filter(F.split(col, r"\|\|"), lambda x: x != "")
+
+    train = char_state(top)
+    apply_state = char_state(allwords.select(F.col("w"), "freq"))
+    totals = [
+        apply_state.agg(
+            F.lit(0).alias("merge_round"),
+            F.lit("").alias("merged_unit"),
+            F.sum(F.col("freq") * F.size(toks())).cast("bigint").alias("total_tokens"),
+        )
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        staged = train.select("freq", "seq", toks().alias("toks"))
+        pairs = staged.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("bigint").alias("wt"))
+            .orderBy(F.col("wt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(best)).select(
+                "freq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("seq"),
+            )
+
+        train = rewrite(staged.select("freq", "seq"))
+        apply_state = rewrite(apply_state)
+        totals.append(
+            apply_state.crossJoin(
+                F.broadcast(best.select(F.concat("a", "b").alias("mu")))
+            ).agg(
+                F.lit(r).alias("merge_round"),
+                F.first("mu").alias("merged_unit"),
+                F.sum(F.col("freq") * F.size(toks())).cast("bigint").alias("total_tokens"),
+            )
+        )
+    out = totals[0]
+    for t in totals[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("merge_round")

@@ -648,3 +648,35 @@ def test_audio_resample_decimate_exact_with_partial_block(spark):
     assert r.sum_out == sum(out)
     assert r.wsum_out == sum(k * v for k, v in enumerate(out))
     assert r.rate_out == (1 % 3 + 1) * 8000 // 4
+
+
+def test_video_shot_boundaries_planted_cut_and_edges(spark):
+    """A clip whose rows flip from 'a' to 'z' halfway must detect
+    EXACTLY one cut at the transition frame; a 2-frame clip can never
+    cut (the single jump is its own mean, and d·(h−1) > 2·Σ|d|
+    requires h > 3 for a lone jump); a uniform clip reports zero
+    motion and zero cuts."""
+    from pim_etl_spark.llm_ops.multimodal import (
+        documents_as_ppm_media,
+        video_shot_boundaries,
+    )
+
+    # 792 chars → w = 792%29+3 = 12, h = 792//36 = 22; rows 0-10 'a',
+    # rows 11-21 'z' → one luma jump of 12·25·1000 at frame 11.
+    planted = "a" * (11 * 36) + "z" * (11 * 36)
+    docs = spark.createDataFrame(
+        [(1, planted), (2, "a" * 36 + "z" * 60), (3, "q" * 200)],
+        "doc_id long, text string",
+    )
+    rows = {r.media_id: r for r in video_shot_boundaries(documents_as_ppm_media(docs)).collect()}
+
+    r1 = rows[1]
+    assert (r1.n_frames, r1.total_abs_diff) == (22, 12 * 25 * 1000)
+    assert (r1.n_boundaries, r1.sum_boundary_idx) == (1, 11)
+
+    r2 = rows[2]  # h = 96//36 = 2: jump present but never a cut
+    assert r2.n_frames == 2 and r2.total_abs_diff == 12 * 25 * 1000
+    assert r2.n_boundaries == 0
+
+    r3 = rows[3]  # uniform: zero motion, zero cuts
+    assert r3.total_abs_diff == 0 and r3.n_boundaries == 0
