@@ -213,6 +213,8 @@ _EARLY = (
 _PENDING_FIRST = (
     "video_shot_boundaries",
     "bpe_encode_corpus",
+    "dynamic_partition_pruning",
+    "multi_format_ingest",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

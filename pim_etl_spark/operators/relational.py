@@ -424,3 +424,77 @@ def union_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("big_orders").alias("src"), F.col("o_custkey").alias("custkey")
     )
     return a.unionByName(b).groupBy("src").agg(F.count(F.lit(1)).alias("n")).orderBy("src")
+
+
+@query(
+    "multi_format_ingest",
+    oracle="""
+    -- format-parity twin: the Spark side routed supplier through CSV
+    -- (header + explicit schema), nation through ORC, and region
+    -- through line-delimited JSON before this join — equal hashes
+    -- prove every format round-trips keys, strings, and doubles
+    -- losslessly. Money sums in exact DECIMAL per NOTES.md.
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(CAST(s.s_acctbal AS DECIMAL(18,4))), 2) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def multi_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format ingestion parity (the source-format surface beyond
+    parquet/JSONC): supplier lands as quoted CSV with a header and is
+    read back with an EXPLICIT schema (never inferSchema — schema
+    inference is a full extra pass at 100 TB and type-drifts on dirty
+    data), nation as ORC, region as line-delimited JSON; the three
+    feeds then join and aggregate. The hash gate against the parquet
+    twin proves each format round-trips bigint keys, quoted strings
+    (names may carry separators), and binary doubles losslessly.
+
+    Scale note: every reader is splittable as staged here (CSV without
+    multiline, JSON in lines mode, ORC natively), so each feed scans in
+    parallel; the joins broadcast the two dims."""
+    import shutil
+    import tempfile
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    stage = tempfile.mkdtemp(prefix="pim-formats-")
+    try:
+        supplier.write.option("header", "true").csv(f"{stage}/supplier_csv")
+        nation.write.orc(f"{stage}/nation_orc")
+        region.write.json(f"{stage}/region_json")
+
+        sup = spark.read.option("header", "true").schema(
+            "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+        ).csv(f"{stage}/supplier_csv")
+        nat = spark.read.orc(f"{stage}/nation_orc")
+        reg = spark.read.schema("r_regionkey bigint, r_name string").json(
+            f"{stage}/region_json"
+        )
+        rows = (
+            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum(F.col("s_acctbal").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+            .orderBy("r_name")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "r_name string, n_suppliers bigint, total_acctbal double"
+    ).orderBy("r_name")

@@ -1236,3 +1236,79 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "dynamic_partition_pruning",
+    oracle="""
+    -- values twin of the DPP star join: revenue per fast-tier
+    -- priority. The Spark side must produce these numbers having
+    -- physically scanned ONLY the two fast-tier partitions (pruned at
+    -- runtime by the dim filter — asserted in
+    -- tests/test_plan_shapes.py); the numbers themselves prove the
+    -- pruned scan lost no rows.
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS revenue
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a partitioned fact table — the
+    star-schema scan pattern that makes partition-on-join-key layouts
+    pay at 100 TB: the fact (orders partitioned by o_orderpriority)
+    joins a tiny dim whose FILTER is only known at runtime; Catalyst
+    injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so the two fast-tier partitions are the only
+    ones read — no manual partition list, no full scan. At 100 TB a
+    date-partitioned fact joined to a filtered date dim prunes years
+    of data the same way (this is free with declarative plans; an
+    imperative engine has to thread the pruning by hand).
+
+    The partitioned layout is staged per-entry (the catalog's inputs
+    are unpartitioned parquet); the layout write is the setup, the
+    gated query is the DPP join."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-dpp-")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tbl)
+        fact = spark.read.parquet(tbl)
+        dim = (
+            orders.select("o_orderpriority")
+            .distinct()
+            .withColumn(
+                "tier",
+                F.when(
+                    F.col("o_orderpriority").startswith("1-")
+                    | F.col("o_orderpriority").startswith("2-"),
+                    F.lit("fast"),
+                ).otherwise(F.lit("slow")),
+            )
+        )
+        rows = (
+            fact.join(
+                F.broadcast(dim.filter(F.col("tier") == "fast")), "o_orderpriority"
+            )
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("priority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, revenue double"
+    ).orderBy("priority")

@@ -352,3 +352,37 @@ def test_sql_udf_inlines_no_python_boundary(spark, sf_dir):
     # the UDF bodies appear EXPANDED in the plan (the tax arithmetic
     # inside the aggregate), proving resolution inlined them
     assert "FLOOR" in plan and "1.19" in plan, plan[:3000]
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir, tmp_path):
+    """The DPP star join must plan a dynamicpruning expression into the
+    partitioned fact scan's PartitionFilters — proof the runtime dim
+    filter, not a manual partition list, prunes the fact read."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tbl = str(tmp_path / "dpp_fact")
+    orders.write.partitionBy("o_orderpriority").parquet(tbl)
+    fact = spark.read.parquet(tbl)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(
+                F.col("o_orderpriority").startswith("1-")
+                | F.col("o_orderpriority").startswith("2-"),
+                F.lit("fast"),
+            ).otherwise(F.lit("slow")),
+        )
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("tier") == "fast")), "o_orderpriority"
+    ).groupBy("o_orderpriority").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan, plan[:3000]
+    assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:3000]
