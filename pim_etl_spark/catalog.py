@@ -215,6 +215,8 @@ _PENDING_FIRST = (
     "bpe_encode_corpus",
     "dynamic_partition_pruning",
     "multi_format_ingest",
+    "arrow_grouped_trimmed_mean",
+    "custom_sink_roundtrip",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1166,3 +1166,83 @@ def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p90_rank_ok"),
     ).orderBy("r_name")
+
+
+@query(
+    "arrow_grouped_trimmed_mean",
+    oracle="""
+    -- exact twin of the Arrow-native grouped aggregate: per order
+    -- status, drop the lowest and highest n//10 cent values and take
+    -- the floor-mean of the kept multiset. Rank ties share a cent
+    -- value, so which duplicate is trimmed cannot change the kept
+    -- multiset — the trim is total-order-free by construction.
+    WITH c AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT status, cents,
+             row_number() OVER (PARTITION BY status ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY status) AS n
+      FROM c
+    )
+    SELECT status,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def arrow_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 10%-trimmed mean via ``applyInArrow`` — the Arrow-NATIVE
+    custom-aggregate surface (Spark 4): the group's columns arrive as a
+    ``pyarrow.Table`` with zero pandas materialization, the kernel runs
+    vectorized numpy on the Arrow buffer, and one row returns per
+    group. Same Arrow batch transfer as a pandas UDF but without the
+    pandas conversion cost on either side — the right escape hatch
+    when the custom logic is array arithmetic, not DataFrame logic
+    (the pandas variant of this surface is ``mad_grouped_agg_udaf``).
+
+    All arithmetic in integer cents (NOTES.md money rule): the trim
+    bound and floor-mean are exact, so the result is bit-identical
+    cross-engine and independent of partitioning."""
+    import pyarrow as pa
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    # NOTE: deliberately no type hints — under `from __future__ import
+    # annotations` PySpark's infer_group_arrow_eval_type_from_func
+    # fails to resolve them and applyInArrow hits an UnboundLocalError
+    # (group_ops.py:936); hint-less funcs take the default eval type.
+    def trimmed(key, table):
+        import numpy as np
+
+        cents = np.sort(table.column("cents").to_numpy())
+        n = len(cents)
+        k = n // 10
+        kept = cents[k : n - k]
+        return pa.table(
+            {
+                "status": pa.array([key[0]], pa.string()),
+                "n_rows": pa.array([n], pa.int64()),
+                "n_kept": pa.array([len(kept)], pa.int64()),
+                "trimmed_mean_cents": pa.array(
+                    [int(kept.sum()) // len(kept)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        orders.groupBy("status")
+        .applyInArrow(
+            trimmed,
+            schema="status string, n_rows bigint, n_kept bigint, trimmed_mean_cents bigint",
+        )
+        .orderBy("status")
+    )

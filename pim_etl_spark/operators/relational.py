@@ -498,3 +498,67 @@ def multi_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "r_name string, n_suppliers bigint, total_acctbal double"
     ).orderBy("r_name")
+
+
+@query(
+    "custom_sink_roundtrip",
+    oracle="""
+    -- twin of the pim_export two-phase-commit sink round trip: the
+    -- Spark side wrote customers through the custom Python DataSource
+    -- writer (staged part files -> atomic manifest publish), read
+    -- them back THROUGH the manifest, and re-aggregated. Equal hashes
+    -- prove the sink published every task's rows exactly once and the
+    -- JSONL encoding round-tripped keys, strings, and doubles.
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS total_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4) under the hash gate —
+    the batch-sink half of the ``pim_feed``/``pim_changefeed`` source
+    surface: each task stages a JSONL part executor-side and returns a
+    commit message; only the driver's commit() renames the parts into
+    place and publishes an atomic ``_MANIFEST.json`` (two-phase
+    commit, so speculative/failed tasks can never half-publish an
+    export). The entry writes customers out through the sink, reads
+    them back through the manifest, and the aggregate must hash-equal
+    the parquet twin."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.sources_custom import read_export, register
+
+    register(spark)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="pim-export-")
+    try:
+        customers.repartition(4).write.format("pim_export").mode("append").option(
+            "path", out
+        ).save()
+        files, n_rows = read_export(spark, out)
+        back = spark.read.schema(
+            "c_custkey bigint, c_name string, c_nationkey bigint, c_acctbal double"
+        ).json(files)
+        rows = (
+            back.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+            .orderBy("c_nationkey")
+            .collect()
+        )
+        assert sum(r.n_customers for r in rows) == n_rows
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_nationkey bigint, n_customers bigint, total_acctbal double"
+    ).orderBy("c_nationkey")

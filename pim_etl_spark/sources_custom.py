@@ -28,7 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -150,6 +152,7 @@ class FeedDataSource(DataSource):
 def register(spark) -> None:
     spark.dataSource.register(FeedDataSource)
     spark.dataSource.register(ChangeFeedDataSource)
+    spark.dataSource.register(ExportDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -393,3 +396,109 @@ class ChangeFeedDataSource(DataSource):
 
     def streamReader(self, schema) -> ChangeFeedStreamReader:
         return ChangeFeedStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER half of the custom DataSource surface: the ``pim_export``
+# sink publishes a directory of JSONL part files behind an atomic
+# manifest — the two-phase commit every production sink needs: tasks
+# write STAGED files executor-side and return a commit message; only
+# the driver's commit() publishes them (rename + _MANIFEST.json), so a
+# failed/speculative task can never leave a half-visible export, and a
+# reader that goes through the manifest sees a snapshot or nothing.
+# (The reference's export path writes its report files directly; this
+# is the Spark-native exactly-once form of the same capability.)
+
+
+class ExportCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class ExportWriter(DataSourceWriter):
+    """One staged JSONL file per task; commit publishes atomically.
+
+    Requires a filesystem shared between executors and driver (true in
+    local mode and on NFS/fuse mounts; on a real cluster point ``path``
+    at the shared volume — same contract as Spark's file sinks)."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pim_export requires .option('path', ...) or save(path)")
+        self.field_names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staged_dir, name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.field_names, row)), default=str) + "\n"
+                )
+                n += 1
+        return ExportCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+        import shutil as _shutil
+
+        files, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_staged", m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            files.append(m.filename)
+            total += m.n_rows
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"files": sorted(files), "n_rows": total}, fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class ExportDataSource(DataSource):
+    """df.write.format("pim_export").option("path", dir).mode("append").save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pim_export"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ExportWriter:
+        return ExportWriter(self.options, schema, overwrite)
+
+
+def read_export(spark, path: str):
+    """Read back a pim_export directory THROUGH its manifest (only
+    published files; stray or half-written files are invisible)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    return [os.path.join(path, f) for f in manifest["files"]], manifest["n_rows"]

@@ -272,3 +272,50 @@ def test_changefeed_emits_mor_delete_rows(spark, tmp_path):
     assert dels == {(2, 2, 2.0), (7, 2, 7.0), (0, 3, 0.0), (1, 3, 1.0), (3, 3, 3.0)}
     # bootstrap rows emitted once, with the right op
     assert sum(1 for r in rows if r._commit_op == "bootstrap") == 10
+
+
+def test_export_sink_two_phase_commit_and_abort(spark, tmp_path):
+    """pim_export: tasks stage, commit publishes atomically — the
+    manifest lists exactly the published part files, the staging dir
+    is gone after commit, stray files are invisible to read_export,
+    and abort() removes both staged and any renamed parts."""
+    import json
+    import os
+
+    from pim_etl_spark.sources_custom import (
+        ExportCommit,
+        ExportWriter,
+        read_export,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "k long, s string, v double"
+    )
+    df.repartition(3).write.format("pim_export").mode("append").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 3
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert set(manifest["files"]) == on_disk
+    assert not os.path.exists(os.path.join(out, "_staged"))
+
+    # a stray unpublished file must be invisible through the manifest
+    stray = os.path.join(out, "part-stray.jsonl")
+    open(stray, "w").write('{"k": 99, "s": "x", "v": 0.0}\n')
+    files, n_rows = read_export(spark, out)
+    assert stray not in files and n_rows == 3
+    back = spark.read.schema("k long, s string, v double").json(files)
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+
+    # abort removes staged and already-renamed parts
+    aborted = str(tmp_path / "aborted")
+    os.makedirs(os.path.join(aborted, "_staged"))
+    open(os.path.join(aborted, "_staged", "part-x.jsonl"), "w").write("{}\n")
+    open(os.path.join(aborted, "part-y.jsonl"), "w").write("{}\n")
+    w = ExportWriter({"path": aborted}, df.schema, overwrite=False)
+    w.abort([None, ExportCommit("part-y.jsonl", 1), ExportCommit("part-gone.jsonl", 1)])
+    assert not os.path.exists(os.path.join(aborted, "_staged"))
+    assert not os.path.exists(os.path.join(aborted, "part-y.jsonl"))
