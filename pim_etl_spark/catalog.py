@@ -217,6 +217,7 @@ _PENDING_FIRST = (
     "multi_format_ingest",
     "arrow_grouped_trimmed_mean",
     "custom_sink_roundtrip",
+    "stream_sink_exactly_once",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

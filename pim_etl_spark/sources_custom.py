@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -492,6 +493,9 @@ class ExportDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> ExportWriter:
         return ExportWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "StreamExportWriter":
+        return StreamExportWriter(self.options, schema)
+
 
 def read_export(spark, path: str):
     """Read back a pim_export directory THROUGH its manifest (only
@@ -502,3 +506,94 @@ def read_export(spark, path: str):
     with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
         manifest = _json.load(fh)
     return [os.path.join(path, f) for f in manifest["files"]], manifest["n_rows"]
+
+
+class StreamExportWriter(DataSourceStreamWriter):
+    """Per-micro-batch two-phase commit: tasks stage JSONL parts, the
+    driver's commit(messages, batchId) publishes them under an atomic
+    ``_MANIFEST-<batchId>.json``. Replaying a batch after a crash
+    between sink-commit and checkpoint-commit REPLACES that batch's
+    manifest instead of appending — the idempotent-by-batchId contract
+    that makes a file sink exactly-once under micro-batch replay."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pim_export stream sink requires .option('path', ...)")
+        self.field_names = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staged_dir, name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.field_names, row)), default=str) + "\n"
+                )
+                n += 1
+        return ExportCommit(filename=name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        manifest_name = f"_MANIFEST-{batchId:06d}.json"
+        stale: list[str] = []
+        try:
+            with open(os.path.join(self.path, manifest_name), encoding="utf-8") as fh:
+                stale = _json.load(fh)["files"]  # replayed batch: supersede
+        except FileNotFoundError:
+            pass
+        files, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_staged", m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            files.append(m.filename)
+            total += m.n_rows
+        tmp = os.path.join(self.path, f"{manifest_name}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"batch_id": batchId, "files": sorted(files), "n_rows": total}, fh)
+        os.replace(tmp, os.path.join(self.path, manifest_name))
+        for f in stale:  # only after the new manifest is live
+            if f not in files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, "_staged", m.filename))
+            except FileNotFoundError:
+                pass
+
+
+def read_stream_export(spark, path: str):
+    """Read back every committed micro-batch of a pim_export stream
+    sink THROUGH its per-batch manifests: (files, total_rows)."""
+    import json as _json
+    import os
+
+    files, total = [], 0
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_MANIFEST-") and name.endswith(".json"):
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                m = _json.load(fh)
+            files += [os.path.join(path, f) for f in m["files"]]
+            total += m["n_rows"]
+    return files, total

@@ -817,3 +817,100 @@ def stream_cep_pattern_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_sink_exactly_once",
+    oracle="""
+    -- closed-form twin of streaming INTO the custom two-phase-commit
+    -- sink: the change feed of a two-commit store (bootstrap +
+    -- insert-only merge on the %4=3 slice) drains through the
+    -- pim_export stream sink, is read back through the per-batch
+    -- manifests, and re-aggregated per commit. A sink that loses a
+    -- task's part, double-publishes a replayed batch, or mixes staged
+    -- files into the read path shifts a count or a sum here.
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderkey % 4 = 3
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS total_price
+    FROM scoped WHERE o_orderdate < DATE '1998-01-01'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+    FROM scoped WHERE o_orderdate >= DATE '1998-01-01'
+    ORDER BY commit_version
+    """,
+)
+def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STREAMING sink under the hash gate — closing the
+    fourth quadrant of the Python DataSource surface (batch read:
+    pim_feed; stream read: pim_changefeed; batch write + stream write:
+    pim_export). The change feed streams through
+    ``writeStream.format("pim_export")`` with a checkpoint; each
+    micro-batch two-phase-commits an atomic ``_MANIFEST-<batch>.json``
+    (replay replaces, never appends). The entry reads the export back
+    THROUGH the manifests and the per-commit aggregate must hash-equal
+    the closed-form twin."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark import sources_custom
+    from pim_etl_spark.pipeline import versioned as V
+    from pim_etl_spark.sources import load_table
+
+    sources_custom.register(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 4 == 3)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-sinksrc-")
+    out = tempfile.mkdtemp(prefix="pim-sinkout-")
+    cp = tempfile.mkdtemp(prefix="pim-sinkcp-")
+    try:
+        pre = orders.filter(F.col("o_orderdate") < "1998-01-01").drop("o_orderdate")
+        V.commit_snapshot(pre.coalesce(1), tbl, op="bootstrap")
+        V.merge_files(
+            spark,
+            tbl,
+            orders.filter(F.col("o_orderdate") >= "1998-01-01").drop("o_orderdate"),
+            keys=["o_orderkey"],
+            order_col="o_totalprice",
+        )
+        stream = spark.readStream.format("pim_changefeed").option("path", tbl).load()
+        q = (
+            stream.writeStream.format("pim_export")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        files, _ = sources_custom.read_stream_export(spark, out)
+        back = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, "
+            "_commit_version bigint, _commit_op string"
+        ).json(files)
+        rows = [
+            (r["commit_version"], r["n_rows"], float(r["total_price"]))
+            for r in back.groupBy(
+                F.col("_commit_version").alias("commit_version")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                ).alias("total_price"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "commit_version bigint, n_rows bigint, total_price double"
+    ).orderBy("commit_version")

@@ -319,3 +319,46 @@ def test_export_sink_two_phase_commit_and_abort(spark, tmp_path):
     w.abort([None, ExportCommit("part-y.jsonl", 1), ExportCommit("part-gone.jsonl", 1)])
     assert not os.path.exists(os.path.join(aborted, "_staged"))
     assert not os.path.exists(os.path.join(aborted, "part-y.jsonl"))
+
+
+def test_stream_export_replay_replaces_batch_manifest(spark, tmp_path):
+    """Crash-replay contract: re-committing the SAME batchId replaces
+    that batch's manifest and removes the superseded parts — reader
+    totals stay exactly-once; a distinct batchId appends."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from pim_etl_spark.sources_custom import StreamExportWriter, read_stream_export
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType.fromDDL("k bigint, v string")
+    w = StreamExportWriter({"path": out}, schema)
+
+    m = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m], batchId=0)
+    files0, total0 = read_stream_export(None, out)
+    assert total0 == 2 and len(files0) == 1
+
+    # replay of batch 0 (crash between sink-commit and checkpoint):
+    # same rows arrive again in new part files
+    m_replay = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m_replay], batchId=0)
+    files1, total1 = read_stream_export(None, out)
+    assert total1 == 2 and len(files1) == 1
+    assert files1 != files0
+    assert not os.path.exists(files0[0]), "superseded part must be removed"
+
+    # a NEW batch appends
+    m2 = w.write(iter([(3, "c")]))
+    w.commit([m2], batchId=1)
+    _, total2 = read_stream_export(None, out)
+    assert total2 == 3
+
+    # abort drops only staged files
+    m3 = w.write(iter([(9, "x")]))
+    w.abort([m3, None], batchId=2)
+    assert os.listdir(os.path.join(out, "_staged")) == []
+    _, total3 = read_stream_export(None, out)
+    assert total3 == 3
