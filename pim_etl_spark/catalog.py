@@ -218,6 +218,7 @@ _PENDING_FIRST = (
     "arrow_grouped_trimmed_mean",
     "custom_sink_roundtrip",
     "stream_sink_exactly_once",
+    "versioned_column_rename",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

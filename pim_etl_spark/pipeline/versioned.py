@@ -346,6 +346,13 @@ def _commit(
     }
     if delete_files:
         manifest["delete_files"] = sorted(delete_files)
+    if "column_renames" not in manifest:
+        # column renames are cumulative table metadata: every commit
+        # carries the parent's list forward (rename_column extends it;
+        # rollback restores the target's)
+        renames = parent_meta.get("column_renames")
+        if renames:
+            manifest["column_renames"] = renames
     if carry_shards is None and len(files) <= MANIFEST_SHARD_SIZE:
         manifest["files"] = sorted(files)
         manifest["file_stats"] = file_stats or {}
@@ -490,6 +497,32 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
     return [_entry_path(path, f) for f in read_manifest(path, v)["files"]]
 
 
+def _active_renames(path: str, version: int) -> list:
+    """Column renames in force at snapshot ``version`` (cumulative —
+    ``_commit`` carries the list forward on every commit)."""
+    if version <= 0:
+        return []
+    return read_manifest(path, version, materialize=False).get("column_renames") or []
+
+
+def _apply_renames(df: DataFrame, renames) -> DataFrame:
+    """Surface a raw physical scan under the table's LOGICAL column
+    names (metadata-only RENAME, Iceberg-style: a rename never rewrites
+    data). Files written before the rename carry the old physical
+    name, files written after carry the new one, so a mergeSchema scan
+    spanning the rename holds BOTH columns — and any given row has a
+    value in at most one of them (its file's writer knew exactly one
+    name): coalesce folds the pair into the logical column. Applied in
+    rename order, so chains (a→b, then b→c) resolve correctly."""
+    for r in renames or []:
+        src, dst = r["from"], r["to"]
+        if src in df.columns and dst in df.columns:
+            df = df.withColumn(dst, F.coalesce(F.col(dst), F.col(src))).drop(src)
+        elif src in df.columns:
+            df = df.withColumnRenamed(src, dst)
+    return df
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Time-travel read: the table exactly as of snapshot ``version``
     (default: latest). Only manifest-listed files are scanned, so
@@ -504,13 +537,14 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     # manifest instead of footer-probing every file — Delta does; the
     # footer read here is per-file metadata, not data.)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    dvs = read_manifest(path, v, materialize=False).get("delete_files")
+    meta = read_manifest(path, v, materialize=False)
+    dvs = meta.get("delete_files")
     if dvs:
         # merge-on-read: subtract this snapshot's position-delete
         # sidecars (broadcast anti-join — O(pending deletes) read tax,
         # reclaimed by apply_deletes)
         df = _apply_delete_vectors(spark, path, df, dvs)
-    return df
+    return _apply_renames(df, meta.get("column_renames"))
 
 
 def point_lookup_plan(
@@ -594,23 +628,25 @@ def point_lookup(
     positives cost a wasted file scan, never a wrong row."""
     plan = point_lookup_plan(spark, path, col, values, version=version)
     val_list = list(values) if isinstance(values, (list, tuple, set)) else [values]
+    meta = read_manifest(path, plan["version"], materialize=False)
     if not plan["candidates"]:
         first = snapshot_files(path, plan["version"])[0]
-        return (
-            spark.read.option("mergeSchema", "true").parquet(first).filter(F.lit(False))
-        )
+        return _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(first),
+            meta.get("column_renames"),
+        ).filter(F.lit(False))
     paths = [_entry_path(path, f) for f in plan["candidates"]]
-    out = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*paths)
-        .filter(F.col(col).isin(val_list))
-    )
-    dvs = read_manifest(path, plan["version"], materialize=False).get("delete_files")
+    out = spark.read.option("mergeSchema", "true").parquet(*paths)
+    dvs = meta.get("delete_files")
     if dvs:
         # merge-on-read: a point lookup must not return a row whose
         # position a pending deletion vector covers
         out = _apply_delete_vectors(spark, path, out, dvs)
-    return out
+    # logical names before the exact predicate: ``col`` may be the new
+    # name of a renamed column whose older files carry the old one
+    return _apply_renames(out, meta.get("column_renames")).filter(
+        F.col(col).isin(val_list)
+    )
 
 
 def history_df(spark: SparkSession, path: str) -> DataFrame:
@@ -756,10 +792,16 @@ def merge_files(
         candidates = list(parent_files)
     skipped = len(parent_files) - len(candidates)
 
+    renames = manifest.get("column_renames") or []
     if candidates:
         by_base = {os.path.basename(_entry_path(path, f)): f for f in candidates}
-        with_file = spark.read.parquet(
-            *[_entry_path(path, f) for f in candidates]
+        # logical names before the key semi-join: a renamed KEY column
+        # still lives under its old physical name in pre-rename files
+        with_file = _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in candidates]
+            ),
+            renames,
         ).withColumn("__file", F.input_file_name())
         touched = [
             by_base[os.path.basename(r[0])]
@@ -773,8 +815,11 @@ def merge_files(
     touched_set = set(touched)
     kept = [f for f in parent_files if f not in touched_set]
     if touched:
-        existing_touched = spark.read.option("mergeSchema", "true").parquet(
-            *[_entry_path(path, f) for f in touched]
+        existing_touched = _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in touched]
+            ),
+            renames,
         )
         # schema evolution: a batch may add columns (old rows get NULL)
         # or omit columns (batch rows get NULL) — align both sides
@@ -911,10 +956,14 @@ def _merge_files_sharded(
     else:
         candidates = cand_files
 
+    renames = pointer.get("column_renames") or []
     if candidates:
         by_base = {os.path.basename(_entry_path(path, f)): f for f in candidates}
-        with_file = spark.read.option("mergeSchema", "true").parquet(
-            *[_entry_path(path, f) for f in candidates]
+        with_file = _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in candidates]
+            ),
+            renames,
         ).withColumn("__file", F.input_file_name())
         touched = [
             by_base[os.path.basename(r[0])]
@@ -933,8 +982,11 @@ def _merge_files_sharded(
     kept_entries = [f for f, s in entry_shard.items() if s in dissolved and f not in touched_set]
 
     if touched:
-        existing_touched = spark.read.option("mergeSchema", "true").parquet(
-            *[_entry_path(path, f) for f in touched]
+        existing_touched = _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in touched]
+            ),
+            renames,
         )
         existing_touched, incoming_aligned = _align_schemas(existing_touched, incoming)
         merged = apply_upsert(existing_touched, incoming_aligned, keys=keys, order_col=order_col)
@@ -1013,12 +1065,15 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     # mergeSchema on both reads (match read_version/merge_files): the
     # scanned files may span a schema-evolution commit, and a sampled
     # footer schema would silently drop evolved columns from the
-    # rewritten survivor files — permanent data loss
-    with_file = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[_entry_path(path, f) for f in scan_files])
-        .withColumn("__file", F.input_file_name())
-    )
+    # rewritten survivor files — permanent data loss. Logical names
+    # before the predicate: it may reference a renamed column.
+    renames = _active_renames(path, parent)
+    with_file = _apply_renames(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[_entry_path(path, f) for f in scan_files]
+        ),
+        renames,
+    ).withColumn("__file", F.input_file_name())
     by_base = {os.path.basename(_entry_path(path, f)): f for f in scan_files}
     touched = [
         by_base[os.path.basename(r[0])]
@@ -1031,11 +1086,12 @@ def delete_where(spark: SparkSession, path: str, predicate, key_range=None) -> d
     new_fstats: dict = {}
     n_deleted = 0
     if touched:
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[_entry_path(path, f) for f in touched])
-            .filter(~predicate)
-        )
+        survivors = _apply_renames(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[_entry_path(path, f) for f in touched]
+            ),
+            renames,
+        ).filter(~predicate)
         stats_cols = tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
         new_files, new_fstats = _write_data_files(survivors, path, parent + 1, stats_cols=stats_cols)
     version = _commit(
@@ -1169,9 +1225,16 @@ def delete_where_mor(spark: SparkSession, path: str, predicate, key_range=None) 
     n_added = 0
     new_dvs: list[str] = []
     if scan_files:
+        # logical names before the predicate (renamed columns); the
+        # _metadata projection still resolves through the rename
+        # projections (exercised in tests/test_versioned.py)
         matches = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[_entry_path(path, f) for f in scan_files])
+            _apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[_entry_path(path, f) for f in scan_files]
+                ),
+                manifest.get("column_renames") or [],
+            )
             .filter(predicate)
             .select(
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
@@ -1245,11 +1308,16 @@ def apply_deletes(spark: SparkSession, path: str, stats_cols: Sequence[str] = ()
     new_files: list[str] = []
     new_fstats: dict = {}
     if touched:
+        # logical names on the rewrite: compaction doubles as the
+        # physical migration point for metadata-only renames
         survivors = _apply_delete_vectors(
             spark,
             path,
-            spark.read.option("mergeSchema", "true").parquet(
-                *[_entry_path(path, f) for f in touched]
+            _apply_renames(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[_entry_path(path, f) for f in touched]
+                ),
+                _active_renames(path, parent),
             ),
             dvs,
         )
@@ -1361,6 +1429,10 @@ def changes_between(
     delete commits thus flow through the feed as 'delete' rows without
     compaction — the Delta CDF + deletion-vectors pairing."""
     ma, mb = read_manifest(path, from_version), read_manifest(path, to_version)
+    # the feed speaks the TO side's logical schema (Delta CDF reads
+    # with the latest schema): old-named physical columns from either
+    # side fold into the destination's names
+    cdc_renames = mb.get("column_renames") or []
     common = set(ma["files"]) & set(mb["files"])
     a_only = [f for f in ma["files"] if f not in common]
     b_only = [f for f in mb["files"] if f not in common]
@@ -1381,8 +1453,10 @@ def changes_between(
                 # that side's visibility, not its raw bytes: rows its
                 # deletion vectors cover were never part of the snapshot
                 df = _apply_delete_vectors(spark, path, df, dv_files)
-            return df
-        return read_version(spark, path, template_version).limit(0)
+            return _apply_renames(df, cdc_renames)
+        return _apply_renames(
+            read_version(spark, path, template_version).limit(0), cdc_renames
+        )
 
     a = _side(a_only, from_version, dva_files)
     b = _side(b_only, to_version, dvb_files)
@@ -1429,7 +1503,9 @@ def changes_between(
             scan = spark.read.option("mergeSchema", "true").parquet(
                 *[_entry_path(path, f) for f in hit_files]
             )
-            return (
+            # _metadata is resolved on the raw scan FIRST; renames are
+            # plain projections applied after the position semi-join
+            return _apply_renames(
                 scan.withColumn(
                     "__f",
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -1445,7 +1521,8 @@ def changes_between(
                     ["__f", "__p"],
                     "left_semi",
                 )
-                .drop("__f", "__p")
+                .drop("__f", "__p"),
+                cdc_renames,
             )
 
         newly_deleted = _rows_at(_delta(dvb, dva))
@@ -1513,6 +1590,52 @@ def rollback(path: str, to_version: int) -> int:
         # restore the target's MoR state too — its pending deletion
         # vectors are part of what "the table at v{N}" means
         delete_files=old.get("delete_files", []),
+        # ...and its rename state: "the table at v{N}" includes the
+        # logical schema readers saw then
+        extra={"column_renames": old.get("column_renames", [])},
+    )
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """Metadata-only column RENAME (Iceberg-style schema evolution —
+    the verb ``versioned_schema_evolution``'s widening MERGE doesn't
+    cover): commit a new snapshot that carries every data file forward
+    UNTOUCHED and records the mapping; readers fold old-named physical
+    columns into the logical name at scan time (``_apply_renames``).
+    O(metadata) at any table size — a 100 TB rename is one manifest
+    write. Compaction (``apply_deletes``/``optimize``) migrates files
+    to the new physical name as a side effect of its rewrites.
+
+    Carried per-file stats (and the Bloom's column tag) are re-keyed to
+    the logical name so data skipping stays tight across the rename."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    cols = read_version(spark, path, parent).columns
+    if old not in cols:
+        raise ValueError(f"column {old!r} does not exist in {path!r} (have {cols})")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists in {path!r}")
+    m = read_manifest(path, parent)
+    renames = list(m.get("column_renames") or [])
+    renames.append({"from": old, "to": new})
+    fstats = {}
+    for f, st in (m.get("file_stats") or {}).items():
+        st2 = dict(st)
+        if old in st2:
+            st2[new] = st2.pop(old)
+        bl = st2.get(_BLOOM_KEY)
+        if isinstance(bl, dict) and bl.get("col") == old:
+            st2[_BLOOM_KEY] = {**bl, "col": new}
+        fstats[f] = st2
+    return _commit(
+        path,
+        m["files"],
+        f"rename-column({old}->{new})",
+        {"renamed_from": old, "renamed_to": new},
+        file_stats=fstats,
+        extra={"column_renames": renames},
+        expect_parent=parent,
     )
 
 
@@ -2266,7 +2389,10 @@ def optimize(
     files = snapshot_files(path, parent)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _apply_renames(
+        spark.read.option("mergeSchema", "true").parquet(*files),
+        _active_renames(path, parent),
+    )
     if zorder_by:
         df = (
             with_zorder(df, zorder_by)
@@ -2321,8 +2447,11 @@ def optimize_small_files(
         return {"version": parent, "files_compacted": 0, "files_kept": len(parent_files)}
     small_bytes = sum(sizes[f] for f in small)
     n_out = max(1, round(small_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[_entry_path(path, f) for f in small]
+    df = _apply_renames(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[_entry_path(path, f) for f in small]
+        ),
+        _active_renames(path, parent),
     ).repartition(n_out)
     stats_cols = tuple(stats_cols) or (
         tuple(next(iter(parent_fstats.values())).keys()) if parent_fstats else ()
@@ -2508,7 +2637,13 @@ def shallow_clone(src_path: str, dst_path: str, version: int | None = None) -> i
         file_stats=abs_stats,
         # machine-readable provenance: merge_branch resolves the merge
         # BASE from these (the op string is for humans)
-        extra={"clone_src": os.path.abspath(src_path), "clone_src_version": v},
+        extra={
+            "clone_src": os.path.abspath(src_path),
+            "clone_src_version": v,
+            # the clone must read the source's files under the same
+            # logical schema: inherit its rename state
+            "column_renames": m.get("column_renames", []),
+        },
         expect_parent=current_version(dst_path),
     )
 
@@ -3175,3 +3310,87 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, n_with_discount bigint, total_price double"
     ).orderBy("version")
+
+
+@query(
+    "versioned_column_rename",
+    oracle="""
+    -- closed-form twin of the metadata-only RENAME lifecycle:
+    --   v1 bootstrap = (o_orderkey, o_totalprice) on the %8=6 slice
+    --   v2 rename o_totalprice -> price (zero files rewritten)
+    --   v3 MERGE doubles price on %3=0 keys, writing NEW-named files
+    -- The head must read pre-rename files (physical o_totalprice) and
+    -- post-rename files (physical price) as ONE logical price column;
+    -- v1 time travel must still show the old name. A rename that
+    -- rewrites data, drops the mapping on merge, or double-surfaces
+    -- the column breaks a count, the sum, or a flag.
+    WITH scoped AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 8 = 6
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN k % 3 = 0 THEN p * 2 ELSE p END), 2) AS total_price,
+           TRUE AS head_has_new_name,
+           TRUE AS v1_has_old_name,
+           TRUE AS rename_rewrote_nothing
+    FROM scoped
+    """,
+)
+def versioned_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename under the hash gate: rename, then a
+    MERGE that mixes pre-rename (old physical name) and post-rename
+    (new physical name) files in one snapshot — the read path must
+    coalesce the generations into the logical column, the rename
+    commit must carry every file forward untouched, and time travel to
+    v1 must still surface the ORIGINAL name (the logical schema is
+    versioned alongside the data)."""
+    import tempfile
+
+    from pim_etl_spark.sources import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 8 == 6)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-rename-")
+    try:
+        v1 = orders.select(
+            "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("version")
+        ).repartitionByRange(2, "o_orderkey")
+        commit_snapshot(v1, tbl, op="bootstrap", stats_cols=("o_orderkey",))
+        files_before = set(read_manifest(tbl, 1)["files"])
+        rename_column(spark, tbl, "o_totalprice", "price")
+        files_after = set(read_manifest(tbl, 2)["files"])
+        merge_files(
+            spark,
+            tbl,
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("price"),
+                F.lit(2).cast("long").alias("version"),
+            ),
+            keys=["o_orderkey"],
+            order_col="version",
+        )
+        head = read_version(spark, tbl)
+        agg = head.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("s"),
+        ).collect()[0]
+        rows = [
+            (
+                agg["n"],
+                float(agg["s"]),
+                "price" in head.columns and "o_totalprice" not in head.columns,
+                "o_totalprice" in read_version(spark, tbl, 1).columns,
+                files_before == files_after,
+            )
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, total_price double, head_has_new_name boolean, "
+        "v1_has_old_name boolean, rename_rewrote_nothing boolean",
+    )

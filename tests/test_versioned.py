@@ -1527,3 +1527,114 @@ def test_random_op_sequences_with_mor_match_dict_model(spark, tmp_path):
                 for r in V.read_version(spark, path).collect()
             }
             assert got == model, f"case {case} step {step} diverged"
+
+
+def _rename_fixture(spark, tmp_path, name="t"):
+    tbl = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "k long, val double, version long"
+    )
+    V.commit_snapshot(df.repartition(2, "k"), tbl, op="bootstrap", stats_cols=("k",))
+    return tbl
+
+
+def test_rename_column_is_metadata_only_and_versioned(spark, tmp_path):
+    """Rename carries every file forward untouched; head reads the new
+    name, v1 time travel keeps the old one; renaming to an existing
+    name or from a missing one raises."""
+    tbl = _rename_fixture(spark, tmp_path)
+    files_v1 = set(V.read_manifest(tbl, 1)["files"])
+    V.rename_column(spark, tbl, "val", "price")
+    assert set(V.read_manifest(tbl, 2)["files"]) == files_v1
+    head = V.read_version(spark, tbl)
+    assert "price" in head.columns and "val" not in head.columns
+    assert {r.k: r.price for r in head.collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert "val" in V.read_version(spark, tbl, 1).columns
+
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        V.rename_column(spark, tbl, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column(spark, tbl, "k", "price")
+
+
+def test_rename_then_merge_coalesces_generations(spark, tmp_path):
+    """After a rename, a MERGE writes new-named files; the head scan
+    spans both physical generations and must surface ONE logical
+    column with the right values — including a renamed KEY column."""
+    tbl = _rename_fixture(spark, tmp_path)
+    V.rename_column(spark, tbl, "val", "price")
+    V.merge_files(
+        spark,
+        tbl,
+        spark.createDataFrame([(2, 99.0, 2), (4, 40.0, 2)], "k long, price double, version long"),
+        keys=["k"],
+        order_col="version",
+    )
+    head = {r.k: r.price for r in V.read_version(spark, tbl).collect()}
+    assert head == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+    # rename the KEY column; a further merge must still match rows
+    # stored under the old physical key name
+    V.rename_column(spark, tbl, "k", "id")
+    V.merge_files(
+        spark,
+        tbl,
+        spark.createDataFrame([(1, 11.0, 3)], "id long, price double, version long"),
+        keys=["id"],
+        order_col="version",
+    )
+    head2 = {r.id: r.price for r in V.read_version(spark, tbl).collect()}
+    assert head2 == {1: 11.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_rename_interacts_with_delete_rollback_cdc_and_clone(spark, tmp_path):
+    """delete_where predicates use the logical name across old files;
+    rollback restores the pre-rename logical schema; CDC of a pure
+    rename commit is empty; a shallow clone inherits the rename."""
+    from pyspark.sql import functions as F
+
+    tbl = _rename_fixture(spark, tmp_path)
+    V.rename_column(spark, tbl, "val", "price")           # v2
+    V.delete_where(spark, tbl, F.col("price") > 25.0)      # v3: deletes k=3
+    assert {r.k for r in V.read_version(spark, tbl).collect()} == {1, 2}
+
+    # CDC: the pure-rename commit moved no rows
+    assert V.changes_between(spark, tbl, ["k"], 1, 2).count() == 0
+    # CDC across the rename speaks the TO side's logical schema
+    ch = V.changes_between(spark, tbl, ["k"], 1, 3, with_values=True).collect()
+    assert {(r.k, r.change_type) for r in ch} == {(3, "delete")}
+    assert ch[0].old_price == 30.0
+
+    clone = str(tmp_path / "clone")
+    V.shallow_clone(tbl, clone)
+    assert "price" in V.read_version(spark, clone).columns
+
+    V.rollback(tbl, 1)                                     # v4 = v1 restored
+    restored = V.read_version(spark, tbl)
+    assert "val" in restored.columns and "price" not in restored.columns
+    assert {r.k for r in restored.collect()} == {1, 2, 3}
+
+
+def test_rename_with_mor_delete_and_point_lookup(spark, tmp_path):
+    """MoR delete predicates resolve the logical name over old files;
+    point_lookup through a renamed Bloom column still prunes and
+    returns the right rows."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 9)], "k long, val double"
+    )
+    V.commit_snapshot(
+        df.repartition(4, "k"), tbl, stats_cols=("k",), bloom_col="k"
+    )
+    V.rename_column(spark, tbl, "val", "price")
+    V.rename_column(spark, tbl, "k", "id")
+    out = V.delete_where_mor(spark, tbl, F.col("price") >= 70.0)
+    assert out["dv_rows_added"] == 2
+    assert {r.id for r in V.read_version(spark, tbl).collect()} == {1, 2, 3, 4, 5, 6}
+
+    rows = V.point_lookup(spark, tbl, "id", [2, 5, 7]).collect()
+    assert {r.id for r in rows} == {2, 5}  # 7 is MoR-deleted
