@@ -219,6 +219,7 @@ _PENDING_FIRST = (
     "custom_sink_roundtrip",
     "stream_sink_exactly_once",
     "versioned_column_rename",
+    "versioned_column_drop",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

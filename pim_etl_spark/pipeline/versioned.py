@@ -516,7 +516,11 @@ def _apply_renames(df: DataFrame, renames) -> DataFrame:
     rename order, so chains (a→b, then b→c) resolve correctly."""
     for r in renames or []:
         src, dst = r["from"], r["to"]
-        if src in df.columns and dst in df.columns:
+        if dst is None:
+            # metadata-only DROP: the physical column may persist in
+            # pre-drop files until compaction; readers never see it
+            df = df.drop(src)
+        elif src in df.columns and dst in df.columns:
             df = df.withColumn(dst, F.coalesce(F.col(dst), F.col(src))).drop(src)
         elif src in df.columns:
             df = df.withColumnRenamed(src, dst)
@@ -1633,6 +1637,48 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
         m["files"],
         f"rename-column({old}->{new})",
         {"renamed_from": old, "renamed_to": new},
+        file_stats=fstats,
+        extra={"column_renames": renames},
+        expect_parent=parent,
+    )
+
+
+def drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """Metadata-only DROP COLUMN — the GDPR column-erasure verb: one
+    manifest commit makes the column invisible to every reader
+    immediately (the overlay entry ``{"from": col, "to": None}`` rides
+    the same read-time machinery as renames); the physical bytes
+    disappear at the next compaction/OPTIMIZE rewrite, exactly Delta's
+    drop-then-vacuum contract. Carried per-file stats for the column
+    are removed so no skipping decision ever references it.
+
+    Caveat (documented, Iceberg solves it with field IDs): re-adding a
+    column with the SAME name later requires a compaction first —
+    otherwise the drop overlay would hide the new column too;
+    ``merge_files`` inputs that reintroduce the name raise in
+    ``_align_schemas``-land by colliding with the overlay (pytest
+    pins the supported paths)."""
+    parent = current_version(path)
+    if parent == 0:
+        raise FileNotFoundError(f"versioned table {path!r} has no committed snapshot")
+    cols = read_version(spark, path, parent).columns
+    if col not in cols:
+        raise ValueError(f"column {col!r} does not exist in {path!r} (have {cols})")
+    m = read_manifest(path, parent)
+    renames = list(m.get("column_renames") or [])
+    renames.append({"from": col, "to": None})
+    fstats = {}
+    for f, st in (m.get("file_stats") or {}).items():
+        st2 = {k: v for k, v in st.items() if k != col}
+        bl = st2.get(_BLOOM_KEY)
+        if isinstance(bl, dict) and bl.get("col") == col:
+            st2.pop(_BLOOM_KEY)
+        fstats[f] = st2
+    return _commit(
+        path,
+        m["files"],
+        f"drop-column({col})",
+        {"dropped": col},
         file_stats=fstats,
         extra={"column_renames": renames},
         expect_parent=parent,
@@ -3393,4 +3439,93 @@ def versioned_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "n_rows bigint, total_price double, head_has_new_name boolean, "
         "v1_has_old_name boolean, rename_rewrote_nothing boolean",
+    )
+
+
+@query(
+    "versioned_column_drop",
+    oracle="""
+    -- closed-form twin of the metadata-only DROP lifecycle on the
+    -- %8=7 slice: v1 = (k, price, note), v2 drops note (zero files
+    -- rewritten), v3 MERGE doubles price on %5=0 keys. The head must
+    -- show exactly (k, price, version) with the merged arithmetic;
+    -- v1 time travel must still carry note; compaction afterwards
+    -- physically erases it (flag pinned).
+    WITH scoped AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 8 = 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END), 2) AS total_price,
+           TRUE AS head_hides_note,
+           TRUE AS v1_keeps_note,
+           TRUE AS compaction_erases_note
+    FROM scoped
+    """,
+)
+def versioned_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DROP COLUMN under the hash gate — the GDPR
+    column-erasure lifecycle: drop is one manifest commit (readers
+    lose the column instantly, files carry forward untouched), time
+    travel to v1 still shows it, and an OPTIMIZE rewrite afterwards
+    physically removes the bytes (verified against the rewritten
+    files' parquet footer, not just the logical view)."""
+    import tempfile
+
+    from pim_etl_spark.sources import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 8 == 7)
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-drop-")
+    try:
+        v1 = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.concat(F.lit("pii-"), F.col("o_orderkey")).alias("note"),
+            F.lit(1).cast("long").alias("version"),
+        ).repartitionByRange(2, "k")
+        commit_snapshot(v1, tbl, op="bootstrap", stats_cols=("k",))
+        drop_column(spark, tbl, "note")
+        files_carried = set(read_manifest(tbl, 2)["files"]) == set(
+            read_manifest(tbl, 1)["files"]
+        )
+        merge_files(
+            spark,
+            tbl,
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") * 2).alias("price"),
+                F.lit(2).cast("long").alias("version"),
+            ),
+            keys=["k"],
+            order_col="version",
+        )
+        head = read_version(spark, tbl)
+        agg = head.agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("s")
+        ).collect()[0]
+        head_hides = files_carried and "note" not in head.columns
+        v1_keeps = "note" in read_version(spark, tbl, 1).columns
+        optimize(spark, tbl, stats_cols=("k",))
+        physical_cols = set(
+            spark.read.parquet(*snapshot_files(tbl)).columns
+        )  # footer truth, not the logical overlay
+        rows = [
+            (
+                agg["n"],
+                float(agg["s"]),
+                head_hides,
+                v1_keeps,
+                "note" not in physical_cols,
+            )
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, total_price double, head_hides_note boolean, "
+        "v1_keeps_note boolean, compaction_erases_note boolean",
     )

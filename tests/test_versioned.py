@@ -1638,3 +1638,40 @@ def test_rename_with_mor_delete_and_point_lookup(spark, tmp_path):
 
     rows = V.point_lookup(spark, tbl, "id", [2, 5, 7]).collect()
     assert {r.id for r in rows} == {2, 5}  # 7 is MoR-deleted
+
+
+def test_drop_column_lifecycle_and_caveats(spark, tmp_path):
+    """Drop is metadata-only and versioned; rollback restores the
+    column; dropping a missing column raises; stats for the dropped
+    column vanish from the carried manifest."""
+    import pytest
+
+    tbl = str(tmp_path / "drop")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a", 1), (2, 20.0, "b", 1)],
+        "k long, val double, note string, version long",
+    )
+    V.commit_snapshot(df.repartition(2, "k"), tbl, stats_cols=("k", "note"))
+    V.drop_column(spark, tbl, "note")
+    head = V.read_version(spark, tbl)
+    assert "note" not in head.columns
+    assert {r.k: r.val for r in head.collect()} == {1: 10.0, 2: 20.0}
+    assert "note" in V.read_version(spark, tbl, 1).columns
+
+    # dropped column's stats are gone from the carried manifest
+    for st in V.read_manifest(tbl, 2)["file_stats"].values():
+        assert "note" not in st
+
+    # merge after the drop works on the remaining columns
+    V.merge_files(
+        spark, tbl,
+        spark.createDataFrame([(2, 99.0, 2)], "k long, val double, version long"),
+        keys=["k"], order_col="version",
+    )
+    assert {r.k: r.val for r in V.read_version(spark, tbl).collect()} == {1: 10.0, 2: 99.0}
+
+    V.rollback(tbl, 1)
+    assert "note" in V.read_version(spark, tbl).columns
+
+    with pytest.raises(ValueError, match="does not exist"):
+        V.drop_column(spark, tbl, "ghost")
