@@ -220,6 +220,7 @@ _PENDING_FIRST = (
     "stream_sink_exactly_once",
     "versioned_column_rename",
     "versioned_column_drop",
+    "seasonal_index_decomposition",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1642,3 +1642,76 @@ def cep_pattern_error_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_purchases") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "seasonal_index_decomposition",
+    oracle="""
+    -- classical multiplicative seasonal decomposition, integer-exact:
+    -- per calendar month over three complete years (1995-1997), the
+    -- seasonal index is month_share ÷ (1/12), floor-scaled ×10^4 from
+    -- exact BIGINT cents (no division until the final floor), and the
+    -- deseasonalized monthly mean divides the month total by its own
+    -- index — all ratios of exact integers, bit-identical cross-engine.
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1998-01-01'
+      GROUP BY 1
+    ), g AS (
+      SELECT sum(cents) AS total FROM m
+    ), idx AS (
+      SELECT m.month, m.n_orders, m.cents,
+             (m.cents * 120000) // g.total AS ie4
+      FROM m, g
+    )
+    SELECT month, n_orders,
+           CAST(cents AS BIGINT) AS month_cents,
+           CAST(ie4 AS BIGINT) AS seasonal_index_e4,
+           CAST((cents * 10000) // ie4 AS BIGINT) AS deseasonalized_cents
+    FROM idx
+    ORDER BY month
+    """,
+)
+def seasonal_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-index decomposition (the classical multiplicative
+    model's seasonal component) over three complete years of order
+    revenue: each calendar month's index is its revenue share against
+    the uniform 1/12 baseline, and the deseasonalized series divides
+    the month back by its own index. All arithmetic on exact BIGINT
+    cents with a single floor division at the end (NOTES.md ratio
+    rule) — no float accumulates, so the result is partitioning- and
+    engine-independent.
+
+    Plan: one partial-agg exchange on (month); the 1-row grand total
+    broadcasts back (two scans beat shuffling the fact table by a
+    constant key — SCALE.md principle)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    m = orders.groupBy(F.month("o_orderdate").cast("int").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("month_cents"),
+    )
+    g = m.agg(F.sum("month_cents").alias("__total"))
+    return (
+        m.crossJoin(F.broadcast(g))
+        .withColumn(
+            "seasonal_index_e4",
+            F.expr("(month_cents * 120000) DIV __total"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "month_cents",
+            "seasonal_index_e4",
+            F.expr("(month_cents * 10000) DIV seasonal_index_e4").alias(
+                "deseasonalized_cents"
+            ),
+        )
+        .orderBy("month")
+    )
