@@ -279,7 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
             "history", "rollback", "vacuum", "refresh-rollup", "clone", "replicate",
-            "merge-branch", "apply-deletes",
+            "merge-branch", "apply-deletes", "rename-column", "drop-column",
         ],
         default="sync",
     )
@@ -302,6 +302,8 @@ def main(argv: list[str] | None = None) -> int:
         "(protects in-flight writers; 0 only with exclusive access)",
     )
     parser.add_argument("--rollup", default=None, help="refresh-rollup: derived table path")
+    parser.add_argument("--column", default=None, help="rename-column/drop-column: source column")
+    parser.add_argument("--to-column", default=None, help="rename-column: new name")
     parser.add_argument(
         "--to", dest="to_path", default=None,
         help="clone/replicate: destination path; merge-branch: the branch path",
@@ -454,6 +456,21 @@ def main(argv: list[str] | None = None) -> int:
         from pim_etl_spark.pipeline import versioned as V
 
         out = {"status": "success", **V.apply_deletes(spark, args.gold)}
+    elif args.action == "rename-column":
+        from pim_etl_spark.pipeline import versioned as V
+
+        if not args.column or not args.to_column:
+            raise SystemExit("rename-column requires --column and --to-column")
+        v = V.rename_column(spark, args.gold, args.column, args.to_column)
+        out = {"status": "success", "version": v,
+               "renamed": f"{args.column}->{args.to_column}"}
+    elif args.action == "drop-column":
+        from pim_etl_spark.pipeline import versioned as V
+
+        if not args.column:
+            raise SystemExit("drop-column requires --column")
+        v = V.drop_column(spark, args.gold, args.column)
+        out = {"status": "success", "version": v, "dropped": args.column}
     elif args.action == "status":
         out = run_status(spark, args.gold)
     elif args.action == "compact":

@@ -258,3 +258,25 @@ def test_cli_merge_branch_action(spark, landed, tmp_path):
 
     assert main(["--action", "merge-branch", "--gold", gold, "--to", branch]) == 0
     assert V.read_version(spark, gold).count() == n0 - 1
+
+
+def test_cli_rename_and_drop_column_actions(spark, tmp_path):
+    from pim_etl_spark.orchestrator import main
+    from pim_etl_spark.pipeline import versioned as V
+
+    gold = str(tmp_path / "gold")
+    df = spark.createDataFrame(
+        [(1, 10.0, "x", 1), (2, 20.0, "y", 1)],
+        "k long, val double, note string, version long",
+    )
+    V.commit_snapshot(df, gold, op="bootstrap")
+
+    assert main([
+        "--action", "rename-column", "--gold", gold,
+        "--column", "val", "--to-column", "price",
+    ]) == 0
+    assert "price" in V.read_version(spark, gold).columns
+
+    assert main(["--action", "drop-column", "--gold", gold, "--column", "note"]) == 0
+    head = V.read_version(spark, gold)
+    assert "note" not in head.columns and "price" in head.columns
