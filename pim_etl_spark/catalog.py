@@ -221,6 +221,7 @@ _PENDING_FIRST = (
     "versioned_column_rename",
     "versioned_column_drop",
     "seasonal_index_decomposition",
+    "surrogate_key_merge",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1312,3 +1312,117 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "priority string, n_orders bigint, revenue double"
     ).orderBy("priority")
+
+
+def assign_surrogate_keys(
+    df: DataFrame, key_col: str, sk_col: str = "sk", base: int = 0, prefix: str = ""
+) -> DataFrame:
+    """Distributed DENSE surrogate-key assignment (the identity-column
+    / dimension-key verb) without the classic scale-killer — a
+    ``row_number`` over a global ORDER BY collapses to ONE partition.
+    Instead: md5-bucket each natural key (256 buckets, deterministic),
+    rank WITHIN buckets (parallel windows), then offset each bucket by
+    the prefix-sum of bucket counts — a 256-row keys-only aggregate
+    whose global window is free. ids are dense in [base, base+n) and
+    the key→id mapping is a pure function of the key set (stable under
+    any partitioning, reproducible cross-engine).
+
+    ``prefix`` salts the bucket hash (distinct id spaces for distinct
+    load batches)."""
+    bucket = F.substring(F.md5(F.concat(F.lit(prefix), F.col(key_col).cast("string"))), 1, 2)
+    w_local = Window.partitionBy("__b").orderBy(key_col)
+    staged = df.withColumn("__b", bucket).withColumn(
+        "__r", F.row_number().over(w_local)
+    )
+    w_pref = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        staged.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("__b", F.coalesce(F.sum("__n").over(w_pref), F.lit(0)).alias("__off"))
+    )
+    return (
+        staged.join(F.broadcast(offsets), "__b")
+        .withColumn(sk_col, (F.lit(base) + F.col("__off") + F.col("__r") - 1).cast("long"))
+        .drop("__b", "__r", "__off")
+    )
+
+
+@query(
+    "surrogate_key_merge",
+    oracle="""
+    -- full twin of two-batch dense surrogate-key assignment: batch 1
+    -- (pre-1997) keys get ids [0, n1) by (md5-bucket, key) rank +
+    -- bucket prefix-sum; batch 2 continues from n1. sum(sk) pins
+    -- density; sum(sk * (k % 97)) pins the exact key->id BIJECTION —
+    -- a different bucket hash, rank order, or offset arithmetic
+    -- shifts it.
+    WITH scoped AS (
+      SELECT o_orderkey AS k, o_orderdate < DATE '1997-01-01' AS early
+      FROM orders WHERE o_orderkey % 6 = 1
+    ),
+    b1 AS (
+      SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 2) AS b FROM scoped WHERE early
+    ),
+    r1 AS (
+      SELECT k, b, row_number() OVER (PARTITION BY b ORDER BY k) AS r FROM b1
+    ),
+    o1 AS (
+      SELECT b, coalesce(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+      FROM (SELECT b, count(*) AS n FROM b1 GROUP BY b)
+    ),
+    sk1 AS (SELECT r1.k, o1.off + r1.r - 1 AS sk FROM r1 JOIN o1 USING (b)),
+    n1 AS (SELECT count(*) AS n FROM b1),
+    b2 AS (
+      SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 2) AS b FROM scoped WHERE NOT early
+    ),
+    r2 AS (
+      SELECT k, b, row_number() OVER (PARTITION BY b ORDER BY k) AS r FROM b2
+    ),
+    o2 AS (
+      SELECT b, coalesce(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS off
+      FROM (SELECT b, count(*) AS n FROM b2 GROUP BY b)
+    ),
+    sk2 AS (
+      SELECT r2.k, n1.n + o2.off + r2.r - 1 AS sk
+      FROM r2 JOIN o2 USING (b), n1
+    ),
+    allsk AS (SELECT * FROM sk1 UNION ALL SELECT * FROM sk2)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(sk) AS BIGINT) AS max_sk,
+           CAST(sum(sk) AS BIGINT) AS sum_sk,
+           CAST(sum(sk * (k % 97)) AS BIGINT) AS mapping_checksum
+    FROM allsk
+    """,
+)
+def surrogate_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table surrogate keys at scale: batch 1 keys are
+    assigned dense ids, a later batch CONTINUES the sequence from the
+    committed watermark — existing keys never re-key, ids never gap or
+    collide, and assignment is deterministic under any partitioning
+    (md5-bucket rank + prefix-sum offsets; no single-partition global
+    window anywhere). The mapping checksum hash-gates the exact
+    bijection, not just density."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .filter(F.col("o_orderkey") % 6 == 1)
+    )
+    batch1 = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_orderkey").alias("k")
+    )
+    batch2 = orders.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        F.col("o_orderkey").alias("k")
+    )
+    sk1 = assign_surrogate_keys(batch1, "k", base=0)
+    n1 = sk1.count()  # the committed id watermark a real dimension
+    # table stores in its manifest (max+1 == count: ids are dense)
+    sk2 = assign_surrogate_keys(batch2, "k", base=n1)
+    allsk = sk1.unionByName(sk2)
+    return allsk.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("sk").alias("max_sk"),
+        F.sum("sk").cast("long").alias("sum_sk"),
+        F.sum(F.col("sk") * (F.col("k") % 97)).cast("long").alias("mapping_checksum"),
+    )
