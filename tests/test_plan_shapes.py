@@ -386,3 +386,24 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir, tmp_path):
     plan = _plan(joined)
     assert "dynamicpruning" in plan, plan[:3000]
     assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:3000]
+
+
+def test_surrogate_key_rank_is_bucket_partitioned(spark, sf_dir):
+    """assign_surrogate_keys must rank inside md5 buckets (parallel
+    hashpartitioning window), never a global ORDER BY window over the
+    data — the single-partition collapse is exactly what the op
+    exists to avoid. The only single-partition window allowed is the
+    256-row bucket-offset prefix sum."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.operators.warehouse import assign_surrogate_keys
+    from pim_etl_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    plan = _plan(assign_surrogate_keys(orders, "k"))
+    assert _count(r"hashpartitioning\(__b", plan) >= 1, plan[:3000]
+    # the data-side rank runs inside buckets: a Window whose partition
+    # spec is the bucket column must exist
+    assert "row_number()" in plan and "__b" in plan, plan[:3000]
