@@ -222,6 +222,7 @@ _PENDING_FIRST = (
     "versioned_column_drop",
     "seasonal_index_decomposition",
     "surrogate_key_merge",
+    "csv_quarantine_parse",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -562,3 +562,73 @@ def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "c_nationkey bigint, n_customers bigint, total_acctbal double"
     ).orderBy("c_nationkey")
+
+
+@query(
+    "csv_quarantine_parse",
+    oracle="""
+    -- closed-form twin of PERMISSIVE CSV ingestion with corrupt-row
+    -- routing: every %11=0 key's line is planted malformed (a price of
+    -- 'NaNope' fails the DOUBLE parse), the rest parse clean. A reader
+    -- that drops malformed lines (DROPMALFORMED), fails the job, or
+    -- mis-routes a good row shifts a count or the clean-revenue sum.
+    WITH scoped AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 6 = 5
+    )
+    SELECT CAST(count(*) FILTER (WHERE k % 11 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE k % 11 = 0) AS BIGINT) AS n_quarantined,
+           round(sum(CASE WHEN k % 11 <> 0
+                          THEN CAST(p AS DECIMAL(18,4)) END), 2) AS clean_revenue
+    FROM scoped
+    """,
+)
+def csv_quarantine_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-isolating CSV ingestion (the CSV face of the bronze
+    quarantine, SURVEY §2.7 N5): lines are staged with a deterministic
+    malformed subset (every %11=0 key carries an unparseable price),
+    read back PERMISSIVE against an explicit schema with
+    columnNameOfCorruptRecord, and split into clean rows + quarantine.
+    The hash gate pins both counts and the clean-side revenue — a
+    silently-dropped or mis-routed line shifts them."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.pipeline.bronze import read_csv_quarantine
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 6 == 5)
+    )
+    stage = tempfile.mkdtemp(prefix="pim-csvq-")
+    try:
+        lines = orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.when(F.col("o_orderkey") % 11 == 0, F.lit("NaNope")).otherwise(
+                    F.col("o_totalprice").cast("string")
+                ),
+            ).alias("value")
+        )
+        # headerless staging: the schema is explicit, so no header line
+        # exists to be consumed (header=true would eat a data line per
+        # file on a raw text write)
+        lines.write.mode("overwrite").text(f"{stage}/data")
+        good, bad = read_csv_quarantine(
+            spark, f"{stage}/data", "k bigint, price double"
+        )
+        g = good.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("s"),
+        ).collect()[0]
+        n_bad = bad.count()
+        rows = [(g["n"], n_bad, float(g["s"]))]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_good bigint, n_quarantined bigint, clean_revenue double"
+    )

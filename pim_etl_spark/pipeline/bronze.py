@@ -115,3 +115,29 @@ def with_corrupt_quarantine(
     good = flagged.filter(F.col("__valid")).drop("__valid")
     bad = flagged.filter(~F.col("__valid")).drop("__valid")
     return good, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt",
+    header: bool = False,
+):
+    """CSV ingestion with corrupt-record routing (the CSV face of the
+    JSONC quarantine): PERMISSIVE parse against an EXPLICIT schema,
+    malformed lines land whole in ``corrupt_col`` instead of failing
+    the job or silently disappearing (DROPMALFORMED's sin). Returns
+    (good_rows, quarantined_rows). The cache is required: Spark
+    disallows queries whose only reference is the internal
+    corrupt-record column on an uncached relation."""
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema_ddl}, {corrupt_col} string")
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
