@@ -223,6 +223,7 @@ _PENDING_FIRST = (
     "seasonal_index_decomposition",
     "surrogate_key_merge",
     "csv_quarantine_parse",
+    "matryoshka_rerank_topk",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

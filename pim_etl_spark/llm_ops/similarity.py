@@ -1324,3 +1324,84 @@ def kmeans_int_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = assign(c0)
     c1 = update(a1)
     return assign(c1).orderBy("vec_id")
+
+
+MATRYOSHKA_DIMS = 16
+SHORTLIST_K = 25
+RERANK_K = 8
+
+
+@query(
+    "matryoshka_rerank_topk",
+    oracle=f"""
+    -- twin of two-stage retrieval: stage 1 shortlists {SHORTLIST_K} by
+    -- cosine over the FIRST {MATRYOSHKA_DIMS} dims (the matryoshka
+    -- prefix); stage 2 re-ranks the shortlist by full-dimension exact
+    -- cosine and keeps {RERANK_K}. Both stages use the proven
+    -- (round(cos,4), vec_id) total order, so shortlist membership and
+    -- the final ranking are deterministic cross-engine.
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}
+    ),
+    short AS (
+      SELECT vec_id, label, e,
+             round(
+               list_sum(list_transform(range(1, {MATRYOSHKA_DIMS} + 1), i -> e[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, {MATRYOSHKA_DIMS} + 1), i -> e[i] * e[i])))
+                * sqrt(list_sum(list_transform(range(1, {MATRYOSHKA_DIMS} + 1), i -> q.qv[i] * q.qv[i])))),
+               4) AS cos_prefix
+      FROM base, q
+      ORDER BY cos_prefix DESC, vec_id ASC
+      LIMIT {SHORTLIST_K}
+    )
+    SELECT s.vec_id, s.label, s.cos_prefix,
+           round(
+             list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * s.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])))),
+             4) AS cosine
+    FROM short s, q
+    ORDER BY cosine DESC, s.vec_id ASC
+    LIMIT {RERANK_K}
+    """,
+)
+def matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production ANN serving pattern the
+    single-stage entries don't cover): a cheap shortlist over the
+    matryoshka PREFIX of the embedding (first {dims} dims — 4× less
+    arithmetic and memory traffic per candidate), then an exact
+    full-dimension re-rank of the tiny shortlist. At 100 TB the
+    prefix stage is what scans the corpus (or its IVF cells) and the
+    re-rank touches only k′ rows per query — cost scales with the
+    shortlist, not the corpus.
+
+    Both stages are map-side against the broadcast query vector;
+    stage 1's top-k′ is TakeOrderedAndProject (per-partition heaps,
+    no global sort); stage 2 runs on k′ rows. Deterministic via the
+    proven (round(cos,4), vec_id) total order at both stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(qv)).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"), "qv"
+    )
+    prefix = lambda c: F.slice(c, 1, MATRYOSHKA_DIMS)  # noqa: E731
+    short = (
+        base.withColumn(
+            "cos_prefix",
+            F.round(cosine(prefix(F.col("e")), prefix(F.col("qv"))), 4),
+        )
+        .orderBy(F.col("cos_prefix").desc(), F.col("vec_id").asc())
+        .limit(SHORTLIST_K)
+    )
+    return (
+        short.withColumn("cosine", F.round(cosine(F.col("e"), F.col("qv")), 4))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(RERANK_K)
+        .select("vec_id", "label", "cos_prefix", "cosine")
+    )
