@@ -1675,3 +1675,65 @@ def test_drop_column_lifecycle_and_caveats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="does not exist"):
         V.drop_column(spark, tbl, "ghost")
+
+
+def test_random_op_sequences_with_renames_match_dict_model(spark, tmp_path):
+    """Model-based check for the rename overlay: randomized
+    merge / rename / delete / rollback sequences must leave the store
+    equal to a dict model replaying the same ops — merges always speak
+    the CURRENT logical name (pre-rename files keep old physical
+    names underneath), deletes predicate on the key across mixed
+    generations, and rollback restores both data AND the logical
+    schema of the target snapshot."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    for case in range(2):
+        path = str(tmp_path / f"r{case}")
+        model = {k: float(k * 10) for k in range(10)}
+        name = "val"
+        counter = 0
+        df = spark.createDataFrame(
+            [(k, v, 1) for k, v in model.items()], "k long, val double, version long"
+        )
+        V.commit_snapshot(df.repartition(2, "k"), path, op="bootstrap", stats_cols=("k",))
+        step = 1
+        snapshots = {1: (dict(model), name)}
+        for _ in range(6):
+            op = rng.choice(["merge", "rename", "delete", "rollback", "merge"])
+            if op == "merge":
+                batch = {
+                    rng.randrange(15): float(round(rng.uniform(1, 9), 2))
+                    for _ in range(rng.randint(1, 3))
+                }
+                V.merge_files(
+                    spark, path,
+                    spark.createDataFrame(
+                        [(k, v, step + 1) for k, v in batch.items()],
+                        f"k long, {name} double, version long",
+                    ),
+                    keys=["k"], order_col="version",
+                )
+                model.update(batch)
+            elif op == "rename":
+                counter += 1
+                new = f"val{counter}"
+                V.rename_column(spark, path, name, new)
+                name = new
+            elif op == "delete":
+                doom = rng.randrange(3)
+                V.delete_where(spark, path, F.col("k") % 3 == doom)
+                model = {k: v for k, v in model.items() if k % 3 != doom}
+            else:
+                target = rng.choice(sorted(snapshots))
+                V.rollback(path, target)
+                model, name = dict(snapshots[target][0]), snapshots[target][1]
+            step += 1
+            snapshots[step] = (dict(model), name)
+            assert V.current_version(path) == step
+            head = V.read_version(spark, path)
+            assert name in head.columns, f"case {case} step {step}: {head.columns}"
+            got = {r["k"]: r[name] for r in head.collect()}
+            assert got == model, f"case {case} step {step} diverged"
