@@ -224,6 +224,7 @@ _PENDING_FIRST = (
     "surrogate_key_merge",
     "csv_quarantine_parse",
     "matryoshka_rerank_topk",
+    "rollup_query_rewrite",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1426,3 +1426,92 @@ def surrogate_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sk").cast("long").alias("sum_sk"),
         F.sum(F.col("sk") * (F.col("k") % 97)).cast("long").alias("mapping_checksum"),
     )
+
+
+def route_aggregate(
+    rollups: dict[str, tuple[tuple[str, ...], DataFrame]],
+    group_cols: Sequence[str],
+):
+    """Aggregate navigation (the materialized-view ROUTING decision a
+    semantic layer makes): given registered rollups — name ->
+    (grouping columns, pre-aggregated DataFrame with distributive
+    measures ``n`` and ``sum_cents``) — answer a GROUP BY over
+    ``group_cols`` from the SMALLEST rollup whose grouping is a
+    superset of the request (distributive measures re-aggregate
+    losslessly: sum of sums, sum of counts). Returns (name, frame).
+    Falls back to None when nothing covers the request (caller scans
+    the base table). At 100 TB this is the difference between reading
+    a few thousand rollup rows and rescanning the lake per dashboard
+    tile."""
+    want = set(group_cols)
+    candidates = [
+        (len(cols), name, df)
+        for name, (cols, df) in rollups.items()
+        if want.issubset(set(cols))
+    ]
+    if not candidates:
+        return None, None
+    _, name, df = min(candidates, key=lambda t: (t[0], t[1]))
+    return name, df
+
+
+@query(
+    "rollup_query_rewrite",
+    oracle="""
+    -- base-table twin of the MV-routed aggregate: revenue cents per
+    -- return flag, computed straight from lineitem. The Spark side
+    -- answered it from the SMALLER registered rollup (flag+status, 6
+    -- rows) chosen over the wider flag+status+shipyear one — lossless
+    -- because sums/counts are distributive. chosen_mv pins the
+    -- routing decision itself.
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           'by_flag_status' AS chosen_mv
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def rollup_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view query rewrite under the hash gate: two rollups
+    register (flag+status+shipyear; flag+status), a flag-level query
+    routes to the SMALLEST covering one, and re-aggregation of its
+    distributive measures must equal the base-table scan exactly (the
+    integer-cents discipline makes the equality bit-exact, not
+    approximate). The routing choice is part of the gated output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def rollup(*cols):
+        return li.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    rollups = {
+        "by_flag_status_year": (
+            ("l_returnflag", "l_linestatus", "ship_year"),
+            rollup("l_returnflag", "l_linestatus", "ship_year"),
+        ),
+        "by_flag_status": (
+            ("l_returnflag", "l_linestatus"),
+            rollup("l_returnflag", "l_linestatus"),
+        ),
+    }
+    name, mv = route_aggregate(rollups, ["l_returnflag"])
+    assert name == "by_flag_status", name  # smallest covering rollup
+    return (
+        mv.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").cast("long").alias("n_items"),
+            F.sum("sum_cents").cast("long").alias("revenue_cents"),
+        )
+        .withColumn("chosen_mv", F.lit(name))
+        .orderBy("l_returnflag")
+    )
