@@ -225,6 +225,7 @@ _PENDING_FIRST = (
     "csv_quarantine_parse",
     "matryoshka_rerank_topk",
     "rollup_query_rewrite",
+    "audio_zero_crossings",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1186,3 +1186,85 @@ def video_shot_boundaries_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = documents_as_ppm_media(docs).filter(F.col("media_type") == "video")
     return video_shot_boundaries(media).orderBy("media_id")
+
+
+ZCR_SCHEMA = "media_id long, n_samples long, zero_crossings long, energy long"
+
+
+def audio_zero_crossings(media: DataFrame) -> DataFrame:
+    """Zero-crossing rate + exact energy over WAV payloads — the
+    classic temporal audio features (voicing/noisiness proxies) the
+    header-stats and resample entries don't cover. Samples are uint8
+    PCM centered at 128: a crossing is a strict sign flip of (x−128)
+    between consecutive samples (mid-level samples break runs —
+    sign 0 never pairs into a flip); energy is the exact integer
+    Σ(x−128)². All integer, bit-identical cross-engine."""
+
+    def _zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, zs, es = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    _, n, _, _ = decode_wav(buf)
+                except (ValueError, IndexError):
+                    continue
+                x = np.frombuffer(buf, dtype=np.uint8, offset=44).astype(np.int64) - 128
+                sign = np.sign(x)
+                ids.append(mid)
+                ns.append(n)
+                zs.append(int((sign[1:] * sign[:-1] == -1).sum()))
+                es.append(int((x * x).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "zero_crossings": pd.Series(zs, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_zcr, schema=ZCR_SCHEMA)
+
+
+@query(
+    "audio_zero_crossings",
+    oracle="""
+    -- per-sample arithmetic twin: each byte's centered value x−128,
+    -- the strict sign-flip rule sign[n]·sign[n−1] = −1 via lag, and
+    -- the exact Σ(x−128)² energy are recomputed per character.
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN length(text) < 64 THEN rpad(text, 64, '.')
+                  ELSE text END AS t
+      FROM documents WHERE doc_id % 7 = 5
+    ),
+    px AS (
+      SELECT media_id, p.range AS i,
+             ord(substr(t, CAST(p.range + 1 AS INT), 1)) - 128 AS x
+      FROM m JOIN range(1024) p ON p.range < length(t)
+    ),
+    s AS (
+      SELECT media_id, i, x, sign(x) AS sg,
+             lag(sign(x)) OVER (PARTITION BY media_id ORDER BY i) AS prev_sg
+      FROM px
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(coalesce(sum(CASE WHEN sg * prev_sg = -1 THEN 1 END), 0) AS BIGINT)
+             AS zero_crossings,
+           CAST(sum(x * x) AS BIGINT) AS energy
+    FROM s
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def audio_zero_crossings_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal audio features under the hash gate — zero-crossing
+    count (strict sign flips) and exact integer energy per clip,
+    decoded from real WAV payloads; the oracle recomputes both per
+    sample from the construction text."""
+    media = documents_as_wav_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 5)
+    )
+    return audio_zero_crossings(media).orderBy("media_id")
