@@ -177,7 +177,11 @@ _DRIVER_GREEN = frozenset({
     "embedding_int8_quantize", "text_search_indexed",
     "unigram_rank_surprisal", "media_frame_sample", "audio_decode_stats",
     "bloom_membership_gate", "stream_static_enrich_join",
-    "stream_change_feed_counts", "expectations_audit",
+    # stream_change_feed_counts / expectations_audit: r4-green but
+    # their store-build path (merge_files) gained the round-5 rename
+    # overlay — dropped per the q21 rewrite rule so the driver
+    # re-samples the touched code (full naive-session rehearsal
+    # already re-proved all 241 entries green post-change).
 })
 
 
