@@ -215,6 +215,8 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
+    "stream_change_feed_counts",
+    "expectations_audit",
     "video_shot_boundaries",
     "bpe_encode_corpus",
     "dynamic_partition_pruning",
