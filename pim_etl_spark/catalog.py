@@ -232,6 +232,7 @@ _PENDING_FIRST = (
     "matryoshka_rerank_topk",
     "rollup_query_rewrite",
     "audio_zero_crossings",
+    "multi_table_transaction",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -3529,3 +3529,206 @@ def versioned_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, total_price double, head_hides_note boolean, "
         "v1_keeps_note boolean, compaction_erases_note boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table transactions: a CATALOG commit log whose entries pin one
+# consistent version per member table. Table-level commits stay what
+# they are (atomic per table); the catalog pointer is what makes a
+# multi-table write ONE atomic unit for readers that resolve through
+# it — the capability single-table lakehouses famously lack (a fact
+# table and its rollup drifting for a moment between two commits).
+# Crash anywhere between the table commits and the catalog publish
+# leaves catalog readers on the previous consistent pair; the orphan
+# table versions are superseded by the retry (and vacuumable).
+
+
+def _catalog_dir(path: str) -> str:
+    return os.path.join(path, "_catalog")
+
+
+def catalog_version(catalog_path: str) -> int:
+    d = _catalog_dir(catalog_path)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def read_catalog_manifest(catalog_path: str, version: int | None = None) -> dict:
+    v = catalog_version(catalog_path) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(
+            f"transaction catalog {catalog_path!r} has no committed snapshot"
+        )
+    with open(os.path.join(_catalog_dir(catalog_path), f"v{v:06d}.json")) as fh:
+        return json.load(fh)
+
+
+def txn_commit_tables(
+    spark: SparkSession,
+    catalog_path: str,
+    writes: dict,
+    op: str = "txn",
+    merge_keys: Sequence[str] | None = None,
+    order_col: str | None = None,
+    expect_catalog_version: int | None = None,
+) -> int:
+    """Commit ``writes`` ({table_path: DataFrame}) as ONE atomic unit.
+
+    Phase 1 commits each table normally (merge when keys are given,
+    else full snapshot) — these versions exist but are not yet the
+    CATALOG truth. Phase 2 publishes one catalog manifest pinning the
+    new (table -> version) map via the same hardlink CAS as table
+    commits. Readers that resolve through ``read_table_at`` can never
+    observe table A at the new version with table B at the old one —
+    cross-table snapshot isolation. A crash between the phases leaves
+    the catalog on the previous consistent map (phase-1 versions are
+    orphans the retry supersedes)."""
+    # CAS base: the catalog snapshot this txn derives from is read
+    # ONCE, up front — a concurrent publisher landing during phase 1
+    # must collide at publish time, not silently re-base us.
+    # ``expect_catalog_version`` pins it explicitly (the caller names
+    # the snapshot it planned against — _commit's expect_parent shape).
+    parent = (
+        catalog_version(catalog_path)
+        if expect_catalog_version is None
+        else expect_catalog_version
+    )
+    prev = read_catalog_manifest(catalog_path, parent)["tables"] if parent else {}
+    new_tables = dict(prev)
+    for tbl, df in writes.items():
+        key = os.path.abspath(tbl)
+        if merge_keys:
+            out = merge_files(spark, tbl, df, keys=list(merge_keys), order_col=order_col)
+            new_tables[key] = out["version"]
+        else:
+            new_tables[key] = commit_snapshot(df, tbl, op=f"{op}-member")
+    version = parent + 1
+    d = _catalog_dir(catalog_path)
+    os.makedirs(d, exist_ok=True)
+    import time as _time
+
+    manifest = {
+        "version": version,
+        "op": op,
+        "tables": new_tables,
+        "committed_at_unix": _time.time(),
+    }
+    tmp = os.path.join(d, f"v{version:06d}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    try:
+        os.link(tmp, os.path.join(d, f"v{version:06d}.json"))
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"catalog v{version} of {catalog_path!r} was committed concurrently"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def read_table_at(
+    spark: SparkSession, catalog_path: str, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a member table AT the version the catalog snapshot pins —
+    the consistent-read contract: all tables resolved from one catalog
+    version form a cross-table snapshot."""
+    m = read_catalog_manifest(catalog_path, version)
+    key = os.path.abspath(table_path)
+    if key not in m["tables"]:
+        raise KeyError(f"table {table_path!r} is not part of catalog {catalog_path!r}")
+    return read_version(spark, table_path, m["tables"][key])
+
+
+@query(
+    "multi_table_transaction",
+    oracle="""
+    -- closed-form twin of the cross-table transaction: txn 1 writes
+    -- the %9=4 order slice and its per-priority rollup; txn 2 merges
+    -- the late (1997+) orders into BOTH, atomically. Catalog readers
+    -- must see fact and rollup from the SAME txn: the fact count, the
+    -- rollup's total (they must agree — the consistency invariant),
+    -- and a flag proving a torn member commit (fact advanced without
+    -- a catalog publish) stays invisible.
+    WITH scoped AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 9 = 4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+           CAST(count(*) AS BIGINT) AS rollup_total,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS fact_revenue,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS rollup_revenue,
+           TRUE AS torn_commit_invisible
+    FROM scoped
+    """,
+)
+def multi_table_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic commit under the hash gate: a fact table and
+    its rollup advance together through the transaction catalog; the
+    consistency invariant (rollup totals == fact aggregates) holds at
+    every catalog version BY CONSTRUCTION, and a deliberately torn
+    member commit (fact merged, catalog not published) is invisible to
+    catalog readers — the two-table drift window single-table commit
+    logs cannot close."""
+    import tempfile
+
+    from pim_etl_spark.sources import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .filter(F.col("o_orderkey") % 9 == 4)
+    )
+    root = tempfile.mkdtemp(prefix="pim-txncat-")
+    fact = os.path.join(root, "fact")
+    rollup = os.path.join(root, "rollup")
+
+    def rollup_of(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+
+    try:
+        early = orders.filter(F.col("o_orderdate") < "1997-01-01").drop("o_orderdate")
+        late = orders.filter(F.col("o_orderdate") >= "1997-01-01").drop("o_orderdate")
+        txn_commit_tables(
+            spark, root, {fact: early, rollup: rollup_of(early)}, op="txn1"
+        )
+        full = early.unionByName(late)
+        txn_commit_tables(
+            spark, root, {fact: full, rollup: rollup_of(full)}, op="txn2"
+        )
+        # torn write: the fact table advances WITHOUT a catalog publish
+        commit_snapshot(early.limit(3), fact, op="torn-orphan")
+
+        f = read_table_at(spark, root, fact)
+        r = read_table_at(spark, root, rollup)
+        fa = f.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).alias("s"),
+        ).collect()[0]
+        ra = r.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("rev"), 2).alias("s"),
+        ).collect()[0]
+        torn_invisible = (
+            current_version(fact)
+            > read_catalog_manifest(root)["tables"][os.path.abspath(fact)]
+        )
+        rows = [
+            (fa["n"], ra["n"], float(fa["s"]), float(ra["s"]), torn_invisible)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "fact_rows bigint, rollup_total bigint, fact_revenue double, "
+        "rollup_revenue double, torn_commit_invisible boolean",
+    )

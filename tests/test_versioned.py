@@ -1737,3 +1737,47 @@ def test_random_op_sequences_with_renames_match_dict_model(spark, tmp_path):
             assert name in head.columns, f"case {case} step {step}: {head.columns}"
             got = {r["k"]: r[name] for r in head.collect()}
             assert got == model, f"case {case} step {step} diverged"
+
+
+def test_txn_catalog_cross_table_atomicity(spark, tmp_path):
+    """Catalog readers always see a consistent (fact, rollup) pair:
+    member commits without a catalog publish are invisible; catalog
+    time travel resolves BOTH tables at the pinned txn; concurrent
+    catalog publishes conflict instead of silently interleaving."""
+    import pytest
+
+    root = str(tmp_path / "cat")
+    fact, roll = str(tmp_path / "cat/f"), str(tmp_path / "cat/r")
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    r1 = spark.createDataFrame([(2, 30.0)], "n long, total double")
+    V.txn_commit_tables(spark, root, {fact: df1, roll: r1}, op="t1")
+
+    df2 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    r2 = spark.createDataFrame([(3, 60.0)], "n long, total double")
+    V.txn_commit_tables(spark, root, {fact: df2, roll: r2}, op="t2")
+
+    # torn member commit: fact advances, catalog does not
+    V.commit_snapshot(df1.limit(1), fact, op="orphan")
+    assert V.read_table_at(spark, root, fact).count() == 3
+    assert V.read_table_at(spark, root, roll).collect()[0].n == 3
+
+    # catalog time travel: txn 1's pair, both sides
+    assert V.read_table_at(spark, root, fact, version=1).count() == 2
+    assert V.read_table_at(spark, root, roll, version=1).collect()[0].n == 2
+
+    # direct (non-catalog) readers still see the orphan head — the
+    # catalog is the consistency contract, not a data rewrite
+    assert V.read_version(spark, fact).count() == 1
+
+    # concurrent catalog publish during phase 1: the loser's CAS base
+    # (expect_catalog_version, captured before its writes) collides
+    # with the winner's manifest instead of silently re-basing
+    import json, os
+    base = V.catalog_version(root)
+    d = V._catalog_dir(root)
+    with open(os.path.join(d, f"v{base + 1:06d}.json"), "w") as fh:
+        json.dump({"version": base + 1, "tables": {}}, fh)
+    with pytest.raises(V.CommitConflict):
+        V.txn_commit_tables(
+            spark, root, {fact: df1}, op="t3", expect_catalog_version=base
+        )
