@@ -233,6 +233,7 @@ _PENDING_FIRST = (
     "rollup_query_rewrite",
     "audio_zero_crossings",
     "multi_table_transaction",
+    "stratified_kfold_assignment",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1501,3 +1501,57 @@ def group_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "stratified_kfold_assignment",
+    oracle="""
+    -- twin of stratified 5-fold assignment: within each language
+    -- stratum docs are md5-rank-ordered and dealt round-robin, so
+    -- every stratum's docs spread across folds within ±1 and the
+    -- assignment is a pure function of (lang, doc_id) — reproducible
+    -- on any engine, stable under repartitioning. The gate pins per
+    -- (fold, lang) counts AND a membership checksum (sum of doc_ids),
+    -- so two folds swapping members cannot cancel out.
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS rk
+      FROM documents
+    )
+    SELECT CAST(rk % 5 AS INT) AS fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS member_checksum
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation splits (the eval-protocol
+    verb `hash_split_assignment`'s fixed-ratio buckets don't cover):
+    docs are dealt round-robin within each language stratum in
+    md5-rank order, guaranteeing per-stratum fold balance within ±1 —
+    the property a plain hash split only achieves in expectation.
+    Deterministic: the fold is a pure function of (lang, doc_id), so
+    folds are reproducible across runs, engines, and partitionings.
+
+    Plan: one rank window per stratum (hash exchange on lang) + one
+    partial-agg — no global window, no shuffle of document text."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.withColumn("fold", ((F.row_number().over(w) - 1) % 5).cast("int"))
+    return (
+        ranked.groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("member_checksum"),
+        )
+        .orderBy("fold", "lang")
+    )
