@@ -234,6 +234,7 @@ _PENDING_FIRST = (
     "audio_zero_crossings",
     "multi_table_transaction",
     "stratified_kfold_assignment",
+    "clamped_running_balance",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -213,3 +213,75 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "clamped_running_balance",
+    oracle="""
+    -- GROUND-TRUTH twin via the actual recurrence: a recursive CTE
+    -- replays S_n = greatest(0, S_{n-1} + delta_n) row by row per
+    -- customer. The Spark side computes the SAME balances from the
+    -- closed-form max-plus identity (prefix sum minus clamped running
+    -- minimum) in two ordinary windows — so the oracle PROVES the
+    -- non-obvious rewrite, not just a second copy of it.
+    WITH RECURSIVE base AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS delta,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    rec AS (
+      SELECT c, rn, greatest(0, delta) AS bal FROM base WHERE rn = 1
+      UNION ALL
+      SELECT s.c, s.rn, greatest(0, r.bal + s.delta)
+      FROM rec r JOIN base s ON s.c = r.c AND s.rn = r.rn + 1
+    )
+    SELECT c AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = n THEN bal END) AS BIGINT)
+             AS final_balance_cents,
+           CAST(max(bal) AS BIGINT) AS peak_balance_cents,
+           CAST(sum(bal) AS BIGINT) AS balance_trajectory_sum
+    FROM (SELECT rec.*, max(rn) OVER (PARTITION BY c) AS n FROM rec)
+    GROUP BY c
+    ORDER BY c
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (floor-at-zero) running balance — the inventory/credit
+    recurrence S_n = max(0, S_{n-1} + Δ_n) that LOOKS like it needs
+    row-at-a-time iteration, computed instead via the max-plus
+    closed form S_n = P_n − min(0, min_{k≤n} P_k) (prefix sum and
+    running minimum: two ordinary windows on ONE customer exchange).
+    This is the difference between a 100 TB-scalable window plan and a
+    per-key sequential loop; the oracle replays the true recurrence
+    recursively, so the identity itself is what the hash gate proves.
+    The trajectory sum pins every intermediate balance, not just the
+    endpoints."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.when(F.col("o_orderkey") % 3 == 0, -cents).otherwise(cents).alias("delta"),
+    )
+    w = Window.partitionBy("custkey").orderBy("d", "k")
+    scored = (
+        base.withColumn("p", F.sum("delta").over(w))
+        .withColumn("m", F.min(F.sum("delta").over(w)).over(w))
+        .withColumn("bal", F.col("p") - F.least(F.lit(0).cast("long"), F.col("m")))
+    )
+    return (
+        scored.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("bal", F.struct("d", "k")).alias("final_balance_cents"),
+            F.max("bal").alias("peak_balance_cents"),
+            F.sum("bal").cast("long").alias("balance_trajectory_sum"),
+        )
+        .orderBy("custkey")
+    )
