@@ -235,6 +235,7 @@ _PENDING_FIRST = (
     "multi_table_transaction",
     "stratified_kfold_assignment",
     "clamped_running_balance",
+    "label_propagation_communities",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

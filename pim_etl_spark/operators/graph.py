@@ -446,3 +446,116 @@ def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "n_name", "min_cost")
         .orderBy("min_cost", "node")
     )
+
+
+N_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled weighted label propagation: per round each node adopts
+    the neighbor label with the largest incident weight (integer trade
+    counts — exact), ties to the smallest label (a total order, so the
+    fixed-round state is deterministic cross-engine)."""
+    rounds = []
+    for r in range(1, N_LPA_ROUNDS + 1):
+        rounds.append(f"""s{r} AS (
+      SELECT e.dst AS node, p.label, CAST(sum(e.w) AS BIGINT) AS ws
+      FROM sym e JOIN l{r - 1} p ON p.node = e.src
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY ws DESC, label ASC) AS rn
+        FROM s{r}
+      ) WHERE rn = 1
+    ), l{r} AS (
+      SELECT p.node, coalesce(b.label, p.label) AS label
+      FROM l{r - 1} p LEFT JOIN b{r} b ON b.node = p.node
+    )""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    -- {N_LPA_ROUNDS} unrolled rounds of weighted label propagation over
+    -- the symmetrized nation trade graph (self-loops dropped)
+    WITH edges AS (
+      SELECT n1.n_nationkey AS src, n2.n_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM edges WHERE src <> dst
+      ) GROUP BY 1, 2
+    ), l0 AS (
+      SELECT n_nationkey AS node, n_nationkey AS label FROM nation
+    ), {chain}
+    SELECT n.n_name AS nation, CAST(l.label AS BIGINT) AS community
+    FROM l{N_LPA_ROUNDS} l JOIN nation n ON l.node = n.n_nationkey
+    ORDER BY nation
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by weighted label propagation — the
+    modularity-flavored sibling of the min-label connected-components
+    loop (`dedup_cluster_resolution`): per round each nation adopts
+    the label carrying the most incident trade weight (exact integer
+    counts; ties to the smallest label, a total order). Fixed
+    {rounds} rounds keep the state closed-form for the oracle, the
+    same design as the 5-round PageRank entry.
+
+    Scale shape: the edge build is the heavy piece (5-way star join
+    aggregated to nations² rows); each round is one hash-join + one
+    partial agg + one per-node argmax window on the tiny graph. On a
+    graph that stays large, the identical dataflow runs per round with
+    localCheckpoint (dedup.py's template)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sym = (
+        edges.select("src", "dst", "w")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    labels = nation.select(F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("label"))
+    w_arg = Window.partitionBy("node").orderBy(F.col("ws").desc(), F.col("label").asc())
+    for _ in range(N_LPA_ROUNDS):
+        scores = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").cast("long").alias("ws"))
+        )
+        best = (
+            scores.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return (
+        labels.join(F.broadcast(nation), labels.node == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("label").cast("long").alias("community"))
+        .orderBy("nation")
+    )
