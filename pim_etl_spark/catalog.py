@@ -236,6 +236,7 @@ _PENDING_FIRST = (
     "stratified_kfold_assignment",
     "clamped_running_balance",
     "label_propagation_communities",
+    "weighted_median_price",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

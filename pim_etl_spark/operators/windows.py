@@ -285,3 +285,69 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    -- exact weighted (lower) median: per return flag, the smallest
+    -- price cents whose cumulative quantity weight reaches half the
+    -- total — integer cross-multiplication (2·cumw >= W), no
+    -- interpolation, no float. Quantity-weighted percentiles are the
+    -- verb plain percentile entries can't express (a 40-unit line
+    -- counts 40×).
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY flag) AS total_w
+      FROM g
+    )
+    SELECT flag,
+           CAST(any_value(total_w) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= total_w THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM c
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (the quantity-weighted percentile verb):
+    distinct prices aggregate their weights first (ties accumulate
+    together by construction), one ordered window per group computes
+    cumulative weight, and the lower weighted median is the smallest
+    price where 2·cumw ≥ W — all integer arithmetic, bit-identical
+    cross-engine. One exchange on the group key; the window runs over
+    distinct-price rows, not raw lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(F.sum("l_quantity").cast("long").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    c = g.withColumn("cumw", F.sum("w").over(w_cum)).withColumn(
+        "total_w", F.sum("w").over(w_all)
+    )
+    return (
+        c.groupBy("flag")
+        .agg(
+            F.max("total_w").cast("long").alias("total_weight"),
+            F.min(F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("cents")))
+            .cast("long")
+            .alias("weighted_median_cents"),
+        )
+        .orderBy("flag")
+    )
