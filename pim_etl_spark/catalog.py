@@ -237,6 +237,7 @@ _PENDING_FIRST = (
     "clamped_running_balance",
     "label_propagation_communities",
     "weighted_median_price",
+    "table_fingerprint_checksum",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -632,3 +632,55 @@ def csv_quarantine_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_good bigint, n_quarantined bigint, clean_revenue double"
     )
+
+
+@query(
+    "table_fingerprint_checksum",
+    oracle="""
+    -- order-insensitive content fingerprint per order status: XOR of
+    -- a 60-bit md5-derived integer over a canonical row rendering
+    -- (ints, cents, ISO date — fields every engine prints
+    -- identically). XOR is commutative/associative, so the
+    -- fingerprint is independent of partitioning, scan order, and
+    -- plan shape — the replica/backup verification primitive
+    -- (sync_replica uses the same idea engine-side with xxhash64).
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(o_orderdate AS VARCHAR)
+           ), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fingerprint
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting for replication/backup verification: a
+    canonical row rendering is md5-hashed, truncated to 60 bits, and
+    XOR-folded per group — commutative, so any partitioning, any scan
+    order, any plan produces the same fingerprint, and two tables
+    compare with one aggregate each instead of a join. Cross-engine
+    portable by construction (md5 + integer rendering), unlike
+    xxhash64 which is engine-internal."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h60).alias("content_fingerprint"),
+        )
+        .orderBy("status")
+    )
