@@ -238,6 +238,7 @@ _PENDING_FIRST = (
     "label_propagation_communities",
     "weighted_median_price",
     "table_fingerprint_checksum",
+    "late_arriving_dimension",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

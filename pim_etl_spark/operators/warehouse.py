@@ -1515,3 +1515,104 @@ def rollup_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("chosen_mv", F.lit(name))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "late_arriving_dimension",
+    oracle="""
+    -- closed-form twin of the late-arriving-dimension lifecycle over
+    -- the %13=0 fact slice: v1 enriches facts against the PARTIAL
+    -- dimension (suppliers with s_suppkey %3 = 0 not yet arrived →
+    -- UNKNOWN member), the late dim batch then RESTATES exactly the
+    -- affected facts through a keyed merge. unknown_at_v1 pins the
+    -- placeholder phase, restated_rows pins the touched-only merge,
+    -- final_unknown = 0 pins completeness, and the revenue total
+    -- proves no fact was lost or duplicated across the restatement.
+    WITH facts AS (
+      -- normalized to the unique (order, line, supplier) grain: the
+      -- synthetic data carries duplicate line numbers (NOTES.md), and
+      -- a keyed restatement needs a true key
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey % 13 = 0
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(count(*) FILTER (WHERE l_suppkey % 3 = 0) AS BIGINT)
+             AS unknown_at_v1,
+           CAST(count(*) FILTER (WHERE l_suppkey % 3 = 0) AS BIGINT)
+             AS restated_rows,
+           CAST(0 AS BIGINT) AS final_unknown,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM facts
+    """,
+)
+def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (the classic ETL restatement
+    pattern): facts that reference a dimension member that has not
+    landed yet enrich against the UNKNOWN placeholder instead of being
+    dropped or stalling the load; when the member arrives, a keyed
+    MERGE restates ONLY the affected fact rows (O(touched files), via
+    the versioned store's skipping merge — never a full re-enrich).
+    The hash gate pins the placeholder count, the restated-row count,
+    zero remaining unknowns, and revenue conservation."""
+    import shutil
+    import tempfile
+
+    orders_keys = ["l_orderkey", "l_linenumber", "l_suppkey"]
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .groupBy("l_orderkey", "l_linenumber", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dim_v1 = supp.filter(F.col("s_suppkey") % 3 != 0)
+    dim_late = supp.filter(F.col("s_suppkey") % 3 == 0)
+    tbl = tempfile.mkdtemp(prefix="pim-latedim-")
+    try:
+        from pim_etl_spark.pipeline import versioned as V
+
+        def enrich(f, dim):
+            return f.join(
+                F.broadcast(dim), f.l_suppkey == dim.s_suppkey, "left"
+            ).select(
+                *orders_keys,
+                "cents",
+                F.coalesce("s_name", F.lit("UNKNOWN")).alias("supplier_name"),
+                F.lit(1).cast("long").alias("version"),
+            )
+
+        V.commit_snapshot(
+            enrich(facts, dim_v1).repartition(2), tbl, op="bootstrap",
+            stats_cols=("l_orderkey",),
+        )
+        v1 = V.read_version(spark, tbl)
+        unknown_v1 = v1.filter(F.col("supplier_name") == "UNKNOWN").count()
+
+        # the late members land: restate ONLY the affected facts
+        affected = facts.filter(F.col("l_suppkey") % 3 == 0)
+        restated = enrich(affected, dim_late).withColumn(
+            "version", F.lit(2).cast("long")
+        )
+        n_restated = restated.count()
+        V.merge_files(spark, tbl, restated, keys=orders_keys, order_col="version")
+
+        head = V.read_version(spark, tbl)
+        agg = head.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("supplier_name") == "UNKNOWN", 1)).alias("unk"),
+            F.sum("cents").cast("long").alias("rev"),
+        ).collect()[0]
+        rows = [(agg["n"], unknown_v1, n_restated, agg["unk"], agg["rev"])]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_facts bigint, unknown_at_v1 bigint, restated_rows bigint, "
+        "final_unknown bigint, revenue_cents bigint",
+    )
