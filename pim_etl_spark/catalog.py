@@ -239,6 +239,7 @@ _PENDING_FIRST = (
     "weighted_median_price",
     "table_fingerprint_checksum",
     "late_arriving_dimension",
+    "ingestion_ledger_dedup",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

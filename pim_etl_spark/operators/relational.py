@@ -684,3 +684,75 @@ def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "ingestion_ledger_dedup",
+    oracle="""
+    -- closed-form twin of content-addressed idempotent ingestion over
+    -- the %5=2 order slice split into 8 feed units (o_orderkey % 8):
+    -- delivery 1 lands units 0-5, delivery 2 re-delivers 2-7. The
+    -- ledger must skip the 4 unchanged re-delivered units and admit
+    -- exactly units 6-7, so every row ingests EXACTLY once: the total
+    -- row count and revenue equal one clean pass over the slice.
+    WITH scoped AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 2
+    )
+    SELECT CAST(6 AS BIGINT) AS units_delivery1,
+           CAST(4 AS BIGINT) AS units_skipped,
+           CAST(2 AS BIGINT) AS units_admitted,
+           CAST(count(*) AS BIGINT) AS rows_ingested,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS revenue
+    FROM scoped
+    """,
+)
+def ingestion_ledger_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent ingestion via a content-addressed ledger (the bronze
+    answer to at-least-once feed delivery): each landed unit's rows
+    fold into a 60-bit XOR-md5 fingerprint; a unit whose fingerprint
+    the ledger already holds is SKIPPED — re-deliveries, renames, and
+    replays are free no-ops, while changed content re-processes. The
+    gate pins the skip/admit decision AND exactly-once row totals."""
+    from pim_etl_spark.pipeline.bronze import ledger_fingerprints
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 2)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 8).alias("unit"),
+        )
+    )
+    repr_col = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    d1 = orders.filter(F.col("unit") <= 5)
+    d2 = orders.filter(F.col("unit") >= 2)  # units 2-5 re-delivered
+
+    ledger = ledger_fingerprints(d1, "unit", repr_col)
+    fp2 = ledger_fingerprints(d2, "unit", repr_col)
+    admitted = fp2.join(
+        ledger.select("content_fp"), "content_fp", "left_anti"
+    ).select("unit")
+    ingested = d1.unionByName(
+        d2.join(F.broadcast(admitted), "unit", "left_semi")
+    )
+    agg = ingested.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("rev"),
+    ).collect()[0]
+    n_admitted = admitted.count()
+    n_delivery2 = fp2.count()
+    rows = [
+        (ledger.count(), n_delivery2 - n_admitted, n_admitted, agg["n"], float(agg["rev"]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "units_delivery1 bigint, units_skipped bigint, units_admitted bigint, "
+        "rows_ingested bigint, revenue double",
+    )

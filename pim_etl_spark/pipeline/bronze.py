@@ -141,3 +141,16 @@ def read_csv_quarantine(
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
+
+
+def ledger_fingerprints(df: DataFrame, unit_col: str, row_repr) -> DataFrame:
+    """Per-ingestion-unit content fingerprint: XOR-folded 60-bit md5
+    over a canonical row rendering — content-ADDRESSED, so a feed
+    re-delivered under a different name/path still dedups, and a
+    changed file (same name, new content) correctly re-processes.
+    One aggregate per unit; order/partitioning independent."""
+    h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.bit_xor(h60).alias("content_fp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
