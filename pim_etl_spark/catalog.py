@@ -240,6 +240,7 @@ _PENDING_FIRST = (
     "table_fingerprint_checksum",
     "late_arriving_dimension",
     "ingestion_ledger_dedup",
+    "target_encoding_loo",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1555,3 +1555,68 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+    -- exact twin of leave-one-out target encoding: each order's
+    -- encoding is the mean target of its priority EXCLUDING ITSELF —
+    -- floor((S − x)·10^4 / (n − 1)), all BIGINT cents, so the gate
+    -- pins every per-row encoded value through the per-group sums
+    -- (min/max/sum of encodings). Plain group-mean encoding leaks the
+    -- row's own target into its feature; LOO is the leakage-safe
+    -- variant, and the difference is exactly what these checksums
+    -- detect.
+    WITH t AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    g AS (
+      SELECT priority, x,
+             sum(x) OVER (PARTITION BY priority) AS s,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM t
+    )
+    SELECT priority,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           CAST(sum((s - x) * 10000 // (n - 1)) AS BIGINT) AS enc_sum,
+           CAST(min((s - x) * 10000 // (n - 1)) AS BIGINT) AS enc_min,
+           CAST(max((s - x) * 10000 // (n - 1)) AS BIGINT) AS enc_max
+    FROM g
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (leakage-safe categorical
+    feature): a category's encoding for row i excludes row i's own
+    target — floor((S−x_i)·10⁴/(n−1)) in exact integer cents. The
+    group statistics (5 rows) broadcast back onto the fact scan, so
+    the encode pass is map-side; the per-group encoding checksums pin
+    every row's value.
+
+    Scale shape: one partial-agg exchange for (S, n); the encode and
+    final rollup pipeline into the same stage — no window over raw
+    rows, no second shuffle of fact bytes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    stats = orders.groupBy("priority").agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    enc = orders.join(F.broadcast(stats), "priority").withColumn(
+        "enc", F.expr("(s - x) * 10000 DIV (n - 1)")
+    )
+    return (
+        enc.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.sum("enc").cast("long").alias("enc_sum"),
+            F.min("enc").cast("long").alias("enc_min"),
+            F.max("enc").cast("long").alias("enc_max"),
+        )
+        .orderBy("priority")
+    )
