@@ -241,6 +241,7 @@ _PENDING_FIRST = (
     "late_arriving_dimension",
     "ingestion_ledger_dedup",
     "target_encoding_loo",
+    "feature_hashing_bow",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -986,3 +986,65 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in totals[1:]:
         out = out.unionByName(t)
     return out.orderBy("merge_round")
+
+
+@query(
+    "feature_hashing_bow",
+    oracle="""
+    -- exact twin of the hashing trick: every token routes to one of
+    -- 32 feature buckets by md5 prefix, with a ±1 sign from the next
+    -- md5 nibble (the signed variant that makes collisions cancel in
+    -- expectation — Weinberger et al.'s construction). Per bucket the
+    -- corpus-wide signed sum and touching-doc count pin the whole
+    -- projection; a wrong modulus, sign rule, or tokenizer shifts
+    -- them.
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 2)) AS INT) % 32 AS bucket,
+             CASE WHEN substr(md5(t), 3, 1) < '8' THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE t <> ''
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS signed_sum,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick) for bag-of-words vectors:
+    tokens project into a FIXED 32-dim space by md5 bucket with a ±1
+    sign nibble — no vocabulary to build, broadcast, or keep
+    consistent across batches, which is why the trick scales where a
+    vocab join doesn't (new tokens never invalidate the feature
+    space). Map-side hash + one partial-agg exchange on the bucket;
+    the corpus-level signed sums pin the projection exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    hashed = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("int") % 32).alias(
+            "bucket"
+        ),
+        F.when(F.substring(F.md5("t"), 3, 1) < "8", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("signed_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
