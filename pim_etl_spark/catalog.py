@@ -242,6 +242,8 @@ _PENDING_FIRST = (
     "ingestion_ledger_dedup",
     "target_encoding_loo",
     "feature_hashing_bow",
+    "event_path_mining",
+    "time_decayed_popularity",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1715,3 +1715,98 @@ def seasonal_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "event_path_mining",
+    oracle="""
+    -- 3-step clickstream path mining twin: per-user event sequences
+    -- ordered by the (ts, event_id) total order (duplicate timestamps
+    -- exist — NOTES.md ties rule), consecutive triples concatenated
+    -- and counted corpus-wide; top 10 by (count DESC, path ASC).
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 10
+    """,
+)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-step path mining over clickstreams (the sequence extension of
+    the 2-step transition matrix): consecutive 3-event paths per user
+    via two leads on ONE user exchange, counted corpus-wide, top-10
+    with a total order. At 100 TB the window runs per user partition
+    and only (path, count) pairs — path-cardinality-bounded — reach
+    the final exchange."""
+    from pim_etl_spark.sources import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "time_decayed_popularity",
+    oracle="""
+    -- dyadic time-decayed brand popularity: each order year's count
+    -- weighs 2^(year-1992) (each year back halves), all BIGINT exact —
+    -- the decayed-leaderboard pattern without a single transcendental.
+    -- Top 15 by (decayed score DESC, brand ASC).
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(pow(2, year(o.o_orderdate) - 1992) AS BIGINT)) AS BIGINT)
+             AS decayed_score
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY decayed_score DESC, brand ASC
+    LIMIT 15
+    """,
+)
+def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity leaderboard: a brand's score halves per
+    year of age (weight 2^(year−1992), exact BIGINT — the dyadic-decay
+    discipline of `ewma_order_value` applied to rankings). Recency-
+    weighted WITHOUT floats or transcendentals, so the leaderboard is
+    deterministic under any partitioning. Broadcast part dim; one
+    partial-agg exchange on brand."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.pow(F.lit(2.0), F.year("o_orderdate") - 1992).cast("long")
+            )
+            .cast("long")
+            .alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col("brand").asc())
+        .limit(15)
+    )
