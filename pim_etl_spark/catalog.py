@@ -244,6 +244,7 @@ _PENDING_FIRST = (
     "feature_hashing_bow",
     "event_path_mining",
     "time_decayed_popularity",
+    "neardup_evidence_report",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

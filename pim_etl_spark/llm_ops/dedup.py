@@ -877,3 +877,83 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "neardup_evidence_report",
+    oracle="""
+    -- twin of the dup-pair EVIDENCE report: for adjacent pairs whose
+    -- token-set Jaccard (floor-scaled x10^4 — NOTES ratio rule)
+    -- clears 0.30, emit the overlap counts AND the top-3 shared
+    -- tokens by (length DESC, token ASC) — made sortable with a
+    -- zero-padded inverted-length key so both engines use one plain
+    -- ascending list sort.
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_intersect(a.tok, b.tok) AS shared,
+             len(list_intersect(a.tok, b.tok)) AS n_shared,
+             len(list_distinct(list_concat(a.tok, b.tok))) AS n_union
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_shared * 10000 // n_union AS BIGINT) AS jaccard_e4,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(shared,
+                 t -> lpad(CAST(999 - length(t) AS VARCHAR), 3, '0') || t))[1:3],
+               s -> s[4:]),
+             ',') AS top_shared
+    FROM pairs
+    WHERE n_shared * 10000 // n_union >= 3000
+    ORDER BY doc_a
+    """,
+)
+def neardup_evidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup EXPLAINABILITY (the investigator verb the detection
+    entries don't cover): for every flagged pair, report the overlap
+    arithmetic and the strongest shared evidence — top-3 shared tokens
+    by length — so a human can audit WHY two documents were called
+    duplicates. The length-descending order rides a plain ascending
+    array_sort via a zero-padded inverted-length key (no comparator
+    lambdas, so both engines sort identically); the Jaccard threshold
+    is a floor-scaled integer (no rounding boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tok"))
+    a = toks.alias("a")
+    b = toks.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    shared = F.array_intersect(F.col("a.tok"), F.col("tok_b"))
+    n_shared = F.size(shared).cast("long")
+    n_union = F.size(F.array_union(F.col("a.tok"), F.col("tok_b"))).cast("long")
+    keyed = F.transform(
+        shared,
+        lambda t: F.concat(
+            F.lpad((F.lit(999) - F.length(t)).cast("string"), 3, "0"), t
+        ),
+    )
+    top3 = F.transform(
+        F.slice(F.array_sort(keyed), 1, 3), lambda s: F.substring(s, 4, 1000)
+    )
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            "doc_b",
+            n_shared.alias("n_shared"),
+            n_union.alias("n_union"),
+            F.expr("n_shared * 10000 DIV n_union").alias("jaccard_e4"),
+            F.array_join(top3, ",").alias("top_shared"),
+        )
+        .filter(F.col("jaccard_e4") >= 3000)
+        .orderBy("doc_a")
+    )
