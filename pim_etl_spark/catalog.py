@@ -245,6 +245,7 @@ _PENDING_FIRST = (
     "event_path_mining",
     "time_decayed_popularity",
     "neardup_evidence_report",
+    "vocab_oov_audit",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1048,3 +1048,75 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+VOCAB_SIZE = 500
+
+
+@query(
+    "vocab_oov_audit",
+    oracle=f"""
+    -- tokenizer-governance twin: the top-{VOCAB_SIZE} corpus words
+    -- (freq DESC, word ASC — total order) form the vocabulary; per
+    -- language the audit reports token volume, OOV token share
+    -- (floor-scaled x10^4) and DISTINCT OOV types — the numbers that
+    -- decide whether a vocab ships. An off-by-one in the vocab cut or
+    -- a tie-break drift shifts every share.
+    WITH tok AS (
+      SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY 1
+      ) ORDER BY c DESC, w ASC LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) * 10000 // count(*) AS BIGINT)
+             AS oov_rate_e4,
+           CAST(count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END) AS BIGINT)
+             AS oov_types
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary audit (the governance
+    step between training a tokenizer and shipping it): the top-N
+    word vocabulary is built in one pass (freq DESC, word ASC — a
+    total order, so the cut is deterministic), broadcast, and every
+    language's token volume, OOV share, and distinct OOV types are
+    reported. The vocab side is N rows — the join is map-side at any
+    corpus size; floor-scaled shares avoid the rounding boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("w"),
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.expr(
+                "count(CASE WHEN in_vocab IS NULL THEN 1 END) * 10000 DIV count(*)"
+            ).alias("oov_rate_e4"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).alias("oov_types"),
+        )
+        .orderBy("lang")
+    )
