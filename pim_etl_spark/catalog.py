@@ -246,6 +246,7 @@ _PENDING_FIRST = (
     "time_decayed_popularity",
     "neardup_evidence_report",
     "vocab_oov_audit",
+    "synthetic_data_calibration",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1810,3 +1810,100 @@ def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_score").desc(), F.col("brand").asc())
         .limit(15)
     )
+
+
+N_SYNTH_ROWS = 5000
+
+
+@query(
+    "synthetic_data_calibration",
+    oracle=f"""
+    -- twin of distribution-calibrated synthetic generation: real order
+    -- prices (cents) split into exact rank deciles; {N_SYNTH_ROWS}
+    -- synthetic rows land in deciles by md5-uniform (deterministic)
+    -- and take the decile's floor-midpoint value. The gate pins the
+    -- real bounds, the synthetic allocation, and the synthetic value
+    -- sum — a generator whose marginal drifts from production data
+    -- shifts a decile row.
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    ranked AS (
+      SELECT cents,
+             (row_number() OVER (ORDER BY cents) - 1) * 10 // count(*) OVER () AS decile
+      FROM c
+    ),
+    bounds AS (
+      SELECT decile, min(cents) AS lo, max(cents) AS hi,
+             CAST(count(*) AS BIGINT) AS n_real
+      FROM ranked GROUP BY decile
+    ),
+    synth AS (
+      SELECT CAST(('0x' || substr(md5('synth:' || CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS decile
+      FROM range({N_SYNTH_ROWS}) r
+    ),
+    alloc AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_synth FROM synth GROUP BY decile
+    )
+    SELECT b.decile, b.n_real, b.lo AS real_lo, b.hi AS real_hi,
+           a.n_synth,
+           CAST(a.n_synth * ((b.lo + b.hi) // 2) AS BIGINT) AS synth_value_sum
+    FROM bounds b JOIN alloc a USING (decile)
+    ORDER BY b.decile
+    """,
+)
+def synthetic_data_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic data generation calibrated to the production
+    distribution (the test-data-at-scale verb): learn exact rank
+    deciles from real prices, then deal deterministic md5-uniform
+    synthetic rows into them, each valued at its decile's
+    floor-midpoint — the generated marginal tracks production decile
+    frequencies by construction, with zero RNG (replayable anywhere).
+    The 10-row decile table broadcasts; generation is map-side over
+    spark.range — no shuffle proportional to synthetic volume.
+
+    Scale note: the exact global-rank decile build is the gate-exact
+    twin; at 100 TB the boundaries come from `approx_quantile_sketch`
+    (the declared sketch path) and everything downstream is identical.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w_all = Window.orderBy("cents")
+    ranked = orders.select(
+        "cents",
+        F.expr(
+            "(row_number() OVER (ORDER BY cents) - 1) * 10 DIV count(*) OVER ()"
+        ).alias("decile"),
+    )
+    bounds = ranked.groupBy("decile").agg(
+        F.min("cents").alias("real_lo"),
+        F.max("cents").alias("real_hi"),
+        F.count(F.lit(1)).alias("n_real"),
+    )
+    synth = spark.range(N_SYNTH_ROWS).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("synth:"), F.col("id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("decile")
+    )
+    alloc = synth.groupBy("decile").agg(F.count(F.lit(1)).alias("n_synth"))
+    return (
+        bounds.join(alloc, "decile")
+        .select(
+            "decile",
+            "n_real",
+            "real_lo",
+            "real_hi",
+            "n_synth",
+            (
+                F.col("n_synth")
+                * F.expr("(real_lo + real_hi) DIV 2")
+            ).cast("long").alias("synth_value_sum"),
+        )
+        .orderBy("decile")
+    )
