@@ -247,6 +247,7 @@ _PENDING_FIRST = (
     "neardup_evidence_report",
     "vocab_oov_audit",
     "synthetic_data_calibration",
+    "linear_interpolation_gapfill",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

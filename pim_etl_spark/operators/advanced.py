@@ -1246,3 +1246,108 @@ def arrow_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "linear_interpolation_gapfill",
+    oracle="""
+    -- exact-integer LINEAR interpolation twin (the fill family's
+    -- second member next to forward-fill): per-user daily spine, each
+    -- gap day valued by the weighted form
+    -- (vp·(dn−d) + vn·(d−dp))·100 // (dn−dp) — numerator is a
+    -- positive weighted sum (values are non-negative cents), so floor
+    -- and truncate agree and both engines produce identical integers.
+    -- The per-user checksum over all gap days pins every interpolated
+    -- value.
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), j AS (
+      SELECT s.user_id, s.d, daily.v,
+             datediff('day', DATE '1992-01-01', s.d) AS di
+      FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    ), n AS (
+      SELECT user_id, d, v, di,
+             last_value(v IGNORE NULLS) OVER wp AS vp,
+             last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wp AS dp,
+             first_value(v IGNORE NULLS) OVER wn AS vn,
+             first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wn AS dn
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(CASE WHEN v IS NULL
+                 THEN (vp * (dn - di) + vn * (di - dp)) * 100 // (dn - dp)
+               END), 0) AS BIGINT) AS interp_checksum_e2
+    FROM n
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def linear_interpolation_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation densification — the fill-family member
+    `gap_fill_forward` (last-observation-carried-forward) doesn't
+    cover: every missing day takes the straight line between its two
+    observed neighbors, computed in exact integer cents with the
+    positive-weighted-numerator division (floor == truncate, so the
+    result is engine- and partitioning-independent; NOTES.md negative
+    DIV trap avoided by construction). Neighbor discovery is two
+    ignore-nulls windows on the SAME user exchange as the spine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("user_id", "d").agg(F.sum("cents").cast("long").alias("v"))
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    j = spine.join(daily, ["user_id", "d"], "left").withColumn(
+        "di", F.datediff("d", F.lit("1992-01-01"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_di = F.when(F.col("v").isNotNull(), F.col("di"))
+    n = (
+        j.withColumn("vp", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("dp", F.last(obs_di, ignorenulls=True).over(wp))
+        .withColumn("vn", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("dn", F.first(obs_di, ignorenulls=True).over(wn))
+    )
+    gap_interp = F.when(
+        F.col("v").isNull(),
+        F.expr("(vp * (dn - di) + vn * (di - dp)) * 100 DIV (dn - dp)"),
+    )
+    return (
+        n.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_gaps"),
+            F.coalesce(F.sum(gap_interp), F.lit(0))
+            .cast("long")
+            .alias("interp_checksum_e2"),
+        )
+        .orderBy("user_id")
+    )
