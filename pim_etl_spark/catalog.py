@@ -248,6 +248,8 @@ _PENDING_FIRST = (
     "vocab_oov_audit",
     "synthetic_data_calibration",
     "linear_interpolation_gapfill",
+    "sequential_purchase_patterns",
+    "bayesian_smoothed_encoding",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

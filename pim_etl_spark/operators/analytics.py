@@ -1907,3 +1907,125 @@ def synthetic_data_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "sequential_purchase_patterns",
+    oracle="""
+    -- cross-ORDER sequence mining twin (the temporal sibling of
+    -- same-basket affinity): brand X in an earlier order, brand Y in a
+    -- strictly later order of the SAME customer; support = distinct
+    -- customers exhibiting the sequence; top 10 by (support DESC,
+    -- X, Y). Distinct (customer, brand, date) triples first, so a
+    -- customer's repeat buys of one brand on one day can't inflate
+    -- support.
+    WITH buys AS (
+      SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand,
+             o.o_orderdate AS d
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.brand AS brand_then, b.brand AS brand_later,
+           CAST(count(DISTINCT a.cust) AS BIGINT) AS n_customers
+    FROM buys a JOIN buys b ON b.cust = a.cust AND b.d > a.d
+    GROUP BY 1, 2
+    ORDER BY n_customers DESC, brand_then, brand_later
+    LIMIT 10
+    """,
+)
+def sequential_purchase_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining across orders (X then later Y) —
+    temporal, unlike `basket_pair_affinity`'s same-order pairs.
+    Support counts distinct customers; the self-join keys on the
+    customer, so fan-out is bounded by a customer's (brand, day)
+    count, never the catalog — linear in customers at any scale, and
+    the (brand, brand) aggregate is the only global exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    buys = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .distinct()
+    )
+    a, b = buys.alias("a"), buys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust")) & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_then"),
+            F.col("b.brand").alias("brand_later"),
+        )
+        .agg(F.countDistinct("a.cust").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "brand_then", "brand_later")
+        .limit(10)
+    )
+
+
+@query(
+    "bayesian_smoothed_encoding",
+    oracle="""
+    -- m-estimate (Bayesian-smoothed) category encoding twin: a
+    -- brand's encoding shrinks toward the global mean by pseudo-count
+    -- m=100 — floor((S_b·10^4 + m·global_e4) / (n_b + m)) with
+    -- global_e4 itself floored first, so both engines share every
+    -- intermediate integer. The cold-start answer to LOO encoding:
+    -- rare brands sit near the prior, popular brands near their own
+    -- mean.
+    WITH t AS (
+      SELECT p_brand AS brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    g AS (
+      SELECT sum(cents) * 10000 // count(*) AS global_e4 FROM t
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST((sum(cents) * 10000 + 100 * g.global_e4) // (count(*) + 100) AS BIGINT)
+             AS smoothed_mean_e4
+    FROM t, g
+    GROUP BY brand, g.global_e4
+    ORDER BY brand
+    """,
+)
+def bayesian_smoothed_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian m-estimate category encoding (the cold-start-safe
+    sibling of `target_encoding_loo`): each brand's mean price shrinks
+    toward the global prior with pseudo-count m=100, all in exact
+    integers with the prior floored FIRST (both engines then share
+    every intermediate). The 1-row prior broadcasts into the
+    per-brand aggregate — one exchange total."""
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    g = parts.agg(
+        F.expr("sum(cents) * 10000 DIV count(*)").alias("global_e4")
+    )
+    return (
+        parts.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "brand",
+            "n_parts",
+            F.expr("(s * 10000 + 100 * global_e4) DIV (n_parts + 100)").alias(
+                "smoothed_mean_e4"
+            ),
+        )
+        .orderBy("brand")
+    )
