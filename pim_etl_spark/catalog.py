@@ -250,6 +250,7 @@ _PENDING_FIRST = (
     "linear_interpolation_gapfill",
     "sequential_purchase_patterns",
     "bayesian_smoothed_encoding",
+    "volume_spike_detection",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

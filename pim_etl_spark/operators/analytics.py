@@ -2029,3 +2029,75 @@ def bayesian_smoothed_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "volume_spike_detection",
+    oracle="""
+    -- ingest-monitoring twin: daily event volume per type vs the
+    -- trailing 7-day window — ratio as the integer cross-multiple
+    -- n·7·10^4 // Σ(prior 7), spike when today's count exceeds 2× the
+    -- trailing mean (14·n > 2·Σ — division-free flag). Only days with
+    -- a FULL 7-day history score, so the flag never fires on a cold
+    -- start. The spike-day checksum pins which days fired.
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, d, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prior7,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored_days,
+           CAST(count(CASE WHEN n * 7 > 2 * prior7 THEN 1 END) AS BIGINT)
+             AS n_spike_days,
+           CAST(coalesce(sum(CASE WHEN n * 7 > 2 * prior7
+                 THEN datediff('day', DATE '1992-01-01', d) END), 0) AS BIGINT)
+             AS spike_day_checksum,
+           CAST(max(n * 70000 // prior7) AS BIGINT) AS max_ratio_e4
+    FROM scored
+    WHERE n_prior = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def volume_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly monitoring (the ops verb a production
+    feed pipeline alerts on): per event type, each day's count
+    compares to its trailing 7-day window; the spike rule is the
+    division-free cross-multiple 7·n > 2·Σprior (no float ratio can
+    drift), and days without a full history never score. One window
+    per type on one exchange; the spike-day checksum pins exactly
+    which days fired, not just how many."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    scored = daily.withColumn("prior7", F.sum("n").over(w7)).withColumn(
+        "n_prior", F.count(F.lit(1)).over(w7)
+    )
+    spike = F.col("n") * 7 > 2 * F.col("prior7")
+    return (
+        scored.filter(F.col("n_prior") == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_days"),
+            F.count(F.when(spike, 1)).alias("n_spike_days"),
+            F.coalesce(
+                F.sum(F.when(spike, F.datediff("d", F.lit("1992-01-01")))), F.lit(0)
+            )
+            .cast("long")
+            .alias("spike_day_checksum"),
+            F.max(F.expr("n * 70000 DIV prior7")).alias("max_ratio_e4"),
+        )
+        .orderBy("event_type")
+    )
