@@ -251,6 +251,7 @@ _PENDING_FIRST = (
     "sequential_purchase_patterns",
     "bayesian_smoothed_encoding",
     "volume_spike_detection",
+    "join_multiplicity_audit",
     "versioned_mor_delete",
     "versioned_schema_evolution",
     "image_ahash_neardup",

@@ -1616,3 +1616,72 @@ def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_facts bigint, unknown_at_v1 bigint, restated_rows bigint, "
         "final_unknown bigint, revenue_cents bigint",
     )
+
+
+@query(
+    "join_multiplicity_audit",
+    oracle="""
+    -- data-modeling contract audit twin: for each declared 1:N
+    -- relationship, the observed child volume, parent coverage, max
+    -- fan-out, and floor-scaled mean fan-out. A fan-out explosion
+    -- (the classic join-bug precursor) or a parent-coverage drop
+    -- shifts these before any downstream join silently duplicates
+    -- rows.
+    WITH rels AS (
+      SELECT 'orders->customer' AS rel, o_custkey AS parent FROM orders
+      UNION ALL
+      SELECT 'lineitem->orders', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'lineitem->part', l_partkey FROM lineitem
+    ),
+    per_parent AS (
+      SELECT rel, parent, CAST(count(*) AS BIGINT) AS n
+      FROM rels GROUP BY 1, 2
+    )
+    SELECT rel,
+           CAST(sum(n) AS BIGINT) AS n_children,
+           CAST(count(*) AS BIGINT) AS n_parents,
+           CAST(max(n) AS BIGINT) AS max_fanout,
+           CAST(sum(n) * 10000 // count(*) AS BIGINT) AS mean_fanout_e4
+    FROM per_parent
+    GROUP BY rel
+    ORDER BY rel
+    """,
+)
+def join_multiplicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-multiplicity audit (the contract check
+    `fk_integrity_audit`'s orphan scan doesn't cover): per declared
+    1:N edge, observed fan-out statistics — the early-warning signal
+    for join explosions and silent row duplication. One union of
+    (rel, parent) pairs, one partial-agg per parent, one rollup; the
+    child tables are scanned once each with only key columns read."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rels = (
+        orders.select(
+            F.lit("orders->customer").alias("rel"), F.col("o_custkey").alias("parent")
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem->orders").alias("rel"),
+                F.col("l_orderkey").alias("parent"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem->part").alias("rel"),
+                F.col("l_partkey").alias("parent"),
+            )
+        )
+    )
+    per_parent = rels.groupBy("rel", "parent").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_parent.groupBy("rel")
+        .agg(
+            F.sum("n").cast("long").alias("n_children"),
+            F.count(F.lit(1)).alias("n_parents"),
+            F.max("n").cast("long").alias("max_fanout"),
+            F.expr("sum(n) * 10000 DIV count(*)").alias("mean_fanout_e4"),
+        )
+        .orderBy("rel")
+    )
