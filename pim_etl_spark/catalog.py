@@ -217,22 +217,22 @@ _EARLY = (
 _PENDING_FIRST = (
     "stream_change_feed_counts",
     "expectations_audit",
+    "stream_sink_exactly_once",
+    "versioned_column_rename",
+    "versioned_column_drop",
+    "multi_table_transaction",
     "video_shot_boundaries",
     "bpe_encode_corpus",
     "dynamic_partition_pruning",
     "multi_format_ingest",
     "arrow_grouped_trimmed_mean",
     "custom_sink_roundtrip",
-    "stream_sink_exactly_once",
-    "versioned_column_rename",
-    "versioned_column_drop",
     "seasonal_index_decomposition",
     "surrogate_key_merge",
     "csv_quarantine_parse",
     "matryoshka_rerank_topk",
     "rollup_query_rewrite",
     "audio_zero_crossings",
-    "multi_table_transaction",
     "stratified_kfold_assignment",
     "clamped_running_balance",
     "label_propagation_communities",
@@ -274,11 +274,6 @@ _PENDING_FIRST = (
     "stream_left_outer_attribution",
     "image_patchify_grid",
     "audio_frame_energy",
-    "poisson_bootstrap_ci",
-    "phrase_proximity_search",
-    "benford_first_digit_audit",
-    "association_rules_lift",
-    "hll_mergeable_rollup",
     "group_leakage_safe_split",
 )
 
@@ -289,6 +284,15 @@ _PENDING_FIRST = (
 # local parity suite at sf0.001 AND sf0.01. They surface in the next
 # round's window once this round's greens fold into _DRIVER_GREEN.
 _PENDING_LAST = (
+    # r5-early statistical entries demoted from _PENDING_FIRST: each is
+    # locally parity-proven at both SFs and shape-similar to an
+    # already-green family; the lakehouse/sink lifecycles outrank them
+    # for the 50-entry window
+    "poisson_bootstrap_ci",
+    "association_rules_lift",
+    "benford_first_digit_audit",
+    "hll_mergeable_rollup",
+    "phrase_proximity_search",
     "trend_forecast_by_priority",
     "iqr_outlier_fences",
     "price_histogram_equidepth",
@@ -318,7 +322,11 @@ def _priority_order(names) -> list[str]:
         for n in pending
         if n in ORACLES and n not in _LOW_PRIORITY_TWINS and n not in _EARLY
     ]
-    first = [n for n in oracled if n in _PENDING_FIRST]
+    # _PENDING_FIRST is honored IN TUPLE ORDER (round 5): membership
+    # alone left late-registering modules' riskiest entries (the
+    # versioned lifecycles) outside the driver's 50-entry window
+    oracled_set = set(oracled)
+    first = [n for n in _PENDING_FIRST if n in oracled_set]
     last = [n for n in oracled if n in _PENDING_LAST]
     oracled = (
         first
