@@ -957,3 +957,101 @@ def neardup_evidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_e4") >= 3000)
         .orderBy("doc_a")
     )
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    -- exact ordered-pair containment truth set: C(A→B) = |A∩B|/|A|,
+    -- threshold 0.8 tested integer-exactly (5·|∩| >= 4·|A| — no float
+    -- boundary), value floor-scaled ×10^4 (NOTES ratio rule). The
+    -- oracle runs all ordered pairs; the engine must reach the SAME
+    -- set through the asymmetric prefix filter.
+    WITH {_SHINGLE_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(a.s) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(len(list_intersect(a.s, b.s)) * 10000 // len(a.s) AS BIGINT)
+             AS containment_e4
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT self-join — the dedup verb the Jaccard
+    family can't express: C(A→B) = |A∩B|/|A| flags a document whose
+    content is (mostly) a SUBSET of another even when the container is
+    much larger, so Jaccard ≈ |A|/|B| stays far below any symmetric
+    threshold. This is how quote-expansion, boilerplate-wrapped
+    reposts, and doc-in-doc duplication are caught in training-data
+    curation (reference analogue: the duplicate-variant guard in
+    /root/reference/etl/transformers/midocean_transformer.py:269-302
+    treats subset rows as duplicates regardless of parent size).
+
+    Engine path (exact, deterministic — no hashing): the asymmetric
+    prefix filter. Order shingles by global document frequency
+    (rarest first, ties by value). If |A∩B| >= ceil(0.8·|A|) then at
+    most |A| - ceil(0.8·|A|) of A's shingles miss B, so A's prefix of
+    size |A| - ceil(0.8·|A|) + 1 shares at least one shingle with B
+    (pigeonhole — for ANY fixed ordering). Only A is prefixed; B joins
+    with its FULL shingle list (containment ignores |B|), plus two
+    lossless prunes at the first shared ordered position (pa, pb):
+    |B| itself must reach the required overlap, and
+    1 + min(|A|-pa, |B|-pb) >= ceil(0.8·|A|). Verification intersects
+    candidate pairs only. Scale shape: the join is keyed on A-prefix
+    shingles — the rarest ~fifth of each doc — so common shingles
+    almost never become join keys; candidates, not pairs, bound the
+    work, exactly like prefix_filter_jaccard_join.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).cache()
+    exploded = (
+        sh.select("doc_id", F.explode("s").alias("shingle"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        exploded.withColumn("rk", F.row_number().over(rk))
+        .select("doc_id", "shingle", "n", "rk")
+        .cache()
+    )
+    # ceil(0.8·n) = (4n+4) DIV 5; A keeps n - ceil(0.8n) + 1 prefix keys
+    req = F.expr("(4 * a.n + 4) DIV 5")
+    prefix_a = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1
+    )
+    position_ok = (
+        F.lit(1)
+        + F.least(F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk"))
+        >= req
+    )
+    cands = (
+        prefix_a.alias("a")
+        .join(ranked.alias("b"), "shingle")
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n") >= req)
+            & position_ok
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
+        .withColumn("n_a", F.size("sh_a").cast("long"))
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .filter(F.col("n_inter") * 5 >= F.col("n_a") * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_inter",
+            F.expr("n_inter * 10000 DIV n_a").alias("containment_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

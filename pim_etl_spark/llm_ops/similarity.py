@@ -1405,3 +1405,238 @@ def matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RERANK_K)
         .select("vec_id", "label", "cos_prefix", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global-grid integer codes: one affine per DIMENSION (corpus min/max),
+# unlike embedding_int8_quantize's per-vector affine — so distances
+# between DIFFERENT vectors are metrically meaningful in pure integer
+# arithmetic. The per-dim bounds are a 64-row model-sized collect
+# (the codebook-collect pattern, VERDICT r4 audit).
+
+
+_GRID_CTE = """
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(v) + 1)) AS j, unnest(v) AS x
+      FROM e
+    ),
+    dim AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+    codes AS (
+      SELECT vec_id, any_value(label) AS label,
+             list(CAST(CASE WHEN mx > mn
+                       THEN floor((x - mn) / (mx - mn) * 255)
+                       ELSE 0 END AS BIGINT) ORDER BY j) AS c
+      FROM ex JOIN dim USING (j)
+      GROUP BY vec_id
+    )
+"""
+
+
+def global_grid_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, c: array<long>) — per-DIMENSION 0..255 integer
+    codes under the corpus-wide affine. floor((x-mn)/(mx-mn)*255) is
+    add/sub/mul/div/floor on doubles (all correctly rounded), so codes
+    are bit-identical across engines given the same per-dim bounds,
+    and min/max of floats ARE exact."""
+    ex = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
+    rows = sorted(
+        ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect(),
+        key=lambda r: r["j"],
+    )
+    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in rows])
+    mx_arr = F.array(*[F.lit(float(r["mx"])) for r in rows])
+    code = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.element_at(mx_arr, i + 1) > F.element_at(mn_arr, i + 1),
+            F.floor(
+                (x - F.element_at(mn_arr, i + 1))
+                / (F.element_at(mx_arr, i + 1) - F.element_at(mn_arr, i + 1))
+                * 255
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return emb.select("vec_id", "label", code.alias("c"))
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    -- exact-integer kNN classifier twin: global-grid codes, squared-L2
+    -- in BIGINT, k=5 neighbors (ties by vec_id), majority vote (ties
+    -- by smaller label). Every step is exact, so both engines emit
+    -- identical predictions.
+    WITH {_GRID_CTE},
+    q AS (SELECT * FROM codes WHERE vec_id % 10 = 0),
+    d AS (
+      SELECT q.vec_id AS qid, q.label AS label_true,
+             r.vec_id AS rid, r.label AS rlab,
+             CAST(list_sum(list_transform(range(1, len(q.c) + 1),
+                   i -> (q.c[i] - r.c[i]) * (q.c[i] - r.c[i]))) AS BIGINT) AS dist
+      FROM q, codes r WHERE r.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT qid, label_true, rlab,
+             row_number() OVER (PARTITION BY qid ORDER BY dist ASC, rid ASC) AS rk
+      FROM d
+    ),
+    votes AS (
+      SELECT qid, label_true, rlab, count(*) AS n_votes
+      FROM nn WHERE rk <= 5 GROUP BY qid, label_true, rlab
+    )
+    SELECT qid AS vec_id, label_true, rlab AS label_pred,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY n_votes DESC, rlab ASC) AS vr FROM votes)
+    WHERE vr = 1
+    ORDER BY vec_id
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor LABEL classification over the embedding
+    corpus — the label-propagation verb of training-data curation
+    (auto-labeling unlabeled shards, audit-scoring suspect labels):
+    every 10th vector is scored against the full corpus (leave-self-
+    out), its 5 nearest neighbors by exact integer squared-L2 on
+    GLOBAL-grid int8 codes vote, majority (ties → smaller label) wins.
+
+    Scale shape: the query side broadcasts (queries are the small
+    side by construction — audit samples, not the corpus); distance
+    evaluation is map-side zip_with/aggregate over the reference scan
+    with no shuffle until the per-query top-k (partial TakeOrdered per
+    partition); the vote rollup is query-sized. The integer grid is
+    what makes the entry hash-gateable — and is also the production
+    shape (int8 SIMD distance kernels)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    codes = global_grid_codes(emb)
+    q = codes.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("label_true"),
+        F.col("c").alias("qc"),
+    )
+    d = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(F.col("qc"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("qid", "label_true", F.col("vec_id").alias("rid"), F.col("label").alias("rlab"), "dist")
+    )
+    nn = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("rid"))
+        ),
+    ).filter(F.col("rk") <= 5)
+    votes = nn.groupBy("qid", "label_true", "rlab").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    return (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("rlab"))
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "label_true",
+            F.col("rlab").alias("label_pred"),
+            "n_votes",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    -- exact-integer per-label centroid outliers: with S_j = per-label
+    -- per-dim code sum and n = label size, the n²-scaled squared
+    -- distance Σ_j (n·c_j − S_j)² is a pure BIGINT — no centroid
+    -- division ever happens. Top-3 per label by (distance DESC,
+    -- vec_id ASC).
+    WITH {_GRID_CTE},
+    cx AS (
+      SELECT vec_id, label, unnest(range(1, len(c) + 1)) AS j, unnest(c) AS cj
+      FROM codes
+    ),
+    cent AS (
+      SELECT label, j, sum(cj) AS s, count(*) AS n
+      FROM cx GROUP BY label, j
+    ),
+    dist AS (
+      SELECT cx.vec_id, cx.label,
+             CAST(sum((cent.n * cx.cj - cent.s) * (cent.n * cx.cj - cent.s)) AS BIGINT)
+               AS dist_n2
+      FROM cx JOIN cent ON cx.label = cent.label AND cx.j = cent.j
+      GROUP BY cx.vec_id, cx.label
+    )
+    SELECT label, vec_id, dist_n2,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY dist_n2 DESC, vec_id ASC) AS rk FROM dist)
+    WHERE rk <= 3
+    ORDER BY label, rk
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-data detection — the embedding-space audit every
+    labeled training set gets before fine-tuning: vectors farthest
+    from their OWN label's centroid are the label-noise suspects. The
+    centroid never materializes as a fraction: distances are computed
+    n²-scaled (Σ_j (n·c_j − S_j)²) in exact BIGINT on the global-grid
+    codes, so the ranking is engine- and order-independent.
+
+    Scale shape: centroids are one shuffle keyed by (label, dim) —
+    label-count-sized state; scoring re-joins the model-sized centroid
+    table broadcast; top-3 per label is a window over label partitions
+    (map-side WindowGroupLimit). No all-pairs anything."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    codes = global_grid_codes(emb)
+    cx = codes.select("vec_id", "label", F.posexplode("c").alias("j", "cj"))
+    cent = cx.groupBy("label", "j").agg(
+        F.sum("cj").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    term = (F.col("n") * F.col("cj") - F.col("s"))
+    dist = (
+        cx.join(F.broadcast(cent), ["label", "j"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).cast("long").alias("dist_n2"))
+    )
+    return (
+        dist.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("label").orderBy(F.desc("dist_n2"), F.asc("vec_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("label", "vec_id", "dist_n2", "rk")
+        .orderBy("label", "rk")
+    )

@@ -1120,3 +1120,86 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "bigram_rank_surprisal",
+    oracle=r"""
+    -- the CONDITIONAL-model member of the quality-score family
+    -- (unigram_rank_surprisal is the context-free one): corpus bigram
+    -- counts, continuations ranked WITHIN each context token, per-doc
+    -- mean continuation rank ×10000 by integer division. A doc full
+    -- of common words in improbable ORDER now scores high where the
+    -- unigram score cannot see anything wrong. Exact integers — no
+    -- transcendentals, bit-identical across engines.
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM toks
+    ),
+    model AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+    ranked AS (
+      SELECT w1, w2,
+             row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS rnk
+      FROM model
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(r.rnk) * 10000 // count(*) AS BIGINT) AS avg_ctx_rank_x10000
+    FROM bg g JOIN ranked r USING (w1, w2)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def bigram_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) LM quality scoring — the KenLM-shaped
+    upgrade of ``unigram_rank_surprisal``: pass 1 trains the model
+    (bigram counts, continuations ranked per CONTEXT token), pass 2
+    scores each document by its mean continuation rank. Word-salad
+    text built from individually-common tokens scores high here while
+    the unigram score is blind to ordering — the exact failure mode
+    conditional perplexity filters exist for. Rank stands in for
+    -log P(w2|w1) (same induced ordering, exact integer arithmetic —
+    the transcendental-free convention of the family).
+
+    Scale shape: model training is one shuffle keyed by (w1, w2) plus
+    a per-context window over model-sized data; scoring broadcasts the
+    model (at 100 TB cap it to top-K continuations per context + an
+    OOV default rank — the standard quantized-LM deployment shape);
+    the per-doc rollup is scan-local after the broadcast join. Docs
+    with <2 tokens have no bigrams and drop out on both sides."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    z = F.filter(
+        F.arrays_zip(toks.alias("w1"), F.slice(toks, 2, F.size(toks)).alias("w2")),
+        lambda x: x["w2"].isNotNull(),
+    )
+    bg = docs.select("doc_id", F.explode(z).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ranked = model.select(
+        "w1",
+        "w2",
+        F.row_number()
+        .over(Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return (
+        bg.join(F.broadcast(ranked), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(rnk) * 10000 DIV count(*)").alias("avg_ctx_rank_x10000"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1351,3 +1351,90 @@ def linear_interpolation_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "interval_overlap_bin_join",
+    oracle="""
+    -- plan-independent twin of the BINNED interval join: plain
+    -- BETWEEN theta-join (DuckDB's IEJoin handles it), aggregated to
+    -- priority level. The engine must reach identical totals through
+    -- its bin decomposition — a point double-counted across bins or
+    -- an interval truncated at a bin edge breaks the checksum.
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CAST((o_orderkey % 30 + 1) AS INTEGER) AS hi
+      FROM orders
+    ),
+    pt AS (SELECT CAST(l_shipdate AS DATE) AS p FROM lineitem),
+    m AS (
+      SELECT iv.o_orderkey, iv.o_orderpriority, count(*) AS n_pts
+      FROM iv JOIN pt ON pt.p BETWEEN iv.lo AND iv.hi
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_intervals_hit,
+           CAST(sum(n_pts) AS BIGINT) AS total_hits,
+           CAST(sum(o_orderkey * n_pts) AS BIGINT) AS hit_checksum
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-scale interval⋈point overlap via FIXED-WIDTH BINNING —
+    the manual form of the range-join optimization (Databricks'
+    RANGE_JOIN hint, DuckDB's IEJoin): intervals are exploded to the
+    epoch-day bins they overlap (bounded fan-out: max interval 31
+    days < one 32-day bin width ⇒ ≤2 bins each), points key into
+    exactly ONE bin, and the join becomes an EQUI-join on bin id plus
+    a residual BETWEEN filter. No theta-join, no cross product — the
+    plan Spark would otherwise produce for an inequality-only join is
+    BroadcastNestedLoopJoin, which dies at scale.
+
+    Each (interval, point) pair meets in exactly one bin (the point's
+    own), so no post-join dedup is needed — the decomposition is
+    exact, which the oracle's plain BETWEEN twin verifies through the
+    per-priority hit checksum. Scale shape: bin width trades
+    replication (≤ ceil(maxlen/width)+1 rows per interval) against
+    per-bin fan-in; at 100 TB pick width ≈ p99 interval length and
+    salt hot bins — the residual filter keeps correctness under any
+    width. One shuffle per side keyed on bin, then data-sized
+    aggregation keyed on the interval id."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    iv = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("lo_day"),
+        (
+            F.datediff(F.to_date("o_orderdate"), epoch)
+            + (F.col("o_orderkey") % 30 + 1).cast("int")
+        ).alias("hi_day"),
+    )
+    iv_binned = iv.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "lo_day",
+        "hi_day",
+        F.explode(
+            F.sequence(F.expr("lo_day DIV 32"), F.expr("hi_day DIV 32"))
+        ).alias("bin"),
+    )
+    pt = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("p_day")
+    ).withColumn("bin", F.expr("p_day DIV 32"))
+    hits = (
+        iv_binned.join(pt, "bin")
+        .filter(F.col("p_day").between(F.col("lo_day"), F.col("hi_day")))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+    )
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals_hit"),
+            F.sum("n_pts").alias("total_hits"),
+            F.sum(F.col("o_orderkey") * F.col("n_pts")).alias("hit_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )

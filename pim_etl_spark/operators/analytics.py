@@ -2101,3 +2101,126 @@ def volume_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "autocorrelation_daily_orders",
+    oracle="""
+    -- exact-integer autocorrelation of the daily order-count series:
+    -- with n days, total S, and y_t = n·c_t − S (the mean-centered
+    -- series scaled by n — still exact BIGINT), lag-k ACF is
+    -- num_k/den with num_k = Σ y_t·y_{t+k}, den = Σ y_t². Both sums
+    -- are emitted exactly; the ratio is floor-scaled through
+    -- correctly-rounded double ops (+,-,*,/ only), so both engines
+    -- agree bit-for-bit.
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    series AS (
+      SELECT s.d, coalesce(daily.c, 0) AS c0
+      FROM spine s LEFT JOIN daily USING (d)
+    ),
+    centered AS (
+      SELECT d,
+             (SELECT count(*) FROM series) * c0
+               - (SELECT sum(c0) FROM series) AS y
+      FROM series
+    ),
+    led AS (
+      SELECT d, y,
+             lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+             lead(y, 3) OVER w AS y3, lead(y, 4) OVER w AS y4,
+             lead(y, 5) OVER w AS y5, lead(y, 6) OVER w AS y6,
+             lead(y, 7) OVER w AS y7
+      FROM centered WINDOW w AS (ORDER BY d)
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y * y) AS BIGINT) AS den_yy,
+             CAST(sum(y * y1) AS BIGINT) AS n1, CAST(sum(y * y2) AS BIGINT) AS n2,
+             CAST(sum(y * y3) AS BIGINT) AS n3, CAST(sum(y * y4) AS BIGINT) AS n4,
+             CAST(sum(y * y5) AS BIGINT) AS n5, CAST(sum(y * y6) AS BIGINT) AS n6,
+             CAST(sum(y * y7) AS BIGINT) AS n7
+      FROM led
+    )
+    SELECT u.lag, s.n_days, s.den_yy, u.num_yy,
+           CAST(floor(CAST(u.num_yy AS DOUBLE) * 10000 / CAST(s.den_yy AS DOUBLE))
+                AS BIGINT) AS acf_e4
+    FROM sums s, (
+      SELECT CAST(lag AS BIGINT) AS lag,
+             CASE lag WHEN 1 THEN (SELECT n1 FROM sums) WHEN 2 THEN (SELECT n2 FROM sums)
+                      WHEN 3 THEN (SELECT n3 FROM sums) WHEN 4 THEN (SELECT n4 FROM sums)
+                      WHEN 5 THEN (SELECT n5 FROM sums) WHEN 6 THEN (SELECT n6 FROM sums)
+                      WHEN 7 THEN (SELECT n7 FROM sums) END AS num_yy
+      FROM range(1, 8) t(lag)
+    ) u
+    ORDER BY u.lag
+    """,
+)
+def autocorrelation_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1–7) of the daily order-count series —
+    the seasonality-discovery primitive behind every forecasting
+    pipeline (weekly cycles show up as a lag-7 peak). Entirely exact:
+    the series is mean-centered WITHOUT division by scaling with n
+    (y_t = n·c_t − S is still integer), so numerator and denominator
+    of each ACF lag are exact BIGINTs; only the final floor-scaled
+    ratio touches doubles, through correctly-rounded +,*,/ only.
+
+    Scale shape: the series is CALENDAR-sized (one row per day —
+    thousands of rows for decades), so the single-partition ordered
+    window over it is bounded by the calendar, not the data; the only
+    data-sized work is the daily groupBy rollup, one shuffle keyed on
+    date. The lag products come from 7 ``lead`` columns in one window
+    pass, then one global aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    daily = orders.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("c0")
+    )
+    totals = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c0").alias("s")
+    )
+    centered = series.crossJoin(F.broadcast(totals)).select(
+        "d", (F.col("n") * F.col("c0") - F.col("s")).alias("y")
+    )
+    w = Window.orderBy("d")  # calendar-sized series — bounded state
+    led = centered.select(
+        "y", *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 8)]
+    )
+    sums = led.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("den_yy"),
+        *[
+            F.sum(F.col("y") * F.col(f"y{k}")).cast("long").alias(f"n{k}")
+            for k in range(1, 8)
+        ],
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    num = F.element_at(
+        F.array(*[F.col(f"n{k}") for k in range(1, 8)]), F.col("lag").cast("int")
+    )
+    return (
+        lags.crossJoin(F.broadcast(sums))
+        .select(
+            "lag",
+            "n_days",
+            "den_yy",
+            num.alias("num_yy"),
+            F.floor(num.cast("double") * 10000 / F.col("den_yy").cast("double"))
+            .cast("long")
+            .alias("acf_e4"),
+        )
+        .orderBy("lag")
+    )

@@ -914,3 +914,59 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "commit_version bigint, n_rows bigint, total_price double"
     ).orderBy("commit_version")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    -- batch twin of the streamed per-window top-k: 6-hour tumbling
+    -- windows, top-3 event types by (count DESC, type ASC)
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type ASC) AS rk
+          FROM wc)
+    WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per event-time window over a stream — the trending-items
+    verb. Structured Streaming cannot rank inside a streaming agg
+    (window functions aren't incremental), so this runs the STANDARD
+    two-phase production shape: phase 1 is the genuinely streaming
+    part — watermarked tumbling-window counts through the micro-batch
+    engine (state: one row per live window×type); phase 2 ranks the
+    window-sized aggregate at the sink (the step a foreachBatch writer
+    would do per trigger, here on the completed availableNow replay).
+    The ranking input is already aggregate-sized — windows × types,
+    never event-sized — which is what makes sink-side ranking the
+    scalable shape rather than a concession."""
+    from pyspark.sql import Window
+
+    events = stream_events(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    agg = run_stream_to_memory(spark, counts, mode="complete", state_partitions=8)
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start", "rk")
+    )
