@@ -40,12 +40,14 @@ _OPERATOR_MODULES = (
     "pim_etl_spark.operators.strings_dates",
     "pim_etl_spark.operators.pim_queries",
     "pim_etl_spark.operators.warehouse",
+    "pim_etl_spark.operators.entity_resolution",
     "pim_etl_spark.llm_ops.dedup",
     "pim_etl_spark.llm_ops.corpus",
     "pim_etl_spark.llm_ops.similarity",
     "pim_etl_spark.llm_ops.text",
     "pim_etl_spark.llm_ops.multimodal",
     "pim_etl_spark.llm_ops.membership",
+    "pim_etl_spark.llm_ops.modeling",
     "pim_etl_spark.streaming.queries",
     "pim_etl_spark.pipeline.versioned",
     "pim_etl_spark.pipeline.expectations",

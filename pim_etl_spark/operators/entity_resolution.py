@@ -1,0 +1,518 @@
+"""Entity resolution / record linkage (the MDM verb of a PIM).
+
+The reference's sync pipeline assumes each supplier feed carries clean
+shared keys (sku/product_id — /root/reference/etl/transformers/
+midocean_transformer.py maps them 1:1); real multi-supplier catalogs
+don't: the same physical product arrives with reformatted brand codes,
+abbreviated names, and drifted prices, and linking them IS the job.
+This module implements the standard four-stage ER pipeline —
+deterministic dirty-record derivation, multi-pass blocking, integer
+feature scoring, connected-component clustering + survivorship — with
+every stage DuckDB-twinned (the derivation is md5-deterministic, so
+the planted ground truth is exactly replayable cross-engine).
+
+Scale shape: candidates are generated per blocking key (never all
+pairs — reduction ratio is itself a gated output), features run
+map-side on the candidate set, and clustering shuffles (edge, label)
+ids only. At 100 TB the knobs are the blocking keys themselves:
+coarser keys trade candidate volume for recall, and the
+`er_blocking_candidates` entry is the audit that measures exactly
+that trade (pair completeness vs reduction ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pim_etl_spark.catalog import query
+from pim_etl_spark.sources import load_table
+
+MATCH_THRESHOLD = 70
+
+# Shared dirty-record + matcher CTE chain (DuckDB side). Three
+# sources per part: A = verbatim, B = abbreviated name (upper first
+# token, devoweled second) + reformatted brand + md5-drifted price
+# (±50 cents), C (every 7th part) = token-swapped name + occasional
+# size error. The matcher below is provenance-blind: it normalizes
+# generically (lowercase, token sets, brand-digit extraction) and
+# never inverts the specific perturbations.
+_ER_CTE = """
+    parts AS (
+      SELECT p_partkey AS pk, p_name, p_brand, p_type, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             string_split(p_name, ' ') AS tk
+      FROM part
+    ),
+    recs AS (
+      SELECT 'A' || CAST(pk AS VARCHAR) AS rec_id, pk, p_name AS name,
+             p_brand AS brand, p_type AS ptype, p_size AS psize, cents
+      FROM parts
+      UNION ALL
+      SELECT 'B' || CAST(pk AS VARCHAR), pk,
+             upper(tk[1]) || ' ' || regexp_replace(tk[2], '[aeiou]', '', 'g'),
+             'brd ' || regexp_extract(p_brand, '[0-9]+'),
+             p_type, p_size,
+             cents + CAST(('0x' || substr(md5('bdrift:' || CAST(pk AS VARCHAR)), 1, 4)) AS BIGINT) % 101 - 50
+      FROM parts
+      UNION ALL
+      SELECT 'C' || CAST(pk AS VARCHAR), pk,
+             tk[2] || ' ' || tk[1], p_brand, p_type,
+             p_size + CASE WHEN CAST(('0x' || substr(md5('csz:' || CAST(pk AS VARCHAR)), 1, 4)) AS BIGINT) % 5 = 0
+                           THEN 1 ELSE 0 END,
+             cents
+      FROM parts WHERE pk % 7 = 0
+    ),
+    norm AS (
+      SELECT rec_id, pk, name, brand, ptype, psize, cents,
+             lower(name) AS nname,
+             list_sort(list_distinct(string_split(lower(name), ' '))) AS tset,
+             regexp_extract(brand, '[0-9]+') AS bdig
+      FROM recs
+    ),
+    bkeys AS (
+      SELECT rec_id, 'bt|' || bdig || '|' || ptype AS bkey FROM norm
+      UNION ALL
+      SELECT rec_id, 'ts|' || ptype || '|' || CAST(psize AS VARCHAR) FROM norm
+    ),
+    cand AS (
+      SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b
+      FROM bkeys a JOIN bkeys b ON a.bkey = b.bkey AND a.rec_id < b.rec_id
+    ),
+    scored AS (
+      SELECT c.rec_a, c.rec_b,
+             CAST(levenshtein(x.nname, y.nname) AS BIGINT) AS name_lev,
+             CAST(len(list_intersect(x.tset, y.tset)) * 10000
+                  // len(list_distinct(x.tset || y.tset)) AS BIGINT) AS tok_jac_e4,
+             abs(x.cents - y.cents) AS cents_diff,
+             CAST(abs(x.psize - y.psize) AS BIGINT) AS size_diff,
+             CASE WHEN x.bdig = y.bdig THEN 1 ELSE 0 END AS brand_eq,
+             CASE WHEN x.ptype = y.ptype THEN 1 ELSE 0 END AS type_eq,
+             CASE WHEN x.pk = y.pk THEN 1 ELSE 0 END AS is_true,
+             CAST(CASE WHEN x.bdig = y.bdig THEN 30 ELSE 0 END
+                  + CASE WHEN x.ptype = y.ptype THEN 10 ELSE 0 END
+                  + greatest(0, 20 - 5 * abs(x.psize - y.psize))
+                  + greatest(least(20, CAST(len(list_intersect(x.tset, y.tset)) * 10000
+                                            // len(list_distinct(x.tset || y.tset)) AS BIGINT) * 2 // 1000),
+                             greatest(0, 20 - 4 * levenshtein(x.nname, y.nname)))
+                  + greatest(0, 20 - abs(x.cents - y.cents) // 10) AS BIGINT) AS score
+      FROM cand c
+      JOIN norm x ON c.rec_a = x.rec_id
+      JOIN norm y ON c.rec_b = y.rec_id
+    )
+"""
+
+
+def dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized record set from three deterministic sources.
+
+    Columns: rec_id, pk (provenance — the matcher never reads it),
+    name, brand, ptype, psize, cents, nname, tset, bdig.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name"),
+        F.col("p_brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.split("p_name", " ").alias("tk"),
+    )
+    pk_s = F.col("pk").cast("string")
+    a = parts.select(
+        F.concat(F.lit("A"), pk_s).alias("rec_id"),
+        "pk",
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        "ptype",
+        F.col("p_size").alias("psize"),
+        "cents",
+    )
+    bdrift = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("bdrift:"), pk_s)), 1, 4), 16, 10).cast("long")
+        % 101
+        - 50
+    )
+    b = parts.select(
+        F.concat(F.lit("B"), pk_s).alias("rec_id"),
+        "pk",
+        F.concat(
+            F.upper(F.col("tk").getItem(0)),
+            F.lit(" "),
+            F.regexp_replace(F.col("tk").getItem(1), "[aeiou]", ""),
+        ).alias("name"),
+        F.concat(F.lit("brd "), F.regexp_extract("p_brand", "[0-9]+", 0)).alias("brand"),
+        "ptype",
+        F.col("p_size").alias("psize"),
+        (F.col("cents") + bdrift).alias("cents"),
+    )
+    csz = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("csz:"), pk_s)), 1, 4), 16, 10).cast("long") % 5
+        == 0
+    ).cast("int")
+    c = parts.filter(F.col("pk") % 7 == 0).select(
+        F.concat(F.lit("C"), pk_s).alias("rec_id"),
+        "pk",
+        F.concat(F.col("tk").getItem(1), F.lit(" "), F.col("tk").getItem(0)).alias("name"),
+        F.col("p_brand").alias("brand"),
+        "ptype",
+        (F.col("p_size") + csz).alias("psize"),
+        "cents",
+    )
+    recs = a.unionByName(b).unionByName(c)
+    return recs.select(
+        "*",
+        F.lower("name").alias("nname"),
+        F.array_sort(F.array_distinct(F.split(F.lower("name"), " "))).alias("tset"),
+        F.regexp_extract("brand", "[0-9]+", 0).alias("bdig"),
+    )
+
+
+def blocking_keys(norm: DataFrame) -> DataFrame:
+    """Multi-pass blocking: (brand digits, type) catches brand
+    reformatting; (type, size) catches brand-field corruption. The
+    union of passes is the standard recall hedge — each pass is a
+    cheap equi-key, and the pair set is the union."""
+    bt = norm.select(
+        "rec_id", F.concat(F.lit("bt|"), F.col("bdig"), F.lit("|"), F.col("ptype")).alias("bkey")
+    )
+    ts = norm.select(
+        "rec_id",
+        F.concat(
+            F.lit("ts|"), F.col("ptype"), F.lit("|"), F.col("psize").cast("string")
+        ).alias("bkey"),
+    )
+    return bt.unionByName(ts)
+
+
+def candidate_pairs(norm: DataFrame) -> DataFrame:
+    """Distinct within-block ordered pairs — the only place pairs are
+    formed; everything downstream is linear in candidates."""
+    keys = blocking_keys(norm)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.rec_id") < F.col("b.rec_id")))
+        .select(F.col("a.rec_id").alias("rec_a"), F.col("b.rec_id").alias("rec_b"))
+        .distinct()
+    )
+
+
+def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with integer similarity features and the
+    0–100 match score (see _ER_CTE for the exact formula)."""
+    norm = dirty_records(spark, sf_dir)
+    cand = candidate_pairs(norm)
+    x = norm.alias("x")
+    y = norm.alias("y")
+    joined = (
+        cand.join(x, F.col("rec_a") == F.col("x.rec_id"))
+        .join(y, F.col("rec_b") == F.col("y.rec_id"))
+    )
+    name_lev = F.levenshtein(F.col("x.nname"), F.col("y.nname")).cast("long")
+    tok_jac_e4 = (
+        F.size(F.array_intersect("x.tset", "y.tset")).cast("long")
+        * 10000
+        / F.size(F.array_union("x.tset", "y.tset"))
+    ).cast("long")
+    cents_diff = F.abs(F.col("x.cents") - F.col("y.cents"))
+    size_diff = F.abs(F.col("x.psize") - F.col("y.psize")).cast("long")
+    brand_eq = (F.col("x.bdig") == F.col("y.bdig")).cast("int")
+    type_eq = (F.col("x.ptype") == F.col("y.ptype")).cast("int")
+    score = (
+        brand_eq * 30
+        + type_eq * 10
+        + F.greatest(F.lit(0), F.lit(20) - 5 * size_diff)
+        + F.greatest(
+            F.least(F.lit(20).cast("long"), (tok_jac_e4 * 2 / 1000).cast("long")),
+            F.greatest(F.lit(0).cast("long"), F.lit(20) - 4 * name_lev),
+        )
+        + F.greatest(F.lit(0).cast("long"), F.lit(20) - (cents_diff / 10).cast("long"))
+    ).cast("long")
+    return joined.select(
+        "rec_a",
+        "rec_b",
+        name_lev.alias("name_lev"),
+        tok_jac_e4.alias("tok_jac_e4"),
+        cents_diff.alias("cents_diff"),
+        size_diff.alias("size_diff"),
+        brand_eq.alias("brand_eq"),
+        type_eq.alias("type_eq"),
+        (F.col("x.pk") == F.col("y.pk")).cast("int").alias("is_true"),
+        score.alias("score"),
+    )
+
+
+@query(
+    "er_blocking_candidates",
+    oracle=f"""
+    -- blocking audit: per-pass block/candidate volume + the combined
+    -- reduction-ratio / pair-completeness trade (ER's recall-vs-cost
+    -- dial). rr_e6 = share of all possible pairs PRUNED, floor-scaled.
+    WITH {_ER_CTE},
+    per_block AS (
+      SELECT substr(bkey, 1, 2) AS pass, bkey, count(*) AS sz
+      FROM bkeys GROUP BY 1, 2
+    ),
+    per_pass AS (
+      SELECT pass,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(max(sz) AS BIGINT) AS max_block,
+             CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs
+      FROM per_block GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_recs FROM norm),
+    truth AS (
+      SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_truth
+      FROM (SELECT pk, count(*) AS m FROM norm GROUP BY 1)
+    ),
+    truth_pairs AS (
+      SELECT x.rec_id AS rec_a, y.rec_id AS rec_b
+      FROM norm x JOIN norm y ON x.pk = y.pk AND x.rec_id < y.rec_id
+    ),
+    covered AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cov
+      FROM truth_pairs t JOIN cand c ON t.rec_a = c.rec_a AND t.rec_b = c.rec_b
+    )
+    SELECT pass, n_blocks, max_block, n_pairs,
+           CAST(NULL AS BIGINT) AS rr_e6, CAST(NULL AS BIGINT) AS pair_completeness_e4
+    FROM per_pass
+    UNION ALL
+    SELECT 'all',
+           (SELECT CAST(count(DISTINCT bkey) AS BIGINT) FROM bkeys),
+           (SELECT CAST(max(sz) AS BIGINT) FROM per_block),
+           (SELECT CAST(count(*) AS BIGINT) FROM cand),
+           1000000 - (SELECT count(*) FROM cand) * 1000000
+                     // (SELECT n_recs * (n_recs - 1) // 2 FROM n),
+           (SELECT n_cov FROM covered) * 10000 // (SELECT n_truth FROM truth)
+    ORDER BY pass
+    """,
+)
+def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-efficiency audit: per blocking pass the block count,
+    the largest block (the straggler-task predictor at scale), and the
+    within-block pair volume; for the combined pass set the reduction
+    ratio (share of the n·(n−1)/2 all-pairs space pruned away) and
+    pair completeness (share of true pairs surviving blocking) — the
+    two numbers every blocking design is judged by. All-pairs ER is
+    what this table proves we never do."""
+    norm = dirty_records(spark, sf_dir).cache()
+    keys = blocking_keys(norm)
+    per_block = keys.groupBy(F.substring("bkey", 1, 2).alias("pass"), "bkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    per_pass = per_block.groupBy("pass").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("sz").cast("long").alias("max_block"),
+        F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long").alias("n_pairs"),
+    ).select(
+        "pass",
+        "n_blocks",
+        "max_block",
+        "n_pairs",
+        F.lit(None).cast("long").alias("rr_e6"),
+        F.lit(None).cast("long").alias("pair_completeness_e4"),
+    )
+    cand = candidate_pairs(norm).cache()
+    x = norm.alias("x")
+    y = norm.alias("y")
+    truth_pairs = x.join(
+        y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.rec_id") < F.col("y.rec_id"))
+    ).select(F.col("x.rec_id").alias("rec_a"), F.col("y.rec_id").alias("rec_b"))
+    combined = (
+        norm.agg(F.count(F.lit(1)).alias("n_recs"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
+        .crossJoin(F.broadcast(keys.agg(F.countDistinct("bkey").alias("n_blocks"))))
+        .crossJoin(F.broadcast(per_block.agg(F.max("sz").alias("max_block"))))
+        .crossJoin(
+            F.broadcast(truth_pairs.agg(F.count(F.lit(1)).alias("n_truth")))
+        )
+        .crossJoin(
+            F.broadcast(
+                truth_pairs.join(cand, ["rec_a", "rec_b"], "left_semi").agg(
+                    F.count(F.lit(1)).alias("n_cov")
+                )
+            )
+        )
+        .select(
+            F.lit("all").alias("pass"),
+            F.col("n_blocks").cast("long"),
+            F.col("max_block").cast("long"),
+            F.col("n_cand").cast("long").alias("n_pairs"),
+            (
+                F.lit(1000000)
+                - F.expr("n_cand * 1000000 DIV (n_recs * (n_recs - 1) DIV 2)")
+            ).cast("long").alias("rr_e6"),
+            F.expr("n_cov * 10000 DIV n_truth").cast("long").alias("pair_completeness_e4"),
+        )
+    )
+    return per_pass.unionByName(combined).orderBy("pass")
+
+
+@query(
+    "er_matched_pairs",
+    oracle=f"""
+    WITH {_ER_CTE}
+    SELECT rec_a, rec_b, name_lev, tok_jac_e4, cents_diff, size_diff,
+           brand_eq, type_eq, is_true, score
+    FROM scored WHERE score >= {MATCH_THRESHOLD}
+    ORDER BY rec_a, rec_b
+    """,
+)
+def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored candidate pairs above the match threshold with their
+    integer feature vector (levenshtein, token Jaccard ×10⁴, cents
+    drift, size drift, brand/type agreement) — every feature exact
+    integer arithmetic so the decision boundary is reproducible across
+    engines AND partitionings. `is_true` carries the planted
+    provenance for downstream quality audit; the score never reads it."""
+    return (
+        scored_pairs(spark, sf_dir)
+        .filter(F.col("score") >= MATCH_THRESHOLD)
+        .orderBy("rec_a", "rec_b")
+    )
+
+
+@query(
+    "er_linkage_quality",
+    oracle=f"""
+    -- one-row linkage scorecard vs the planted truth: pairwise
+    -- precision / recall / F1, floor-scaled e4 (NOTES ratio rule)
+    WITH {_ER_CTE},
+    m AS (SELECT * FROM scored WHERE score >= {MATCH_THRESHOLD}),
+    truth AS (
+      SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_truth
+      FROM (SELECT pk, count(*) AS k FROM norm GROUP BY 1)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_matched,
+             CAST(sum(is_true) AS BIGINT) AS tp
+      FROM m
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM norm) AS n_records,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           n_matched, tp,
+           n_matched - tp AS fp,
+           (SELECT n_truth FROM truth) - tp AS fn,
+           tp * 10000 // n_matched AS precision_e4,
+           tp * 10000 // (SELECT n_truth FROM truth) AS recall_e4,
+           2 * tp * 10000 // (n_matched + (SELECT n_truth FROM truth)) AS f1_e4
+    FROM agg
+    """,
+)
+def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage scorecard: pairwise precision/recall/F1 against the
+    planted same-part truth. Precision < 1 is genuine — distinct parts
+    with identical name/brand/type and near-equal size/price are
+    indistinguishable to any attribute matcher, and the count of such
+    collisions is itself deterministic."""
+    norm = dirty_records(spark, sf_dir).cache()
+    cand = candidate_pairs(norm)
+    scored = scored_pairs(spark, sf_dir)
+    m = scored.filter(F.col("score") >= MATCH_THRESHOLD)
+    truth = (
+        norm.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.expr("k * (k - 1) DIV 2")).cast("long").alias("n_truth"))
+    )
+    agg = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("is_true").cast("long").alias("tp"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(norm.agg(F.count(F.lit(1)).cast("long").alias("n_records"))))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))))
+        .select(
+            "n_records",
+            "n_candidates",
+            "n_matched",
+            "tp",
+            (F.col("n_matched") - F.col("tp")).alias("fp"),
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.expr("tp * 10000 DIV n_matched").alias("precision_e4"),
+            F.expr("tp * 10000 DIV n_truth").alias("recall_e4"),
+            F.expr("2 * tp * 10000 DIV (n_matched + n_truth)").alias("f1_e4"),
+        )
+    )
+
+
+CC_ROUNDS = 3
+
+
+@query(
+    "er_golden_record",
+    oracle=f"""
+    -- clusters = connected components over matched pairs (3 unrolled
+    -- min-label rounds — both engines run the SAME recurrence, so
+    -- labels agree even pre-convergence); survivorship: longest name
+    -- (tie lexicographic), min brand digits, min size, max cents
+    WITH {_ER_CTE},
+    m AS (SELECT rec_a, rec_b FROM scored WHERE score >= {MATCH_THRESHOLD}),
+    adj AS (
+      SELECT rec_a AS u, rec_b AS v FROM m
+      UNION ALL SELECT rec_b, rec_a FROM m
+      UNION ALL SELECT rec_id, rec_id FROM norm
+    ),
+    l0 AS (SELECT rec_id, rec_id AS lbl FROM norm),
+    l1 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM adj a JOIN l0 p ON a.v = p.rec_id GROUP BY 1),
+    l2 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM adj a JOIN l1 p ON a.v = p.rec_id GROUP BY 1),
+    l3 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM adj a JOIN l2 p ON a.v = p.rec_id GROUP BY 1)
+    SELECT l.lbl AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT substr(n.rec_id, 1, 1)) AS BIGINT) AS n_sources,
+           min_by(n.nname, lpad(CAST(1000 - len(n.nname) AS VARCHAR), 4, '0') || n.nname) AS canonical_name,
+           min(n.bdig) AS canonical_brand,
+           CAST(min(n.psize) AS BIGINT) AS canonical_size,
+           max(n.cents) AS canonical_cents
+    FROM l3 l JOIN norm n ON l.rec_id = n.rec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record synthesis: cluster matched records by connected
+    components (fixed {CC_ROUNDS} min-label-propagation rounds — ids-only
+    shuffles, the dedup_cluster_resolution shape) and apply
+    deterministic survivorship per cluster: longest name wins (most
+    information), minimal brand digits, minimal size, maximal cents
+    (conservative price). One golden row per physical product is the
+    PIM's master output."""
+    norm = dirty_records(spark, sf_dir).cache()
+    m = (
+        scored_pairs(spark, sf_dir)
+        .filter(F.col("score") >= MATCH_THRESHOLD)
+        .select("rec_a", "rec_b")
+    )
+    # ids-only label loop: pin a small co-partitioning on the join key
+    # so each round reuses it instead of a 200-partition default
+    # exchange per iteration (the naive-session stage-count killer)
+    adj = (
+        m.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
+        .unionByName(m.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
+        .unionByName(norm.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
+        .repartition(8, "v")
+        .cache()
+    )
+    lbl = norm.select("rec_id", F.col("rec_id").alias("lbl"))
+    for _ in range(CC_ROUNDS):
+        lbl = (
+            adj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
+            .groupBy(F.col("u").alias("rec_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    surv_key = F.concat(
+        F.lpad((F.lit(1000) - F.length("nname")).cast("string"), 4, "0"), F.col("nname")
+    )
+    return (
+        lbl.join(norm, "rec_id")
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct(F.substring("rec_id", 1, 1)).cast("long").alias("n_sources"),
+            F.min_by("nname", surv_key).alias("canonical_name"),
+            F.min("bdig").alias("canonical_brand"),
+            F.min("psize").cast("long").alias("canonical_size"),
+            F.max("cents").alias("canonical_cents"),
+        )
+        .orderBy("cluster_id")
+    )
