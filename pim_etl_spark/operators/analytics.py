@@ -2224,3 +2224,73 @@ def autocorrelation_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    -- CUSUM level-shift detection on the daily order-count series:
+    -- cumulative sum of (count - floor-mean) in day order, exact
+    -- integers end to end; the max-|CUSUM| day estimates the
+    -- changepoint and days in the top-20% excursion band are flagged
+    -- (division-free rule: 10*|c| >= 8*max|c|)
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS s, count(*) AS d FROM daily),
+    cu AS (
+      SELECT day, n,
+             CAST(sum(n - (SELECT s // d FROM tot)) OVER (ORDER BY day) AS BIGINT) AS cusum
+      FROM daily
+    ),
+    mx AS (SELECT max(abs(cusum)) AS mc FROM cu)
+    SELECT day, n, cusum,
+           CASE WHEN abs(cusum) = (SELECT mc FROM mx) THEN 1 ELSE 0 END AS is_peak
+    FROM cu
+    WHERE 10 * abs(cusum) >= 8 * (SELECT mc FROM mx)
+    ORDER BY day
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (ingest-monitoring verb, the
+    sequel to volume_spike_detection's local rule): the cumulative sum
+    of deviations from the global floor-mean turns a sustained level
+    shift into a visible excursion, and the maximum-|CUSUM| day is the
+    classic changepoint estimate. All arithmetic is exact BIGINT —
+    mean as floor division, deviations and running sums integral — so
+    the flagged set is identical cross-engine and under any
+    partitioning. The running sum windows over the per-DAY aggregate
+    (one row per day — years of data is thousands of rows however
+    large the fact table), so the unpartitioned window is
+    aggregate-sized, never event-sized."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = daily.agg(
+        F.expr("sum(n) DIV count(*)").alias("mean_n"),
+    )
+    cu = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n") - F.col("mean_n")).over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .cache()
+    )
+    mx = cu.agg(F.max(F.abs("cusum")).alias("mc"))
+    return (
+        cu.crossJoin(F.broadcast(mx))
+        .filter(10 * F.abs("cusum") >= 8 * F.col("mc"))
+        .select(
+            "day",
+            "n",
+            "cusum",
+            (F.abs("cusum") == F.col("mc")).cast("int").alias("is_peak"),
+        )
+        .orderBy("day")
+    )

@@ -516,3 +516,136 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "er_incremental_link",
+    oracle=f"""
+    -- steady-state MDM: the base golden index is built from sources
+    -- A+C only; the B batch then links against it through the same
+    -- blocking+scoring, argmax per incoming record (ties -> smaller
+    -- cluster id), below-threshold records become new clusters.
+    -- is_correct checks the assignment against the planted truth
+    -- (the cluster holding the record's A twin).
+    WITH {_ER_CTE},
+    bm AS (
+      SELECT rec_a, rec_b FROM scored
+      WHERE score >= {MATCH_THRESHOLD}
+        AND substr(rec_a, 1, 1) <> 'B' AND substr(rec_b, 1, 1) <> 'B'
+    ),
+    bnodes AS (SELECT rec_id FROM norm WHERE substr(rec_id, 1, 1) <> 'B'),
+    badj AS (
+      SELECT rec_a AS u, rec_b AS v FROM bm
+      UNION ALL SELECT rec_b, rec_a FROM bm
+      UNION ALL SELECT rec_id, rec_id FROM bnodes
+    ),
+    bl0 AS (SELECT rec_id, rec_id AS lbl FROM bnodes),
+    bl1 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl0 p ON a.v = p.rec_id GROUP BY 1),
+    bl2 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl1 p ON a.v = p.rec_id GROUP BY 1),
+    bl3 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl2 p ON a.v = p.rec_id GROUP BY 1),
+    il AS (
+      SELECT CASE WHEN substr(rec_a, 1, 1) = 'B' THEN rec_a ELSE rec_b END AS rec_id,
+             CASE WHEN substr(rec_a, 1, 1) = 'B' THEN rec_b ELSE rec_a END AS base_rec,
+             score
+      FROM scored
+      WHERE (substr(rec_a, 1, 1) = 'B') <> (substr(rec_b, 1, 1) = 'B')
+    ),
+    linked AS (
+      SELECT i.rec_id,
+             max(i.score) AS best_score,
+             min_by(l.lbl, lpad(CAST(100 - i.score AS VARCHAR), 3, '0') || l.lbl) AS best_cluster
+      FROM il i JOIN bl3 l ON i.base_rec = l.rec_id
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT n.rec_id, l.lbl AS true_cluster
+      FROM norm n JOIN bl3 l ON l.rec_id = 'A' || CAST(n.pk AS VARCHAR)
+      WHERE substr(n.rec_id, 1, 1) = 'B'
+    )
+    SELECT t.rec_id,
+           COALESCE(k.best_score, 0) AS best_score,
+           CASE WHEN k.best_score >= {MATCH_THRESHOLD} THEN k.best_cluster END AS assigned_cluster,
+           CASE WHEN k.best_score >= {MATCH_THRESHOLD} THEN 0 ELSE 1 END AS is_new,
+           CASE WHEN k.best_score >= {MATCH_THRESHOLD} AND k.best_cluster = t.true_cluster
+                THEN 1 ELSE 0 END AS is_correct
+    FROM truth t LEFT JOIN linked k ON t.rec_id = k.rec_id
+    ORDER BY t.rec_id
+    """,
+)
+def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity linking — the MDM steady state: the golden
+    index exists (built here from sources A+C), and each incoming
+    batch (source B) links against it WITHOUT re-clustering the world.
+    Cost is O(batch × block density): the incoming records block
+    against the index, score map-side, and take a per-record argmax
+    (ties break to the smaller cluster id) — the exact shape of the
+    streaming near-dup admission gate (streaming/queries.py), applied
+    to record linkage. Below-threshold records open new clusters.
+
+    The planted truth (each B record's A twin) grades every
+    assignment, so linking accuracy is part of the gated output."""
+    norm = dirty_records(spark, sf_dir).cache()
+    is_b = F.substring("rec_id", 1, 1) == "B"
+    scored = scored_pairs(spark, sf_dir).cache()
+    a_is_b = F.substring("rec_a", 1, 1) == "B"
+    b_is_b = F.substring("rec_b", 1, 1) == "B"
+    # base clusters over A+C only
+    bm = scored.filter(
+        (F.col("score") >= MATCH_THRESHOLD) & ~a_is_b & ~b_is_b
+    ).select("rec_a", "rec_b")
+    bnodes = norm.filter(~is_b).select("rec_id")
+    badj = (
+        bm.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
+        .unionByName(bm.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
+        .unionByName(bnodes.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
+        .repartition(8, "v")
+        .cache()
+    )
+    lbl = bnodes.select("rec_id", F.col("rec_id").alias("lbl"))
+    for _ in range(CC_ROUNDS):
+        lbl = (
+            badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
+            .groupBy(F.col("u").alias("rec_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    lbl = lbl.cache()
+    il = scored.filter(a_is_b != b_is_b).select(
+        F.when(a_is_b, F.col("rec_a")).otherwise(F.col("rec_b")).alias("rec_id"),
+        F.when(a_is_b, F.col("rec_b")).otherwise(F.col("rec_a")).alias("base_rec"),
+        "score",
+    )
+    tie_key = F.concat(
+        F.lpad((F.lit(100) - F.col("score")).cast("string"), 3, "0"), F.col("lbl")
+    )
+    linked = (
+        il.join(lbl.withColumnRenamed("rec_id", "base_rec"), "base_rec")
+        .groupBy("rec_id")
+        .agg(
+            F.max("score").alias("best_score"),
+            F.min_by("lbl", tie_key).alias("best_cluster"),
+        )
+    )
+    truth = (
+        norm.filter(is_b)
+        .select("rec_id", F.concat(F.lit("A"), F.col("pk").cast("string")).alias("a_twin"))
+        .join(
+            lbl.select(F.col("rec_id").alias("a_twin"), F.col("lbl").alias("true_cluster")),
+            "a_twin",
+        )
+        .select("rec_id", "true_cluster")
+    )
+    matched = F.col("best_score") >= MATCH_THRESHOLD
+    return (
+        truth.join(linked, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(F.col("best_score"), F.lit(0)).alias("best_score"),
+            F.when(matched, F.col("best_cluster")).alias("assigned_cluster"),
+            F.when(matched, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_new"),
+            F.when(matched & (F.col("best_cluster") == F.col("true_cluster")), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("rec_id")
+    )

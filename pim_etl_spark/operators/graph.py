@@ -559,3 +559,4 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("n_name").alias("nation"), F.col("label").cast("long").alias("community"))
         .orderBy("nation")
     )
+
