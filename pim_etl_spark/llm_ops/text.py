@@ -1203,3 +1203,95 @@ def bigram_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    -- Count-Min sketch (depth {CMS_DEPTH} x width {CMS_WIDTH}, md5 row hashes)
+    -- replayed exactly: per-row cell sums, then for the top-10 exact
+    -- tokens the min-over-rows estimate. CMS guarantees est >= exact;
+    -- the overestimate column makes the collision error visible.
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY 1
+    ),
+    hashed AS (
+      SELECT tok, n, r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 4)) AS BIGINT)
+               % {CMS_WIDTH} AS bucket
+      FROM tc, (SELECT unnest(range({CMS_DEPTH})) AS r)
+    ),
+    cells AS (
+      SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cell
+      FROM hashed GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT tok, n FROM tc ORDER BY n DESC, tok ASC LIMIT 10
+    ),
+    est AS (
+      SELECT t.tok, t.n AS exact_n, min(c.cell) AS cms_n
+      FROM top10 t
+      JOIN hashed h ON h.tok = t.tok
+      JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+      GROUP BY 1, 2
+    )
+    SELECT tok, exact_n, cms_n, cms_n - exact_n AS overestimate
+    FROM est ORDER BY exact_n DESC, tok ASC
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters — the mergeable frequency
+    sketch completing the family (theta set ops, HLL cardinality, KLL
+    quantiles): a {CMS_DEPTH}×{CMS_WIDTH} counter grid where every
+    row hashes each token independently (md5-deterministic, so both
+    engines build the identical grid) and a point estimate is the min
+    over rows. The grid is {CMS_DEPTH * CMS_WIDTH} integers however
+    large the corpus — THAT is the scale story: per-partition grids
+    merge by cell-wise addition (sum-groupBy here), making it the
+    streaming/distributed counter of choice when exact per-token
+    counts would shuffle the whole vocabulary. The entry gates the
+    one-sided error contract (estimate ≥ exact, overestimate =
+    collision mass) against the exact counts at test scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    tc = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .cache()
+    )
+    hashed = tc.select(
+        "tok", "n", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("r")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    ).cache()
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("n").cast("long").alias("cell"))
+    top10 = tc.orderBy(F.desc("n"), F.asc("tok")).limit(10)
+    est = (
+        top10.withColumnRenamed("n", "exact_n")
+        .join(hashed.select("tok", "r", "bucket"), "tok")
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell").alias("cms_n"))
+    )
+    return est.select(
+        "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("overestimate")
+    ).orderBy(F.desc("exact_n"), F.asc("tok"))

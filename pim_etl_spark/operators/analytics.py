@@ -2294,3 +2294,93 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    -- Theil-Sen robust trend over the monthly order-count series:
+    -- slope = LOWER median of all pairwise slopes (exact: signed
+    -- integer division truncates identically in both engines),
+    -- intercept = lower median of (y_i*1e6 - slope_e6*i)
+    WITH monthly AS (
+      SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.n - a.n) * 1000000 // (b.m - a.m) AS s
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    ms AS (
+      SELECT s AS slope_e6 FROM (
+        SELECT s, row_number() OVER (ORDER BY s) AS rk, count(*) OVER () AS c
+        FROM slopes
+      ) WHERE rk = (c + 1) // 2
+    ),
+    mi AS (
+      SELECT v AS intercept_e6 FROM (
+        SELECT n * 1000000 - (SELECT slope_e6 FROM ms) * m AS v,
+               row_number() OVER (ORDER BY n * 1000000 - (SELECT slope_e6 FROM ms) * m) AS rk,
+               count(*) OVER () AS c
+        FROM monthly
+      ) WHERE rk = (c + 1) // 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_months,
+           (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+           (SELECT slope_e6 FROM ms) AS slope_e6,
+           (SELECT intercept_e6 FROM mi) AS intercept_e6
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (robust trend — up to 29% outlier
+    contamination cannot move it, unlike the least-squares slope in
+    trend_forecast_by_priority): the lower median of all pairwise
+    slopes of the MONTHLY order-count series, then the lower median
+    residual intercept at the fitted slope. Slopes stay exact scaled
+    integers (signed integer division truncates identically in both
+    engines, pinned in NOTES).
+
+    Scale shape: the pairwise self-join runs on the per-month
+    aggregate (84 rows → 3.5k pairs — years of data collapse before
+    any pairing), never on raw orders; for per-key trends at higher
+    series cardinality the same plan nests under a groupBy key. The
+    lower-median picks use one window over the pair aggregate."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("m")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .cache()
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("n").alias("na"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("n").alias("nb"))
+    slopes = (
+        a.join(b, F.col("ma") < F.col("mb"))
+        .select(F.expr("(nb - na) * 1000000 DIV (mb - ma)").alias("s"))
+        .cache()
+    )
+    w = Window.orderBy("s")
+    ms = (
+        slopes.withColumn("rk", F.row_number().over(w))
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rk") == F.expr("(c + 1) DIV 2"))
+        .select(F.col("s").alias("slope_e6"))
+    )
+    resid = monthly.crossJoin(F.broadcast(ms)).select(
+        "slope_e6", (F.col("n") * 1000000 - F.col("slope_e6") * F.col("m")).alias("v")
+    )
+    wi = Window.partitionBy("slope_e6").orderBy("v")
+    mi = (
+        resid.withColumn("rk", F.row_number().over(wi))
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("slope_e6")))
+        .filter(F.col("rk") == F.expr("(c + 1) DIV 2"))
+        .select("slope_e6", F.col("v").alias("intercept_e6"))
+    )
+    return (
+        monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+        .crossJoin(F.broadcast(slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))))
+        .crossJoin(F.broadcast(mi))
+        .select("n_months", "n_pairs", "slope_e6", "intercept_e6")
+    )

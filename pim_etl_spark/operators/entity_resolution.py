@@ -198,6 +198,45 @@ def candidate_pairs(norm: DataFrame) -> DataFrame:
     )
 
 
+def match_features(xp: str, yp: str) -> dict:
+    """Integer feature + score expressions for a record pair, given
+    the two column prefixes (e.g. alias-qualified ``"x."``/``"y."`` or
+    rename-prefixed ``"b_"``) — the single definition every batch,
+    incremental, and streaming matcher shares."""
+    def c(p: str, name: str):
+        return F.col(p + name)
+
+    name_lev = F.levenshtein(c(xp, "nname"), c(yp, "nname")).cast("long")
+    tok_jac_e4 = (
+        F.size(F.array_intersect(c(xp, "tset"), c(yp, "tset"))).cast("long")
+        * 10000
+        / F.size(F.array_union(c(xp, "tset"), c(yp, "tset")))
+    ).cast("long")
+    cents_diff = F.abs(c(xp, "cents") - c(yp, "cents"))
+    size_diff = F.abs(c(xp, "psize") - c(yp, "psize")).cast("long")
+    brand_eq = (c(xp, "bdig") == c(yp, "bdig")).cast("int")
+    type_eq = (c(xp, "ptype") == c(yp, "ptype")).cast("int")
+    score = (
+        brand_eq * 30
+        + type_eq * 10
+        + F.greatest(F.lit(0), F.lit(20) - 5 * size_diff)
+        + F.greatest(
+            F.least(F.lit(20).cast("long"), (tok_jac_e4 * 2 / 1000).cast("long")),
+            F.greatest(F.lit(0).cast("long"), F.lit(20) - 4 * name_lev),
+        )
+        + F.greatest(F.lit(0).cast("long"), F.lit(20) - (cents_diff / 10).cast("long"))
+    ).cast("long")
+    return {
+        "name_lev": name_lev,
+        "tok_jac_e4": tok_jac_e4,
+        "cents_diff": cents_diff,
+        "size_diff": size_diff,
+        "brand_eq": brand_eq,
+        "type_eq": type_eq,
+        "score": score,
+    }
+
+
 def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs with integer similarity features and the
     0–100 match score (see _ER_CTE for the exact formula)."""
@@ -209,37 +248,18 @@ def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(x, F.col("rec_a") == F.col("x.rec_id"))
         .join(y, F.col("rec_b") == F.col("y.rec_id"))
     )
-    name_lev = F.levenshtein(F.col("x.nname"), F.col("y.nname")).cast("long")
-    tok_jac_e4 = (
-        F.size(F.array_intersect("x.tset", "y.tset")).cast("long")
-        * 10000
-        / F.size(F.array_union("x.tset", "y.tset"))
-    ).cast("long")
-    cents_diff = F.abs(F.col("x.cents") - F.col("y.cents"))
-    size_diff = F.abs(F.col("x.psize") - F.col("y.psize")).cast("long")
-    brand_eq = (F.col("x.bdig") == F.col("y.bdig")).cast("int")
-    type_eq = (F.col("x.ptype") == F.col("y.ptype")).cast("int")
-    score = (
-        brand_eq * 30
-        + type_eq * 10
-        + F.greatest(F.lit(0), F.lit(20) - 5 * size_diff)
-        + F.greatest(
-            F.least(F.lit(20).cast("long"), (tok_jac_e4 * 2 / 1000).cast("long")),
-            F.greatest(F.lit(0).cast("long"), F.lit(20) - 4 * name_lev),
-        )
-        + F.greatest(F.lit(0).cast("long"), F.lit(20) - (cents_diff / 10).cast("long"))
-    ).cast("long")
+    fx = match_features("x.", "y.")
     return joined.select(
         "rec_a",
         "rec_b",
-        name_lev.alias("name_lev"),
-        tok_jac_e4.alias("tok_jac_e4"),
-        cents_diff.alias("cents_diff"),
-        size_diff.alias("size_diff"),
-        brand_eq.alias("brand_eq"),
-        type_eq.alias("type_eq"),
+        fx["name_lev"].alias("name_lev"),
+        fx["tok_jac_e4"].alias("tok_jac_e4"),
+        fx["cents_diff"].alias("cents_diff"),
+        fx["size_diff"].alias("size_diff"),
+        fx["brand_eq"].alias("brand_eq"),
+        fx["type_eq"].alias("type_eq"),
         (F.col("x.pk") == F.col("y.pk")).cast("int").alias("is_true"),
-        score.alias("score"),
+        fx["score"].alias("score"),
     )
 
 
@@ -518,6 +538,34 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def base_cluster_labels(norm: DataFrame, scored: DataFrame) -> DataFrame:
+    """Golden-index cluster labels over the base (non-B) records:
+    connected components via the fixed min-label rounds. Cached —
+    this is the persisted index incremental/streaming admission links
+    against."""
+    a_is_b = F.substring("rec_a", 1, 1) == "B"
+    b_is_b = F.substring("rec_b", 1, 1) == "B"
+    bm = scored.filter(
+        (F.col("score") >= MATCH_THRESHOLD) & ~a_is_b & ~b_is_b
+    ).select("rec_a", "rec_b")
+    bnodes = norm.filter(F.substring("rec_id", 1, 1) != "B").select("rec_id")
+    badj = (
+        bm.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
+        .unionByName(bm.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
+        .unionByName(bnodes.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
+        .repartition(8, "v")
+        .cache()
+    )
+    lbl = bnodes.select("rec_id", F.col("rec_id").alias("lbl"))
+    for _ in range(CC_ROUNDS):
+        lbl = (
+            badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
+            .groupBy(F.col("u").alias("rec_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lbl.cache()
+
+
 @query(
     "er_incremental_link",
     oracle=f"""
@@ -589,26 +637,7 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_pairs(spark, sf_dir).cache()
     a_is_b = F.substring("rec_a", 1, 1) == "B"
     b_is_b = F.substring("rec_b", 1, 1) == "B"
-    # base clusters over A+C only
-    bm = scored.filter(
-        (F.col("score") >= MATCH_THRESHOLD) & ~a_is_b & ~b_is_b
-    ).select("rec_a", "rec_b")
-    bnodes = norm.filter(~is_b).select("rec_id")
-    badj = (
-        bm.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
-        .unionByName(bm.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
-        .unionByName(bnodes.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
-        .repartition(8, "v")
-        .cache()
-    )
-    lbl = bnodes.select("rec_id", F.col("rec_id").alias("lbl"))
-    for _ in range(CC_ROUNDS):
-        lbl = (
-            badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
-            .groupBy(F.col("u").alias("rec_id"))
-            .agg(F.min("lbl").alias("lbl"))
-        )
-    lbl = lbl.cache()
+    lbl = base_cluster_labels(norm, scored)
     il = scored.filter(a_is_b != b_is_b).select(
         F.when(a_is_b, F.col("rec_a")).otherwise(F.col("rec_b")).alias("rec_id"),
         F.when(a_is_b, F.col("rec_b")).otherwise(F.col("rec_a")).alias("base_rec"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.operators.entity_resolution import _ER_CTE
 from pim_etl_spark.sources import _ensure_nanos_conf, normalize_event_ts
 
 
@@ -969,4 +970,176 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", rk)
         .filter(F.col("rk") <= 3)
         .orderBy("window_start", "rk")
+    )
+
+
+@query(
+    "stream_er_admission",
+    oracle="""
+    -- batch twin of the streamed MDM admission gate: source-B records
+    -- link against the A+C golden index (same blocking + scoring +
+    -- per-record argmax as er_incremental_link), rolled up per ingest
+    -- chunk (pk % 3 — the file an incoming record streams in with)
+    WITH """ + _ER_CTE + """,
+    bm AS (
+      SELECT rec_a, rec_b FROM scored
+      WHERE score >= 70
+        AND substr(rec_a, 1, 1) <> 'B' AND substr(rec_b, 1, 1) <> 'B'
+    ),
+    bnodes AS (SELECT rec_id FROM norm WHERE substr(rec_id, 1, 1) <> 'B'),
+    badj AS (
+      SELECT rec_a AS u, rec_b AS v FROM bm
+      UNION ALL SELECT rec_b, rec_a FROM bm
+      UNION ALL SELECT rec_id, rec_id FROM bnodes
+    ),
+    bl0 AS (SELECT rec_id, rec_id AS lbl FROM bnodes),
+    bl1 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl0 p ON a.v = p.rec_id GROUP BY 1),
+    bl2 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl1 p ON a.v = p.rec_id GROUP BY 1),
+    bl3 AS (SELECT a.u AS rec_id, min(p.lbl) AS lbl FROM badj a JOIN bl2 p ON a.v = p.rec_id GROUP BY 1),
+    il AS (
+      SELECT CASE WHEN substr(rec_a, 1, 1) = 'B' THEN rec_a ELSE rec_b END AS rec_id,
+             CASE WHEN substr(rec_a, 1, 1) = 'B' THEN rec_b ELSE rec_a END AS base_rec,
+             score
+      FROM scored
+      WHERE (substr(rec_a, 1, 1) = 'B') <> (substr(rec_b, 1, 1) = 'B')
+    ),
+    linked AS (
+      SELECT i.rec_id,
+             max(i.score) AS best_score,
+             min_by(l.lbl, lpad(CAST(100 - i.score AS VARCHAR), 3, '0') || l.lbl) AS best_cluster
+      FROM il i JOIN bl3 l ON i.base_rec = l.rec_id
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT n.rec_id, n.pk % 3 AS chunk, l.lbl AS true_cluster
+      FROM norm n JOIN bl3 l ON l.rec_id = 'A' || CAST(n.pk AS VARCHAR)
+      WHERE substr(n.rec_id, 1, 1) = 'B'
+    )
+    SELECT b.chunk,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN k.best_score >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+           CAST(sum(CASE WHEN k.best_score >= 70 THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN k.best_score >= 70 AND k.best_cluster = b.true_cluster
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM b LEFT JOIN linked k ON b.rec_id = k.rec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MDM admission: incoming source-B records arrive as a
+    file stream (three chunk files, replayed through the micro-batch
+    engine) and link against the STATIC golden index — blocking keys,
+    features, and the match score all evaluate inside the stream-static
+    join, and one streaming aggregation takes the per-record argmax
+    (max score; ties to the smaller cluster via a struct min — no
+    window needed, so it IS streamable). The per-chunk rollup happens
+    at the sink on aggregate-sized rows (stream_windowed_topk's
+    two-phase shape). This is er_incremental_link running as a
+    continuous admission gate: state is one row per in-flight record,
+    and the golden index is the broadcast side, exactly how a
+    1000-executor deployment would pin it."""
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.operators.entity_resolution import (
+        MATCH_THRESHOLD,
+        base_cluster_labels,
+        blocking_keys,
+        dirty_records,
+        match_features,
+        scored_pairs,
+    )
+
+    norm = dirty_records(spark, sf_dir).cache()
+    is_b = F.substring("rec_id", 1, 1) == "B"
+    scored = scored_pairs(spark, sf_dir)
+    lbl = base_cluster_labels(norm, scored)
+    base = norm.filter(~is_b)
+    # static join side: base blocking keys + features + cluster label,
+    # feature columns prefixed b_
+    static_side = (
+        blocking_keys(base)
+        .join(base, "rec_id")
+        .join(lbl, "rec_id")
+        .select(
+            "bkey",
+            F.col("lbl"),
+            F.col("nname").alias("b_nname"),
+            F.col("tset").alias("b_tset"),
+            F.col("cents").alias("b_cents"),
+            F.col("psize").alias("b_psize"),
+            F.col("bdig").alias("b_bdig"),
+            F.col("ptype").alias("b_ptype"),
+        )
+        .cache()
+    )
+    incoming = norm.filter(is_b).select(
+        "rec_id",
+        (F.col("pk") % 3).cast("int").alias("chunk"),
+        "nname",
+        "tset",
+        "cents",
+        "psize",
+        "bdig",
+        "ptype",
+    )
+    tmp = tempfile.mkdtemp(prefix="pim-eradmit-")
+    try:
+        for i in range(3):
+            incoming.filter(F.col("chunk") == i).coalesce(1).write.mode("append").parquet(tmp)
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        skeys = stream.select(
+            "*", F.concat(F.lit("bt|"), F.col("bdig"), F.lit("|"), F.col("ptype")).alias("bkey")
+        ).unionByName(
+            stream.select(
+                "*",
+                F.concat(
+                    F.lit("ts|"), F.col("ptype"), F.lit("|"), F.col("psize").cast("string")
+                ).alias("bkey"),
+            )
+        )
+        fx = match_features("", "b_")
+        pick = F.struct(
+            (F.lit(100) - fx["score"]).alias("inv"), F.col("lbl").alias("lbl")
+        )
+        per_rec = (
+            skeys.join(static_side, "bkey")
+            .select("rec_id", "chunk", fx["score"].alias("score"), pick.alias("pick"))
+            .groupBy("rec_id", "chunk")
+            .agg(F.max("score").alias("best_score"), F.min("pick").alias("pick"))
+        )
+        sunk = run_stream_to_memory(spark, per_rec, mode="complete", state_partitions=8)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    matched = F.col("best_score") >= MATCH_THRESHOLD
+    truth = (
+        norm.filter(is_b)
+        .select(
+            "rec_id",
+            (F.col("pk") % 3).cast("int").alias("chunk"),
+            F.concat(F.lit("A"), F.col("pk").cast("string")).alias("a_twin"),
+        )
+        .join(
+            lbl.select(F.col("rec_id").alias("a_twin"), F.col("lbl").alias("true_cluster")),
+            "a_twin",
+        )
+    )
+    return (
+        truth.join(sunk.select("rec_id", "best_score", F.col("pick.lbl").alias("best_cluster")), "rec_id", "left")
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_linked"),
+            F.sum(F.when(matched, 0).otherwise(1)).cast("long").alias("n_new"),
+            F.sum(
+                F.when(matched & (F.col("best_cluster") == F.col("true_cluster")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("chunk")
     )
