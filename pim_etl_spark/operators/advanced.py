@@ -1438,3 +1438,94 @@ def interval_overlap_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+GRID_R = 400  # neighbor radius; grid cell edge = R so 3x3 cells cover it
+
+
+@query(
+    "spatial_grid_neighbor_join",
+    oracle=f"""
+    -- spatial self-join via grid binning: md5-deterministic points on
+    -- a 100k x 100k integer plane; pairs within euclidean distance
+    -- {GRID_R} found by expanding ONE side to its 3x3 cell
+    -- neighborhood (cell edge = radius), exact squared-distance
+    -- verify — each qualifying pair materializes exactly once
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100000 AS x,
+             CAST(('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100000 AS y
+      FROM customer
+    ),
+    cells AS (
+      SELECT id, x, y, x // {GRID_R} AS cx, y // {GRID_R} AS cy FROM pts
+    ),
+    expanded AS (
+      SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      FROM cells, (SELECT unnest(range(-1, 2)) AS d) dx, (SELECT unnest(range(-1, 2)) AS d) dy
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM cells a JOIN expanded b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {GRID_R * GRID_R}
+    ORDER BY id_a, id_b
+    """,
+)
+def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join via grid binning — the spatial sibling of
+    LSH bucketing: bin points into cells of edge = radius, expand ONE
+    side to its 3×3 neighborhood, equi-join on the cell key, verify
+    with the exact integer squared distance. No all-pairs anywhere:
+    candidates are bounded by local density × 9, the equi-join
+    shuffles on cell keys like any aggregation, and skewed hot cells
+    respond to the same salting/AQE tools as any hot key. This is how
+    geo dedup / store-proximity / point-cluster jobs run at 100 TB
+    (an H3/S2 cell id is this integer cell key with better geometry).
+    Points are md5-derived from customer keys (deterministic plane,
+    exactly replayable cross-engine)."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("px:"), F.col("c_custkey").cast("string"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("py:"), F.col("c_custkey").cast("string"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "*",
+        F.expr(f"x DIV {GRID_R}").alias("cx"),
+        F.expr(f"y DIV {GRID_R}").alias("cy"),
+    ).cache()
+    d = spark.range(-1, 2).select(F.col("id").cast("long").alias("d"))
+    expanded = (
+        cells.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        cells.join(expanded, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(dist2 <= GRID_R * GRID_R)
+        .select(F.col("id").alias("id_a"), "id_b", dist2.alias("dist2"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1685,3 +1685,158 @@ def join_multiplicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel")
     )
+
+
+MERKLE_COARSE = 64
+MERKLE_FINE = 1024
+
+
+@query(
+    "merkle_range_diff",
+    oracle=f"""
+    -- anti-entropy replica reconciliation: two-level merkle compare.
+    -- The replica is the primary with md5-planted divergence (cents
+    -- +1 on ~1/997 keys, rows missing on ~1/1013 keys). Level 1
+    -- compares {MERKLE_COARSE} coarse bucket hashes (XOR-folded
+    -- 60-bit row md5s — order/partitioning independent); only
+    -- diverging coarse buckets descend to their {MERKLE_FINE}-bucket
+    -- fine level. Output: the diverging fine buckets with both
+    -- hashes, plus each side's row count in the bucket.
+    WITH pr AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT k,
+             cents + CASE WHEN CAST(('0x' || substr(md5('tamper:' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % 997 = 0
+                          THEN 1 ELSE 0 END AS cents
+      FROM pr
+      WHERE CAST(('0x' || substr(md5('drop:' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % 1013 <> 0
+    ),
+    ph AS (
+      SELECT k, cents,
+             CAST(('0x' || substr(md5('mb:' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % {MERKLE_FINE} AS fine
+      FROM pr
+    ),
+    rh AS (
+      SELECT k, cents,
+             CAST(('0x' || substr(md5('mb:' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % {MERKLE_FINE} AS fine
+      FROM rep
+    ),
+    pf AS (
+      SELECT fine, fine % {MERKLE_COARSE} AS coarse,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ph GROUP BY 1, 2
+    ),
+    rf AS (
+      SELECT fine, fine % {MERKLE_COARSE} AS coarse,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rh GROUP BY 1, 2
+    ),
+    pc AS (SELECT coarse, CAST(bit_xor(h) AS BIGINT) AS h FROM pf GROUP BY 1),
+    rc AS (SELECT coarse, CAST(bit_xor(h) AS BIGINT) AS h FROM rf GROUP BY 1),
+    dc AS (
+      SELECT pc.coarse FROM pc JOIN rc ON pc.coarse = rc.coarse AND pc.h <> rc.h
+      UNION ALL SELECT coarse FROM pc WHERE coarse NOT IN (SELECT coarse FROM rc)
+      UNION ALL SELECT coarse FROM rc WHERE coarse NOT IN (SELECT coarse FROM pc)
+    )
+    SELECT f.fine,
+           COALESCE(p.h, 0) AS primary_hash, COALESCE(r.h, 0) AS replica_hash,
+           COALESCE(p.n, 0) AS primary_n, COALESCE(r.n, 0) AS replica_n
+    FROM (SELECT DISTINCT fine FROM (SELECT fine FROM pf WHERE coarse IN (SELECT coarse FROM dc)
+                                     UNION ALL
+                                     SELECT fine FROM rf WHERE coarse IN (SELECT coarse FROM dc))) f
+    LEFT JOIN pf p ON f.fine = p.fine
+    LEFT JOIN rf r ON f.fine = r.fine
+    WHERE COALESCE(p.h, 0) <> COALESCE(r.h, 0) OR COALESCE(p.n, 0) <> COALESCE(r.n, 0)
+    ORDER BY f.fine
+    """,
+)
+def merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree anti-entropy (the replica-repair verb behind
+    Cassandra repair / DynamoDB sync, and the range-granular sequel to
+    table_fingerprint_checksum's single table hash): bucket hashes are
+    XOR-folded 60-bit row md5s, so they are partitioning- and
+    order-independent and mergeable bottom-up; level 1 compares
+    {MERKLE_COARSE} coarse hashes, and ONLY diverging coarse subtrees
+    descend to the {MERKLE_FINE}-bucket fine level. At 100 TB this is
+    the bandwidth story: the coarse exchange is {MERKLE_COARSE} longs
+    regardless of table size, and fine work is proportional to
+    DIVERGENCE, not volume. The replica's divergence is md5-planted
+    (value tamper ~1/997 keys, missing rows ~1/1013), so the exact
+    diverging bucket set is replayable cross-engine."""
+    pr = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k_s = F.col("k").cast("string")
+    tamper = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("tamper:"), k_s)), 1, 6), 16, 10).cast("long")
+        % 997
+        == 0
+    ).cast("long")
+    dropped = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("drop:"), k_s)), 1, 6), 16, 10).cast("long")
+        % 1013
+        != 0
+    )
+    rep = pr.filter(dropped).select("k", (F.col("cents") + tamper).alias("cents"))
+
+    def fine_level(df):
+        fine = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("mb:"), k_s)), 1, 6), 16, 10).cast("long")
+            % MERKLE_FINE
+        )
+        h60 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", k_s, F.col("cents").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(fine.alias("fine"), h60.alias("h60"))
+            .groupBy("fine")
+            .agg(F.bit_xor("h60").alias("h"), F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("coarse", F.col("fine") % MERKLE_COARSE)
+        )
+
+    pf = fine_level(pr).cache()
+    rf = fine_level(rep).cache()
+    pc = pf.groupBy("coarse").agg(F.bit_xor("h").alias("h"))
+    rc = rf.groupBy("coarse").agg(F.bit_xor("h").alias("h"))
+    dc = (
+        pc.join(rc.withColumnsRenamed({"h": "rh"}), "coarse", "full")
+        .filter(
+            (F.col("h").isNull())
+            | (F.col("rh").isNull())
+            | (F.col("h") != F.col("rh"))
+        )
+        .select("coarse")
+    )
+    pfd = pf.join(F.broadcast(dc), "coarse", "left_semi")
+    rfd = rf.join(F.broadcast(dc), "coarse", "left_semi")
+    joined = (
+        pfd.select("fine", F.col("h").alias("ph"), F.col("n").alias("pn"))
+        .join(
+            rfd.select("fine", F.col("h").alias("rh"), F.col("n").alias("rn")),
+            "fine",
+            "full",
+        )
+        .select(
+            "fine",
+            F.coalesce("ph", F.lit(0)).alias("primary_hash"),
+            F.coalesce("rh", F.lit(0)).alias("replica_hash"),
+            F.coalesce("pn", F.lit(0)).alias("primary_n"),
+            F.coalesce("rn", F.lit(0)).alias("replica_n"),
+        )
+        .filter(
+            (F.col("primary_hash") != F.col("replica_hash"))
+            | (F.col("primary_n") != F.col("replica_n"))
+        )
+        .orderBy("fine")
+    )
+    return joined

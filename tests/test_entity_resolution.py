@@ -1,0 +1,107 @@
+"""Entity-resolution suite: behavioral pins beyond the oracle parity
+gate (tests/test_oracle_parity.py covers value equality; these pin the
+SEMANTIC guarantees the entries claim)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pim_etl_spark.operators.entity_resolution import (
+    MATCH_THRESHOLD,
+    base_cluster_labels,
+    candidate_pairs,
+    dirty_records,
+    er_golden_record,
+    er_incremental_link,
+    er_linkage_quality,
+    scored_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def quality_row(spark, sf_dir):
+    return er_linkage_quality(spark, sf_dir).collect()[0]
+
+
+def test_blocking_has_perfect_pair_completeness(spark, sf_dir):
+    """Every planted truth pair must survive blocking: B shares
+    (brand digits, type) with its A twin, C shares both keys — a
+    blocking miss would be silent recall loss downstream."""
+    norm = dirty_records(spark, sf_dir)
+    cand = candidate_pairs(norm)
+    x = norm.alias("x")
+    y = norm.alias("y")
+    truth = x.join(
+        y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.rec_id") < F.col("y.rec_id"))
+    ).select(F.col("x.rec_id").alias("rec_a"), F.col("y.rec_id").alias("rec_b"))
+    missed = truth.join(cand, ["rec_a", "rec_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_matcher_recall_is_total_and_precision_honest(quality_row):
+    """The planted perturbations were designed inside the score
+    margin, so recall is exactly 1; precision < 1 records the genuine
+    indistinguishable-twin collisions (never 0 of them at sf>=0.001)."""
+    assert quality_row.recall_e4 == 10000
+    assert quality_row.fn == 0
+    assert 0 < quality_row.precision_e4 <= 10000
+    assert quality_row.n_candidates < quality_row.n_records * (quality_row.n_records - 1) // 2
+
+
+def test_scores_are_bounded_and_integer(spark, sf_dir):
+    mm = scored_pairs(spark, sf_dir).agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()[0]
+    assert 0 <= mm.lo <= mm.hi <= 100
+
+
+def test_golden_record_conserves_membership(spark, sf_dir):
+    """Cluster sizes sum to the record count (no record lost or
+    double-assigned by the fixed-round label propagation), and every
+    multi-source cluster carries a canonical value for each field."""
+    norm_n = dirty_records(spark, sf_dir).count()
+    golden = er_golden_record(spark, sf_dir)
+    agg = golden.agg(
+        F.sum("n_members").alias("total"),
+        F.sum(F.when(F.col("canonical_name").isNull(), 1).otherwise(0)).alias("null_names"),
+    ).collect()[0]
+    assert agg.total == norm_n
+    assert agg.null_names == 0
+
+
+def test_golden_survivorship_prefers_longest_name(spark, sf_dir):
+    """B's devoweled name is strictly shorter than A's original, so no
+    3-source cluster may surface a devoweled canonical name."""
+    bad = (
+        er_golden_record(spark, sf_dir)
+        .filter((F.col("n_sources") >= 2) & (~F.col("canonical_name").rlike("[aeiou]")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_incremental_link_assigns_b_records_correctly(spark, sf_dir):
+    """Steady-state linking: every B record links (is_new = 0 — its A
+    twin is always in the index and inside the score margin) and the
+    assignment lands in the truth cluster except for planted
+    indistinguishable twins (bounded, measured, deterministic)."""
+    res = er_incremental_link(spark, sf_dir).cache()
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_correct").alias("n_correct"),
+    ).collect()[0]
+    assert agg.n_new == 0
+    assert agg.n_correct >= agg.n * 9 // 10
+
+
+def test_base_labels_are_canonical_members(spark, sf_dir):
+    """Every base cluster label is itself a member record id of the
+    cluster (min-label invariant), so labels are stable join keys."""
+    norm = dirty_records(spark, sf_dir).cache()
+    lbl = base_cluster_labels(norm, scored_pairs(spark, sf_dir))
+    dangling = lbl.join(
+        norm.select(F.col("rec_id").alias("lbl")), "lbl", "left_anti"
+    ).count()
+    assert dangling == 0
