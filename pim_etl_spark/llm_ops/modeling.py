@@ -101,15 +101,21 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gd_oracle() -> str:
+def _gd_cte() -> str:
+    """The WITH chain w0 -> w{GD_ITERS} shared by the training entry
+    and the model-based filter entry."""
     cte = "WITH " + _FEAT_SQL + ",\n    w0 AS (SELECT CAST(0 AS BIGINT) AS w0_e6, CAST(0 AS BIGINT) AS w1_e6, CAST(0 AS BIGINT) AS w2_e6, CAST(0 AS BIGINT) AS w3_e6)"
-    rows = []
     for i in range(GD_ITERS):
         cte += ",\n" + _ITER_SQL.format(g=f"g{i}", w=f"w{i}", wn=f"w{i + 1}")
-        rows.append(
-            f"SELECT {i + 1} AS iter, w0_e6, w1_e6, w2_e6, w3_e6, sae_e6, n FROM w{i + 1}"
-        )
-    return cte + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY iter"
+    return cte
+
+
+def _gd_oracle() -> str:
+    rows = [
+        f"SELECT {i + 1} AS iter, w0_e6, w1_e6, w2_e6, w3_e6, sae_e6, n FROM w{i + 1}"
+        for i in range(GD_ITERS)
+    ]
+    return _gd_cte() + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY iter"
 
 
 @query("logreg_gd_quality", oracle=_gd_oracle())
@@ -129,6 +135,17 @@ def logreg_gd_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration costs one pass over the corpus with a 6-value exchange.
     """
     feats = doc_features(spark, sf_dir).cache()
+    out, _ = _train(feats)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("iter")
+
+
+def _train(feats: DataFrame):
+    """Run the unrolled GD loop; returns (per-iteration report DFs,
+    final 1-row weight DF). Shared by the training entry and the
+    model-based corpus filter."""
     weights = None
     out = []
     for i in range(GD_ITERS):
@@ -198,10 +215,7 @@ def logreg_gd_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("iter")
+    return out, weights
 
 
 @query(
@@ -326,4 +340,66 @@ def confusion_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("2 * tp * 10000 DIV greatest(tp + fp + tp + fn, 1)").alias("f1_e4"),
         )
         .orderBy("thr")
+    )
+
+
+@query(
+    "model_quality_filter",
+    oracle=_gd_cte()
+    + f"""
+    -- train (the w{GD_ITERS} weights above) then SERVE in the same plan:
+    -- a doc is kept iff its final-model score z >= 0 (p >= 1/2 exactly
+    -- — the soft-sign logistic crosses 1/2 at z = 0, so no p division
+    -- is needed at serve time). Per-lang acceptance report.
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN z_e6 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN z_e6 >= 0 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS kept_share_e4,
+           CAST(sum(CASE WHEN (z_e6 >= 0) = (y = 1) THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS agree_label_e4
+    FROM (
+      SELECT d.lang, f.y,
+             w.w0_e6 * f.x0 + w.w1_e6 * f.x1 + w.w2_e6 * f.x2 + w.w3_e6 * f.x3 AS z_e6
+      FROM feats f JOIN documents d USING (doc_id)
+      CROSS JOIN w{GD_ITERS} w
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering — train THEN serve inside one
+    logical plan: the {GD_ITERS}-iteration GD weights feed a map-side
+    scoring pass over the whole corpus (the fastText-quality-filter
+    deployment pattern), keeping docs whose final score z >= 0 (the
+    soft-sign logistic crosses 1/2 exactly at z = 0, so serving needs
+    no division at all). The gated report is the per-language
+    acceptance table a curation run reviews before committing the
+    filter: volume, kept share, and agreement with the training label.
+    Scale shape: training cost is {GD_ITERS} corpus passes with
+    6-long exchanges; serving is one more pass with the 1-row weight
+    table broadcast — nothing new shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    feats = doc_features(spark, sf_dir).cache()
+    _, weights = _train(feats)
+    z = (
+        F.col("w0_e6") * F.col("x0")
+        + F.col("w1_e6") * F.col("x1")
+        + F.col("w2_e6") * F.col("x2")
+        + F.col("w3_e6") * F.col("x3")
+    )
+    kept = (z >= 0).cast("int")
+    agree = (kept == F.col("y")).cast("int")
+    return (
+        feats.join(docs, "doc_id")
+        .crossJoin(F.broadcast(weights))
+        .select("lang", kept.alias("kept"), agree.alias("agree"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.expr("sum(kept) * 10000 DIV count(*)").cast("long").alias("kept_share_e4"),
+            F.expr("sum(agree) * 10000 DIV count(*)").cast("long").alias("agree_label_e4"),
+        )
+        .orderBy("lang")
     )

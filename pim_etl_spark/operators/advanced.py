@@ -1529,3 +1529,152 @@ def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("id_a"), "id_b", dist2.alias("dist2"))
         .orderBy("id_a", "id_b")
     )
+
+
+DBSCAN_MINPTS = 3  # core = at least this many neighbors within GRID_R
+
+
+@query(
+    "grid_dbscan_clusters",
+    oracle=f"""
+    -- DBSCAN over the md5 plane via the grid join: neighbor counts
+    -- from radius-{GRID_R} pairs, core = >= {DBSCAN_MINPTS} neighbors,
+    -- clusters = 3 unrolled min-label rounds over the core-core
+    -- graph (both engines run the SAME recurrence), border points
+    -- adopt the min core-neighbor label; noise omitted
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 40000 AS x,
+             CAST(('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 40000 AS y
+      FROM customer
+    ),
+    cells AS (SELECT id, x, y, x // {GRID_R} AS cx, y // {GRID_R} AS cy FROM pts),
+    expanded AS (
+      SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      FROM cells, (SELECT unnest(range(-1, 2)) AS d) dx, (SELECT unnest(range(-1, 2)) AS d) dy
+    ),
+    prs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM cells a JOIN expanded b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {GRID_R * GRID_R}
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+    nc AS (SELECT u AS id, count(*) AS n_nb FROM sym GROUP BY 1),
+    core AS (SELECT id FROM nc WHERE n_nb >= {DBSCAN_MINPTS}),
+    ce AS (
+      SELECT s.u, s.v FROM sym s
+      JOIN core c1 ON s.u = c1.id JOIN core c2 ON s.v = c2.id
+      UNION ALL SELECT id, id FROM core
+    ),
+    l0 AS (SELECT id, id AS lbl FROM core),
+    l1 AS (SELECT e.u AS id, min(p.lbl) AS lbl FROM ce e JOIN l0 p ON e.v = p.id GROUP BY 1),
+    l2 AS (SELECT e.u AS id, min(p.lbl) AS lbl FROM ce e JOIN l1 p ON e.v = p.id GROUP BY 1),
+    l3 AS (SELECT e.u AS id, min(p.lbl) AS lbl FROM ce e JOIN l2 p ON e.v = p.id GROUP BY 1),
+    border AS (
+      SELECT s.u AS id, min(l.lbl) AS lbl
+      FROM sym s JOIN l3 l ON s.v = l.id
+      WHERE s.u NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT id, 'core' AS role, lbl AS cluster FROM l3
+    UNION ALL
+    SELECT id, 'border', lbl FROM border
+    ORDER BY id
+    """,
+)
+def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (density clustering) built from parts this engine
+    already proves at scale: the grid-binned radius join supplies
+    neighbor counts (no all-pairs), core points are density-qualified
+    ({DBSCAN_MINPTS}+ neighbors within {GRID_R}), clusters are
+    connected components of the core-core graph (fixed min-label
+    rounds, ids-only shuffles), and border points adopt their minimum
+    core-neighbor label — noise stays unlabeled, which is DBSCAN's
+    whole point over k-means. Both engines run the identical fixed
+    recurrence, so labels agree even before convergence. Scale: every
+    stage is a cell-key equi-join or an ids-only aggregate; density
+    skew concentrates in hot CELLS, which are ordinary hot keys."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("px:"), F.col("c_custkey").cast("string"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 40000
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("py:"), F.col("c_custkey").cast("string"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 40000
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "*",
+        F.expr(f"x DIV {GRID_R}").alias("cx"),
+        F.expr(f"y DIV {GRID_R}").alias("cy"),
+    ).cache()
+    d = spark.range(-1, 2).select(F.col("id").cast("long").alias("d"))
+    expanded = (
+        cells.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    prs = (
+        cells.join(expanded, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(dist2 <= GRID_R * GRID_R)
+        .select(F.col("id").alias("id_a"), "id_b")
+    )
+    sym = (
+        prs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(prs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .cache()
+    )
+    core = (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_nb"))
+        .filter(F.col("n_nb") >= DBSCAN_MINPTS)
+        .select("id")
+        .cache()
+    )
+    ce = (
+        sym.join(core.withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(core.withColumnRenamed("id", "v"), "v", "left_semi")
+        .select("u", "v")
+        .unionByName(core.select(F.col("id").alias("u"), F.col("id").alias("v")))
+        .repartition(8, "v")
+        .cache()
+    )
+    lbl = core.select("id", F.col("id").alias("lbl"))
+    for _ in range(3):
+        lbl = (
+            ce.join(lbl.withColumnRenamed("id", "v").repartition(8, "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    lbl = lbl.cache()
+    border = (
+        sym.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+        .join(lbl.withColumnRenamed("id", "v"), "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    return (
+        lbl.select("id", F.lit("core").alias("role"), F.col("lbl").alias("cluster"))
+        .unionByName(border.select("id", F.lit("border").alias("role"), F.col("lbl").alias("cluster")))
+        .orderBy("id")
+    )
