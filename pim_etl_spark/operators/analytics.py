@@ -2384,3 +2384,120 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mi))
         .select("n_months", "n_pairs", "slope_e6", "intercept_e6")
     )
+
+
+@query(
+    "peak_concurrency_sweep",
+    oracle="""
+    -- max concurrent open orders via the boundary sweep: +1 at each
+    -- interval's open day, -1 the day after it closes, per-day net
+    -- deltas, one running sum over the ~2.5k-day aggregate. Output:
+    -- the top-10% concurrency band (10*c >= 9*peak), peak flagged.
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CAST((o_orderkey % 14 + 1) AS INTEGER) AS hi
+      FROM orders
+    ),
+    bounds AS (
+      SELECT lo AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT hi + 1, -1 FROM iv
+    ),
+    daily AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM bounds GROUP BY 1),
+    run AS (
+      SELECT day, CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS concurrency
+      FROM daily
+    ),
+    mx AS (SELECT max(concurrency) AS peak FROM run)
+    SELECT CAST(day AS TIMESTAMP) AS day, concurrency,
+           CASE WHEN concurrency = (SELECT peak FROM mx) THEN 1 ELSE 0 END AS is_peak
+    FROM run
+    WHERE 10 * concurrency >= 9 * (SELECT peak FROM mx)
+    ORDER BY day
+    """,
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency / max-overlap analytics (capacity planning:
+    how many orders are in flight at once) via the boundary-sweep
+    identity: every interval contributes +1 at its open and −1 after
+    its close, and the running sum of per-day nets IS the concurrency
+    curve — no interval join at all, which is the whole trick: overlap
+    counting that would be a self-theta-join becomes two scan-local
+    boundary emissions and one window over the per-DAY aggregate
+    (~2.5k rows however large the order table). Exact integers end to
+    end; the gated band is division-free (10·c ≥ 9·peak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.to_date("o_orderdate")
+    hi = F.date_add(lo, (F.col("o_orderkey") % 14 + 1).cast("int"))
+    bounds = orders.select(lo.alias("day"), F.lit(1).alias("delta")).unionByName(
+        orders.select(F.date_add(hi, 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    run = daily.withColumn(
+        "concurrency",
+        F.sum("net").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    ).cache()
+    mx = run.agg(F.max("concurrency").alias("peak"))
+    return (
+        run.crossJoin(F.broadcast(mx))
+        .filter(10 * F.col("concurrency") >= 9 * F.col("peak"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "concurrency",
+            (F.col("concurrency") == F.col("peak")).cast("int").alias("is_peak"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "yoy_growth_report",
+    oracle="""
+    -- the BI staple: monthly revenue with month-over-month and
+    -- year-over-year growth in signed basis points (exact cents,
+    -- truncating division — identical in both engines)
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT y, m, rev_cents,
+             lag(rev_cents, 1) OVER (ORDER BY y, m) AS prev_m,
+             lag(rev_cents, 12) OVER (ORDER BY y, m) AS prev_y
+      FROM monthly
+    )
+    SELECT y, m, rev_cents,
+           (rev_cents - prev_m) * 10000 // prev_m AS mom_bp,
+           (rev_cents - prev_y) * 10000 // prev_y AS yoy_bp
+    FROM seq ORDER BY y, m
+    """,
+)
+def yoy_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month / year-over-year growth report — revenue in
+    exact BIGINT cents, growth in signed truncating basis points, two
+    lag windows over the per-MONTH aggregate (84 rows at any scale;
+    the window never sees fact rows). First month / first year emit
+    NULL growth rather than fabricated baselines."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("y", "m")
+    seq = monthly.select(
+        "y",
+        "m",
+        "rev_cents",
+        F.lag("rev_cents", 1).over(w).alias("prev_m"),
+        F.lag("rev_cents", 12).over(w).alias("prev_y"),
+    )
+    return seq.select(
+        "y",
+        "m",
+        "rev_cents",
+        F.expr("(rev_cents - prev_m) * 10000 DIV prev_m").alias("mom_bp"),
+        F.expr("(rev_cents - prev_y) * 10000 DIV prev_y").alias("yoy_bp"),
+    ).orderBy("y", "m")
