@@ -1640,3 +1640,108 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "dist_n2", "rk")
         .orderBy("label", "rk")
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    -- triplet mining for contrastive training: for every 7th vector
+    -- (the anchor) find its nearest SAME-label neighbor (positive)
+    -- and nearest OTHER-label neighbor (hard negative) by exact
+    -- integer squared-L2 on global-grid codes; margin <= 0 flags a
+    -- violated triplet (the hard cases a curriculum feeds first)
+    WITH {{_GRID_CTE}},
+    q AS (SELECT vec_id AS qid, label AS qlab, c AS qc FROM codes WHERE vec_id % 7 = 0),
+    d AS (
+      SELECT q.qid, q.qlab, r.vec_id AS rid, r.label AS rlab,
+             list_sum(list_transform(range(1, len(qc) + 1),
+                                     i -> (qc[i] - r.c[i]) * (qc[i] - r.c[i]))) AS dist
+      FROM q JOIN codes r ON r.vec_id <> q.qid
+    ),
+    pos AS (
+      SELECT qid, qlab, rid AS pos_id, dist AS pos_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, rid) AS rk
+            FROM d WHERE rlab = qlab)
+      WHERE rk = 1
+    ),
+    neg AS (
+      SELECT qid, rid AS neg_id, dist AS neg_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, rid) AS rk
+            FROM d WHERE rlab <> qlab)
+      WHERE rk = 1
+    )
+    SELECT p.qid AS anchor_id, p.qlab AS label,
+           p.pos_id, CAST(p.pos_dist AS BIGINT) AS pos_dist,
+           n.neg_id, CAST(n.neg_dist AS BIGINT) AS neg_dist,
+           CAST(n.neg_dist - p.pos_dist AS BIGINT) AS margin,
+           CASE WHEN n.neg_dist <= p.pos_dist THEN 1 ELSE 0 END AS violated
+    FROM pos p JOIN neg n USING (qid)
+    ORDER BY anchor_id
+    """.format(_GRID_CTE=_GRID_CTE),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining — the contrastive-training data-prep verb
+    (anchor, nearest positive, hardest negative): violated margins
+    (negative closer than positive) are exactly the examples a
+    metric-learning curriculum upweights, and the violation set is
+    part of the gated output. Distances are exact integer squared-L2
+    on the global-grid int8 codes (knn_label_vote's gateable kernel).
+
+    Scale shape: anchors broadcast (the audit/mining sample is the
+    small side), distances evaluate map-side over the corpus scan,
+    and the two argmins are per-anchor TakeOrdered reductions — at
+    100 TB the same plan runs with the ANN index (ann_ivf_topk)
+    supplying candidates instead of the full scan."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    codes = global_grid_codes(emb)
+    q = codes.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("c").alias("qc"),
+    )
+    d = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(F.col("qc"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("qid", "qlab", F.col("vec_id").alias("rid"), F.col("label").alias("rlab"), "dist")
+        .cache()
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("rid"))
+    pos = (
+        d.filter(F.col("rlab") == F.col("qlab"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", "qlab", F.col("rid").alias("pos_id"), F.col("dist").alias("pos_dist"))
+    )
+    neg = (
+        d.filter(F.col("rlab") != F.col("qlab"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("rid").alias("neg_id"), F.col("dist").alias("neg_dist"))
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("qlab").alias("label"),
+            "pos_id",
+            F.col("pos_dist").cast("long").alias("pos_dist"),
+            "neg_id",
+            F.col("neg_dist").cast("long").alias("neg_dist"),
+            (F.col("neg_dist") - F.col("pos_dist")).cast("long").alias("margin"),
+            (F.col("neg_dist") <= F.col("pos_dist")).cast("int").alias("violated"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -407,3 +407,64 @@ def test_surrogate_key_rank_is_bucket_partitioned(spark, sf_dir):
     # the data-side rank runs inside buckets: a Window whose partition
     # spec is the bucket column must exist
     assert "row_number()" in plan and "__b" in plan, plan[:3000]
+
+
+def test_interval_bin_join_point_side_collapses_and_broadcasts(spark, sf_dir):
+    """interval_overlap_bin_join: the point side MUST pre-aggregate to
+    per-day rows and broadcast — the first cut skipped the day rollup
+    and materialized the ~550M raw (interval, point) matches (275 s at
+    sf0.1; 3.2 s after). No nested-loop join may appear (the plan an
+    inequality-only join would degrade to)."""
+    plan = _plan(get_queries()["interval_overlap_bin_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:2500]
+    # day rollup: an aggregate must run BEFORE the join (partial+final
+    # for the per-day counts, plus the hit aggregates)
+    assert _count(r"HashAggregate", plan) >= 4, plan[:2500]
+
+
+def test_er_candidate_join_is_equi_never_cartesian(spark, sf_dir):
+    """ER blocking: candidates come from an equi-join on the blocking
+    key; the feature join back to records is keyed on rec ids. Nothing
+    in the matcher may degrade to a cartesian/nested-loop pair
+    enumeration — blocking IS the no-all-pairs guarantee."""
+    plan = _plan(get_queries()["er_matched_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2500]
+
+
+def test_logreg_iterations_exchange_scalars_only(spark, sf_dir):
+    """logreg_gd_quality: each GD iteration is a global aggregate
+    (partial -> single-partition final), and weights return via
+    BroadcastExchange — the plan may contain NO hash-partitioned data
+    exchange at all (nothing groups by a key) and no join beyond the
+    broadcast-nested-loop that implements the 1-row crossJoin."""
+    plan = _plan(get_queries()["logreg_gd_quality"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 0, plan[:2500]
+    assert _count(r"BroadcastExchange", plan) >= 2, plan[:2500]
+
+
+def test_spatial_grid_join_is_equi_on_cell(spark, sf_dir):
+    """spatial_grid_neighbor_join: the 3x3 expansion makes the
+    distance join an EQUI-join on (cx, cy) — a theta-join on raw
+    coordinates would be a nested loop."""
+    plan = _plan(get_queries()["spatial_grid_neighbor_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2500]
+    # the cell equi-join (the 3x3 spine crossJoins are broadcast and
+    # scalar-sized; the data join must be hash-based)
+    assert (
+        _count(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan) >= 1
+    ), plan[:2500]
+
+
+def test_peak_concurrency_windows_over_day_aggregate(spark, sf_dir):
+    """peak_concurrency_sweep: the running sum must window over the
+    per-day aggregate (one hash exchange for the day rollup, then a
+    single-partition window over ~2.5k rows) — never over raw
+    boundary rows."""
+    plan = _plan(get_queries()["peak_concurrency_sweep"](spark, sf_dir))
+    # the cached day-rollup subtree prints its lineage in both the
+    # main branch and the broadcast peak branch -> at most 2 in text
+    assert 1 <= _count(r"Exchange hashpartitioning", plan) <= 2, plan[:2500]
+    assert "Window" in plan, plan[:2500]
