@@ -1620,3 +1620,108 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+COVERAGE_ROUNDS = 5
+
+
+def _coverage_oracle() -> str:
+    cte = r"""
+    WITH dt AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+            FROM documents)
+    ),
+    dbg AS (
+      SELECT DISTINCT doc_id, bg FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM dt
+      )
+    ),
+    c0 AS (SELECT CAST(NULL AS VARCHAR) AS bg WHERE false)"""
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        cte += f""",
+    g{r} AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM dbg WHERE bg NOT IN (SELECT bg FROM c{r - 1})
+      GROUP BY 1
+    ),
+    p{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id ASC LIMIT 1),
+    c{r} AS (
+      SELECT bg FROM c{r - 1}
+      UNION
+      SELECT bg FROM dbg WHERE doc_id = (SELECT doc_id FROM p{r})
+    )"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, doc_id, gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total FROM p{r}"
+        for r in range(1, COVERAGE_ROUNDS + 1)
+    )
+    return cte + "\n" + rows + "\nORDER BY round"
+
+
+@query("greedy_coverage_selection", oracle=_coverage_oracle())
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data selection — greedy max-coverage over bigram
+    "facts": each of 5 rounds picks the document adding the most
+    not-yet-covered bigrams (ties to the smaller doc_id) and folds its
+    bigrams into the covered set. The greedy algorithm carries the
+    classic (1 − 1/e) guarantee for coverage objectives, and this is
+    the shape dataset-selection pipelines use to pick maximally
+    diverse fine-tuning subsets. The marginal-gain curve (gain per
+    round + cumulative coverage) is the gated output.
+
+    Scale shape per round: one anti-join of the doc-bigram table
+    against the covered set (broadcast — it grows by one document's
+    bigrams per round), one partial aggregate, one TakeOrdered(1).
+    Rounds are inherently sequential (greedy is adaptive); what stays
+    distributed is everything inside a round. At a larger k, batch
+    variants (stochastic greedy / sieve-streaming) replace the exact
+    argmax — same per-round plan, sampled candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    dbg = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .cache()
+    )
+    # seed: materialized empty covered set
+    covered = dbg.select("bg").filter(F.lit(False)).cache()
+    out = []
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        gains = (
+            dbg.join(F.broadcast(covered), "bg", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        pick = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).cache()
+        # the covered set is one document's bigrams per round — pin a
+        # tiny partitioning so the per-round distinct doesn't compound
+        # default-width exchanges (naive session: 200/round)
+        covered = (
+            covered.unionByName(
+                dbg.join(F.broadcast(pick.select("doc_id")), "doc_id", "left_semi").select("bg")
+            )
+            .repartition(4, "bg")
+            .dropDuplicates()
+            .cache()
+        )
+        total = covered.agg(F.count(F.lit(1)).cast("long").alias("covered_total"))
+        out.append(
+            pick.crossJoin(F.broadcast(total)).select(
+                F.lit(r).cast("int").alias("round"), "doc_id", "gain", "covered_total"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")
