@@ -1692,3 +1692,74 @@ def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(border.select("id", F.lit("border").alias("role"), F.col("lbl").alias("cluster")))
         .orderBy("id")
     )
+
+
+@query(
+    "selfjoin_size_sketch",
+    oracle="""
+    -- join-size / F2 estimation, the original CountMin inner-product
+    -- application: exact second frequency moment of l_partkey
+    -- (= the self-join size Sum cnt(k)^2) vs the sketch estimate
+    -- min over 4 rows of Sum_b cell[r][b]^2 — one-sided (est >= exact)
+    WITH tc AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    hashed AS (
+      SELECT k, n, r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) % 64 AS bucket
+      FROM tc, (SELECT unnest(range(4)) AS r)
+    ),
+    cells AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS cell FROM hashed GROUP BY 1, 2),
+    per_row AS (SELECT r, CAST(sum(cell * cell) AS BIGINT) AS est FROM cells GROUP BY 1),
+    exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2 FROM tc)
+    SELECT (SELECT exact_f2 FROM exact) AS exact_f2,
+           CAST(min(est) AS BIGINT) AS est_f2,
+           CAST(min(est) - (SELECT exact_f2 FROM exact) AS BIGINT) AS overestimate
+    FROM per_row
+    """,
+)
+def selfjoin_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by sketch inner product — what a
+    cost-based optimizer consults before picking a join strategy: the
+    self-join size on l_partkey (the second frequency moment,
+    Σ cnt(k)² — the original AMS/CountMin application) estimated as
+    the min over 4 hash rows of the cell-wise sum of squares, against
+    the exact value. The estimate is one-sided (≥ exact, gated), and
+    the sketch is 4×64 longs that merge by cell-wise addition however
+    large the fact table — per-partition grids combine in one partial
+    aggregate, the property that makes sketch-based join planning
+    feasible on 100 TB inputs where exact key histograms would
+    themselves be a shuffle."""
+    tc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hashed = tc.select(
+        "k", "n", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64,
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("n").cast("long").alias("cell"))
+    per_row = cells.groupBy("r").agg(F.sum(F.col("cell") * F.col("cell")).cast("long").alias("est"))
+    exact = tc.agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_f2"))
+    return (
+        per_row.agg(F.min("est").cast("long").alias("est_f2"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "exact_f2",
+            "est_f2",
+            (F.col("est_f2") - F.col("exact_f2")).cast("long").alias("overestimate"),
+        )
+    )

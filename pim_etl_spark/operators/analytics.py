@@ -2501,3 +2501,94 @@ def yoy_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(rev_cents - prev_m) * 10000 DIV prev_m").alias("mom_bp"),
         F.expr("(rev_cents - prev_y) * 10000 DIV prev_y").alias("yoy_bp"),
     ).orderBy("y", "m")
+
+
+APRIORI_MIN_SUPPORT = 20
+
+
+@query(
+    "apriori_triple_itemsets",
+    oracle=f"""
+    -- A-priori frequent 3-itemsets over per-order BRAND baskets:
+    -- frequent pairs (support >= {APRIORI_MIN_SUPPORT}) generate
+    -- candidate triples by the classic prefix join (pairs sharing the
+    -- first item whose two second items also form a frequent pair),
+    -- then one pass counts true triple support
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS supp
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {APRIORI_MIN_SUPPORT}
+    ),
+    cand AS (
+      SELECT p.i1, p.i2, q.i2 AS i3
+      FROM pairs p JOIN pairs q ON p.i1 = q.i1 AND p.i2 < q.i2
+      WHERE EXISTS (SELECT 1 FROM pairs r WHERE r.i1 = p.i2 AND r.i2 = q.i2)
+    ),
+    tri AS (
+      SELECT c.i1, c.i2, c.i3, CAST(count(*) AS BIGINT) AS supp
+      FROM cand c
+      JOIN basket a ON a.item = c.i1
+      JOIN basket b ON b.okey = a.okey AND b.item = c.i2
+      JOIN basket d ON d.okey = a.okey AND d.item = c.i3
+      GROUP BY 1, 2, 3 HAVING count(*) >= {APRIORI_MIN_SUPPORT}
+    )
+    SELECT i1, i2, i3, supp FROM tri ORDER BY i1, i2, i3
+    """,
+)
+def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining with A-priori candidate pruning — the
+    step after basket_pair_affinity: triples are only COUNTED when all
+    three of their sub-pairs are already frequent (the anti-monotone
+    support property), so the expensive 3-way basket join runs on the
+    pruned candidate list, never on all item triples. That pruning IS
+    the scale story: candidate volume is bounded by frequent-pair
+    density, not item-count choose 3. Baskets are distinct brands per
+    order (bounded basket size), supports exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+        .cache()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        .filter(F.col("supp") >= APRIORI_MIN_SUPPORT)
+        .cache()
+    )
+    p = pairs.alias("p")
+    q = pairs.alias("q")
+    r = pairs.select(F.col("i1").alias("ri1"), F.col("i2").alias("ri2"))
+    cand = (
+        p.join(q, (F.col("p.i1") == F.col("q.i1")) & (F.col("p.i2") < F.col("q.i2")))
+        .select(F.col("p.i1").alias("i1"), F.col("p.i2").alias("i2"), F.col("q.i2").alias("i3"))
+        .join(
+            r,
+            (F.col("i2") == F.col("ri1")) & (F.col("i3") == F.col("ri2")),
+            "left_semi",
+        )
+    )
+    # the three-way basket intersection, keyed on the order: join the
+    # basket once per item position, co-keyed on okey
+    b1 = basket.select(F.col("okey"), F.col("item").alias("i1"))
+    b2 = basket.select(F.col("okey"), F.col("item").alias("i2"))
+    b3 = basket.select(F.col("okey"), F.col("item").alias("i3"))
+    tri = (
+        F.broadcast(cand)
+        .join(b1, "i1")
+        .join(b2, ["okey", "i2"])
+        .join(b3, ["okey", "i3"])
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        .filter(F.col("supp") >= APRIORI_MIN_SUPPORT)
+    )
+    return tri.select("i1", "i2", "i3", "supp").orderBy("i1", "i2", "i3")
