@@ -403,3 +403,149 @@ def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "model_calibration_bins",
+    oracle=_gd_cte()
+    + f"""
+    -- reliability diagram of the trained model: predictions bucketed
+    -- by p_e6 into 5 fixed bins, exact mean label (floor e4) per bin —
+    -- a calibrated model's label_rate tracks its p band
+    SELECT p_e6 * 5 // 1000001 AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(p_e6) AS BIGINT) AS p_min_e6,
+           CAST(max(p_e6) AS BIGINT) AS p_max_e6,
+           CAST(sum(y) * 10000 // count(*) AS BIGINT) AS label_rate_e4
+    FROM (
+      SELECT f.y,
+             (1000000 + abs(z_e6) + z_e6) * 500000 // (1000000 + abs(z_e6)) AS p_e6
+      FROM (
+        SELECT f.y, w.w0_e6 * f.x0 + w.w1_e6 * f.x1 + w.w2_e6 * f.x2 + w.w3_e6 * f.x3 AS z_e6
+        FROM feats f CROSS JOIN w{GD_ITERS} w
+      ) f
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (reliability diagram) of the trained
+    classifier: scored probabilities bucket into 5 fixed bands and
+    each band reports its exact observed label rate — the
+    trust-the-scores check every model-based filter needs before its
+    threshold means anything. All integer arithmetic; the bin id is a
+    single floor division of p_e6. One corpus pass after training, one
+    5-row aggregate."""
+    feats = doc_features(spark, sf_dir).cache()
+    _, weights = _train(feats)
+    z = (
+        F.col("w0_e6") * F.col("x0")
+        + F.col("w1_e6") * F.col("x1")
+        + F.col("w2_e6") * F.col("x2")
+        + F.col("w3_e6") * F.col("x3")
+    )
+    scored = (
+        feats.crossJoin(F.broadcast(weights))
+        .withColumn("z_e6", z)
+        .withColumn(
+            "p_e6",
+            F.expr("(1000000 + abs(z_e6) + z_e6) * 500000 DIV (1000000 + abs(z_e6))"),
+        )
+    )
+    return (
+        scored.groupBy(F.expr("p_e6 * 5 DIV 1000001").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("p_e6").cast("long").alias("p_min_e6"),
+            F.max("p_e6").cast("long").alias("p_max_e6"),
+            F.expr("sum(y) * 10000 DIV count(*)").cast("long").alias("label_rate_e4"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "ks_separation_statistic",
+    oracle=f"""
+    -- exact Kolmogorov-Smirnov separation of the score distributions
+    -- (positives vs negatives): at every distinct score threshold the
+    -- CDF gap |F_pos - F_neg| compares via integer cross-
+    -- multiplication |cum_pos*nneg - cum_neg*npos| — no division
+    -- until the final floor-scale of the maximum
+    WITH {_FEAT_SQL},
+    s AS (SELECT y, 2 * x1 + x2 + x3 AS score FROM feats),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+                   CAST(count(*) - sum(y) AS BIGINT) AS nneg FROM s),
+    grp AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS pos_c,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg_c
+      FROM s GROUP BY 1
+    ),
+    cum AS (
+      SELECT score,
+             CAST(sum(pos_c) OVER (ORDER BY score) AS BIGINT) AS cum_pos,
+             CAST(sum(neg_c) OVER (ORDER BY score) AS BIGINT) AS cum_neg
+      FROM grp
+    ),
+    gaps AS (
+      SELECT score, abs(cum_pos * (SELECT nneg FROM tot) - cum_neg * (SELECT npos FROM tot)) AS gap_x
+      FROM cum
+    )
+    SELECT (SELECT npos FROM tot) AS npos,
+           (SELECT nneg FROM tot) AS nneg,
+           (SELECT CAST(min(score) AS BIGINT) FROM gaps
+             WHERE gap_x = (SELECT max(gap_x) FROM gaps)) AS ks_at_score,
+           CAST((SELECT max(gap_x) FROM gaps) * 1000000
+                // ((SELECT npos FROM tot) * (SELECT nneg FROM tot)) AS BIGINT) AS ks_e6
+    """,
+)
+def ks_separation_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kolmogorov-Smirnov statistic between the positive- and
+    negative-class score distributions — the class-separation summary
+    alongside AUC (KS reads the single best operating point, AUC the
+    whole curve). Gaps stay cross-multiplied integers; the one
+    division floor-scales the final maximum. Like the AUC entry, the
+    window runs over the per-SCORE rollup (5 rows), so cost is one
+    partial aggregate regardless of corpus size."""
+    from pyspark.sql import Window
+
+    feats = doc_features(spark, sf_dir)
+    s = feats.select("y", (2 * F.col("x1") + F.col("x2") + F.col("x3")).alias("score"))
+    tot = s.agg(
+        F.sum("y").cast("long").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nneg"),
+    )
+    grp = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos_c"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_c"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grp.select(
+        "score",
+        F.sum("pos_c").over(w).cast("long").alias("cum_pos"),
+        F.sum("neg_c").over(w).cast("long").alias("cum_neg"),
+    )
+    gaps = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "npos",
+            "nneg",
+            F.abs(F.col("cum_pos") * F.col("nneg") - F.col("cum_neg") * F.col("npos")).alias("gap_x"),
+        )
+        .cache()
+    )
+    mx = gaps.agg(F.max("gap_x").alias("max_gap"))
+    return (
+        gaps.crossJoin(F.broadcast(mx))
+        .filter(F.col("gap_x") == F.col("max_gap"))
+        .groupBy("npos", "nneg", "max_gap")
+        .agg(F.min("score").cast("long").alias("ks_at_score"))
+        .select(
+            "npos",
+            "nneg",
+            "ks_at_score",
+            F.expr("max_gap * 1000000 DIV (npos * nneg)").cast("long").alias("ks_e6"),
+        )
+    )
