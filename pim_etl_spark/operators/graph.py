@@ -560,3 +560,158 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("nation")
     )
 
+
+
+CLOSURE_DOUBLINGS = 4  # covers ancestor depth 2^4 = 16
+
+
+def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(des, anc, depth) transitive closure of the synthesized part
+    hierarchy, built by iterative doubling (see
+    hierarchy_closure_table). Cached — shared by the closure entry
+    and the BOM rollup."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    edges = part.filter(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("des"),
+        F.expr("p_partkey DIV 4").alias("anc"),
+        F.lit(1).cast("int").alias("depth"),
+    )
+    closure = edges.repartition(8, "anc").cache()
+    for _ in range(CLOSURE_DOUBLINGS):
+        a = closure.select(
+            F.col("des"), F.col("anc").alias("mid"), F.col("depth").alias("d1")
+        )
+        b = closure.select(
+            F.col("des").alias("mid"), F.col("anc"), F.col("depth").alias("d2")
+        )
+        new = (
+            a.repartition(8, "mid")
+            .join(b.repartition(8, "mid"), "mid")
+            .filter(F.col("mid") > 0)
+            .select("des", "anc", (F.col("d1") + F.col("d2")).alias("depth"))
+        )
+        closure = (
+            closure.unionByName(new)
+            .repartition(8, "des", "anc")
+            .dropDuplicates(["des", "anc"])
+            .cache()
+        )
+    return closure
+
+
+@query(
+    "hierarchy_closure_table",
+    oracle="""
+    -- transitive closure of the synthesized part hierarchy
+    -- (parent(k) = k // 4, root 0): the oracle walks it with a
+    -- recursive CTE; the engine must reach the SAME closure through
+    -- logarithmic iterative doubling. Per-depth rollup with an
+    -- XOR-fold checksum pins every (descendant, ancestor) pair.
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 4 AS parent
+      FROM part WHERE p_partkey > 0
+    ),
+    closure AS (
+      SELECT child AS des, parent AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT c.des, e.parent, c.depth + 1
+      FROM closure c JOIN edges e ON c.anc = e.child
+      WHERE c.anc > 0
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(bit_xor(CAST(('0x' || substr(md5(CAST(des AS VARCHAR) || '|' || CAST(anc AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS pair_checksum
+    FROM closure GROUP BY depth ORDER BY depth
+    """,
+)
+def hierarchy_closure_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (the recursive-CTE verb: org charts, BOM
+    explosions, category trees) computed the distributed way —
+    ITERATIVE DOUBLING: round r composes paths of length <= 2^(r-1)
+    with themselves, so {CLOSURE_DOUBLINGS} rounds cover depth 16
+    where naive per-level iteration would need 16 joins. Depth-8
+    hierarchy here (parent(k) = k DIV 4); each round is one ids-only
+    self-join + dropDuplicates on a pinned co-partitioning. The
+    recursive CTE the oracle uses is exactly what Spark lacks — this
+    entry is the workaround pattern AND its proof of equivalence.
+    Output pins every pair via per-depth XOR-fold checksums
+    (partitioning/order independent)."""
+    closure = part_closure(spark, sf_dir)
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("des").cast("string"), F.col("anc").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        closure.select("depth", h60.alias("h60"))
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.bit_xor("h60").alias("pair_checksum"),
+        )
+        .orderBy("depth")
+    )
+
+
+@query(
+    "bom_cost_rollup",
+    oracle="""
+    -- BOM explosion costing over the same hierarchy: every ancestor
+    -- aggregates its ENTIRE descendant subtree's retail value (exact
+    -- cents) + subtree size + max depth — the closure as a join
+    -- input, not just a table
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 4 AS parent
+      FROM part WHERE p_partkey > 0
+    ),
+    closure AS (
+      SELECT child AS des, parent AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT c.des, e.parent, c.depth + 1
+      FROM closure c JOIN edges e ON c.anc = e.child
+      WHERE c.anc > 0
+    ),
+    rolled AS (
+      SELECT c.anc,
+             CAST(count(*) AS BIGINT) AS n_descendants,
+             CAST(max(c.depth) AS BIGINT) AS subtree_depth,
+             CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS subtree_cents
+      FROM closure c JOIN part p ON c.des = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT anc, n_descendants, subtree_depth, subtree_cents
+    FROM rolled
+    WHERE n_descendants >= 16
+    ORDER BY anc
+    """,
+)
+def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion costing: each ancestor rolls up its
+    FULL descendant subtree (count, max depth, exact retail cents) by
+    joining the iterative-doubling closure against the part facts —
+    the query a recursive CTE would express, run as one equi-join plus
+    one aggregate once the closure exists. This is why a materialized
+    closure table is the standard warehouse answer to hierarchies: the
+    recursion is paid once (log-depth doubling rounds), every rollup
+    after is a plain join. Filtered to subtrees of 16+ descendants so
+    the gated output stays summary-sized at every SF."""
+    closure = part_closure(spark, sf_dir)
+    cents = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("des"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        closure.join(cents, "des")
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_descendants"),
+            F.max("depth").cast("long").alias("subtree_depth"),
+            F.sum("cents").cast("long").alias("subtree_cents"),
+        )
+        .filter(F.col("n_descendants") >= 16)
+        .orderBy("anc")
+    )
