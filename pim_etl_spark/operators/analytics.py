@@ -2592,3 +2592,180 @@ def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp") >= APRIORI_MIN_SUPPORT)
     )
     return tri.select("i1", "i2", "i3", "supp").orderBy("i1", "i2", "i3")
+
+
+@query(
+    "hazard_rate_table",
+    oracle="""
+    -- survival-analysis ingredients (discrete-time hazard table) for
+    -- order fulfilment: duration = days from order date to the
+    -- order's LAST line shipment; at_risk(d) = orders still open at d,
+    -- events(d) = orders closing exactly at d; hazard floor-scaled.
+    -- All integers — the Kaplan-Meier product is deliberately NOT
+    -- taken (cumulative float products drift cross-engine); the
+    -- hazard column is the per-day ingredient it would multiply.
+    WITH dur AS (
+      SELECT o.o_orderkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(max(l.l_shipdate) AS DATE)) AS d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, o.o_orderdate
+    ),
+    ev AS (SELECT d, CAST(count(*) AS BIGINT) AS n_events FROM dur GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    tab AS (
+      SELECT d, n_events,
+             (SELECT n FROM tot)
+               - COALESCE(CAST(sum(n_events) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS n_at_risk
+      FROM ev
+    )
+    SELECT CAST(d AS BIGINT) AS d, n_at_risk, n_events,
+           n_events * 1000000 // n_at_risk AS hazard_e6
+    FROM tab ORDER BY d
+    """,
+)
+def hazard_rate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival table for order fulfilment (duration =
+    order date → last line shipment): per duration day the at-risk
+    count, event count, and floor-scaled hazard — the exact integer
+    ingredients of a Kaplan-Meier curve, stopping short of the
+    cumulative float product that would drift cross-engine. The
+    at-risk series is one window over the per-DAY event aggregate
+    (duration cardinality ≈ 130 days at any SF), after one
+    order-grain aggregate of the fact join — the standard
+    survival-at-scale shape (events aggregate first; nothing windows
+    over raw rows). The synthetic ship dates aren't anchored to their
+    order dates, so durations span the whole date domain (and can be
+    negative) — the duration cardinality stays bounded by the
+    ~2.5k-day domain span at any SF, which is the property the plan
+    relies on."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    dur = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate")).alias("d")
+        )
+    )
+    ev = dur.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prior = F.coalesce(
+        F.sum("n_events").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(tot))
+        .withColumn("n_at_risk", F.col("n") - prior)
+        .select(
+            F.col("d").cast("long").alias("d"),
+            "n_at_risk",
+            "n_events",
+            F.expr("n_events * 1000000 DIV n_at_risk").alias("hazard_e6"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "subject_access_report",
+    oracle="""
+    -- GDPR/DSAR: for 5 md5-selected data subjects, everything the
+    -- warehouse holds about them, summarized per table with row
+    -- counts, exact money totals, and an XOR content checksum — the
+    -- per-subject evidence bundle an erasure would have to cover
+    WITH subjects AS (
+      SELECT c_custkey, c_name FROM customer
+      ORDER BY md5('dsar:' || CAST(c_custkey AS VARCHAR)) LIMIT 5
+    ),
+    o AS (
+      SELECT s.c_custkey, 'orders' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS row_checksum
+      FROM subjects s JOIN orders o ON o.o_custkey = s.c_custkey
+      GROUP BY 1
+    ),
+    l AS (
+      SELECT s.c_custkey, 'lineitem' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || '|' || CAST(l.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS row_checksum
+      FROM subjects s
+      JOIN orders o ON o.o_custkey = s.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT s.c_custkey, s.c_name, u.tbl, u.n_rows, u.cents_total, u.row_checksum
+    FROM subjects s JOIN (SELECT * FROM o UNION ALL SELECT * FROM l) u
+      ON s.c_custkey = u.c_custkey
+    ORDER BY s.c_custkey, u.tbl
+    """,
+)
+def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-subject access report (GDPR art. 15 / DSAR): for a
+    deterministic sample of data subjects, every table's holdings
+    keyed back to them — row counts, exact money totals, and an
+    XOR-fold row checksum per (subject, table) that an erasure run
+    (delete-by-ids, pipeline/gold.py) can be verified against. The
+    subject list broadcasts; each table contributes one semi-joined
+    aggregate — per-subject cost is index-lookup-shaped, not a full
+    scan per subject."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    subjects = (
+        cust.withColumn(
+            "pick", F.md5(F.concat(F.lit("dsar:"), F.col("c_custkey").cast("string")))
+        )
+        .orderBy("pick")
+        .limit(5)
+        .select("c_custkey", "c_name")
+        .cache()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10).cast("long")
+    o = (
+        orders.join(F.broadcast(subjects.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents_total"),
+            F.bit_xor(o_h).alias("row_checksum"),
+        )
+        .select("c_custkey", F.lit("orders").alias("tbl"), "n_rows", "cents_total", "row_checksum")
+    )
+    l_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    l = (
+        orders.join(F.broadcast(subjects.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents_total"),
+            F.bit_xor(l_h).alias("row_checksum"),
+        )
+        .select("c_custkey", F.lit("lineitem").alias("tbl"), "n_rows", "cents_total", "row_checksum")
+    )
+    return (
+        subjects.join(o.unionByName(l), "c_custkey")
+        .select("c_custkey", "c_name", "tbl", "n_rows", "cents_total", "row_checksum")
+        .orderBy("c_custkey", "tbl")
+    )
