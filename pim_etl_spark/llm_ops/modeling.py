@@ -549,3 +549,89 @@ def ks_separation_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_gap * 1000000 DIV (npos * nneg)").cast("long").alias("ks_e6"),
         )
     )
+
+
+@query(
+    "model_gains_table",
+    oracle=_gd_cte()
+    + f"""
+    -- cumulative gains / lift by score decile: rank the corpus by the
+    -- trained model's score (total order: p desc, doc_id asc),
+    -- ntile(10), per decile the positives captured and the cumulative
+    -- capture share — the targeting-efficiency table
+    , scored AS (
+      SELECT f.doc_id, f.y,
+             (1000000 + abs(z_e6) + z_e6) * 500000 // (1000000 + abs(z_e6)) AS p_e6
+      FROM (
+        SELECT f.doc_id, f.y,
+               w.w0_e6 * f.x0 + w.w1_e6 * f.x1 + w.w2_e6 * f.x2 + w.w3_e6 * f.x3 AS z_e6
+        FROM feats f CROSS JOIN w{GD_ITERS} w
+      ) f
+    ),
+    dec AS (
+      SELECT y, ntile(10) OVER (ORDER BY p_e6 DESC, doc_id ASC) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM dec GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile) * 10000
+                // (SELECT sum(y) FROM scored) AS BIGINT) AS cum_capture_e4
+    FROM per ORDER BY decile
+    """,
+)
+def model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains table (lift chart): corpus ranked by the
+    trained model's score into deciles (total order — ties broken by
+    doc_id, so ntile agrees cross-engine), per decile the captured
+    positives and the cumulative capture share. A top-decile
+    capture ≫ 10% is the model earning its keep for
+    prioritized processing; the table is the budget-vs-recall dial of
+    a model-routed curation pipeline. The ntile windows over scored
+    doc rows once; everything after is decile-sized."""
+    from pyspark.sql import Window
+
+    feats = doc_features(spark, sf_dir).cache()
+    _, weights = _train(feats)
+    z = (
+        F.col("w0_e6") * F.col("x0")
+        + F.col("w1_e6") * F.col("x1")
+        + F.col("w2_e6") * F.col("x2")
+        + F.col("w3_e6") * F.col("x3")
+    )
+    scored = (
+        feats.crossJoin(F.broadcast(weights))
+        .withColumn("z_e6", z)
+        .withColumn(
+            "p_e6",
+            F.expr("(1000000 + abs(z_e6) + z_e6) * 500000 DIV (1000000 + abs(z_e6))"),
+        )
+        .cache()
+    )
+    dec = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("p_e6"), F.asc("doc_id")))
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    total = scored.agg(F.sum("y").cast("long").alias("total_pos"))
+    cum = F.sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("cum_pos", cum)
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_pos",
+            F.expr("cum_pos * 10000 DIV total_pos").alias("cum_capture_e4"),
+        )
+        .orderBy("decile")
+    )
