@@ -464,7 +464,12 @@ def test_peak_concurrency_windows_over_day_aggregate(spark, sf_dir):
     single-partition window over ~2.5k rows) — never over raw
     boundary rows."""
     plan = _plan(get_queries()["peak_concurrency_sweep"](spark, sf_dir))
-    # the cached day-rollup subtree prints its lineage in both the
-    # main branch and the broadcast peak branch -> at most 2 in text
-    assert 1 <= _count(r"Exchange hashpartitioning", plan) <= 2, plan[:2500]
+    # exchange COUNT is brittle (the cached day-rollup lineage prints
+    # once per consuming branch, and shared-session state shifts it);
+    # the load-bearing guards are: a Window exists, the day rollup's
+    # map-side partial aggregation exists, and nothing degrades to a
+    # cartesian pair enumeration
+    assert _count(r"Exchange hashpartitioning", plan) >= 1, plan[:2500]
     assert "Window" in plan, plan[:2500]
+    assert "partial_sum" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan, plan[:2500]
