@@ -2769,3 +2769,69 @@ def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "tbl", "n_rows", "cents_total", "row_checksum")
         .orderBy("c_custkey", "tbl")
     )
+
+
+@query(
+    "max_drawdown_series",
+    oracle="""
+    -- maximum drawdown of the daily demand-deviation series (the
+    -- CUSUM curve, which genuinely oscillates): dd_t = running_max(c)
+    -- - c_t, all exact integers; output the worst drawdown, its
+    -- (first) trough day, and the peak level it fell from
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS s, count(*) AS d FROM daily),
+    cu AS (
+      SELECT day,
+             CAST(sum(n - (SELECT s // d FROM tot)) OVER (ORDER BY day) AS BIGINT) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT day, c,
+             CAST(max(c) OVER (ORDER BY day) AS BIGINT) AS peak,
+             CAST(max(c) OVER (ORDER BY day) - c AS BIGINT) AS drawdown
+      FROM cu
+    ),
+    mx AS (SELECT max(drawdown) AS mdd FROM dd)
+    SELECT CAST((SELECT mdd FROM mx) AS BIGINT) AS max_drawdown,
+           CAST(min(day) AS TIMESTAMP) AS trough_day,
+           CAST(min_by(peak, day) AS BIGINT) AS peak_level
+    FROM dd WHERE drawdown = (SELECT mdd FROM mx)
+    """,
+)
+def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown — the worst peak-to-trough fall of a series
+    (risk metric for balances, capacity headroom, SLO budgets) —
+    computed on the daily demand-deviation (CUSUM) curve: one running
+    max window subtracted from the level, one global max, all exact
+    BIGINT on the per-day aggregate. First trough day wins ties
+    (min day), with the peak level it fell from (min_by day). The
+    pattern generalizes to any per-key series by partitioning both
+    windows."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = daily.agg(F.expr("sum(n) DIV count(*)").alias("mean_n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("c", F.sum(F.col("n") - F.col("mean_n")).over(w).cast("long"))
+        .withColumn("peak", F.max("c").over(w).cast("long"))
+        .withColumn("drawdown", (F.col("peak") - F.col("c")).cast("long"))
+        .cache()
+    )
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .filter(F.col("drawdown") == F.col("mdd"))
+        .groupBy()
+        .agg(
+            F.max("mdd").cast("long").alias("max_drawdown"),
+            F.min("day").cast("timestamp_ntz").alias("trough_day"),
+            F.min_by("peak", "day").cast("long").alias("peak_level"),
+        )
+    )

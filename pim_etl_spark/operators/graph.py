@@ -715,3 +715,108 @@ def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_descendants") >= 16)
         .orderBy("anc")
     )
+
+
+KCORE_K = 8
+KCORE_ROUNDS = 4
+
+
+@query(
+    "kcore_decomposition",
+    oracle=f"""
+    -- k-core peeling on the undirected trade graph (k = {KCORE_K}):
+    -- each round removes nodes whose CURRENT degree < k; both engines
+    -- run the same {KCORE_ROUNDS} fixed rounds, so the surviving set
+    -- agrees even if the fixpoint needs fewer rounds. Output: the
+    -- surviving core with final in-core degrees.
+    WITH raw AS (
+      SELECT least(s_nationkey, c_nationkey) AS u,
+             greatest(s_nationkey, c_nationkey) AS v,
+             count(*) AS c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    wund AS (SELECT u, v, sum(c) AS w FROM raw GROUP BY 1, 2),
+    tot AS (SELECT sum(w) AS tw, count(*) AS ne FROM wund),
+    und AS (SELECT u, v FROM wund, tot WHERE w * ne > tw),
+    sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    n0 AS (SELECT u AS node FROM sym GROUP BY 1 HAVING count(*) >= {KCORE_K}),
+    s1 AS (SELECT s.u, s.v FROM sym s JOIN n0 a ON s.u = a.node JOIN n0 b ON s.v = b.node),
+    n1 AS (SELECT u AS node FROM s1 GROUP BY 1 HAVING count(*) >= {KCORE_K}),
+    s2 AS (SELECT s.u, s.v FROM sym s JOIN n1 a ON s.u = a.node JOIN n1 b ON s.v = b.node),
+    n2 AS (SELECT u AS node FROM s2 GROUP BY 1 HAVING count(*) >= {KCORE_K}),
+    s3 AS (SELECT s.u, s.v FROM sym s JOIN n2 a ON s.u = a.node JOIN n2 b ON s.v = b.node),
+    n3 AS (SELECT u AS node FROM s3 GROUP BY 1 HAVING count(*) >= {KCORE_K}),
+    s4 AS (SELECT s.u, s.v FROM sym s JOIN n3 a ON s.u = a.node JOIN n3 b ON s.v = b.node)
+    SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS core_degree
+    FROM s4 JOIN nation ON u = n_nationkey
+    GROUP BY 1 HAVING count(*) >= {KCORE_K}
+    ORDER BY nation
+    """,
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition ({KCORE_K}-core) by iterative peeling —
+    the cohesion filter that finds the densely-interconnected kernel
+    of a graph (community cores, spam-farm detection, robustness
+    analysis), run on the above-mean-weight trade graph so degrees
+    actually vary: each round drops nodes whose degree among SURVIVORS
+    falls below k, shrinking monotonically to the core. {KCORE_ROUNDS}
+    fixed rounds (both engines run the identical recurrence; the
+    monotone set agrees pre-fixpoint). Each round is one semi-join of
+    the edge list against the survivor set + one degree aggregate —
+    ids-only shuffles, the CC/LPA cost shape. The heavy stage is again
+    the one-time edge build from facts."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = und.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    und = (
+        und.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") > F.col("tw"))
+        .select("u", "v")
+    )
+    sym = (
+        und.select("u", "v")
+        .unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .cache()
+    )
+    edges = sym
+    for _ in range(KCORE_ROUNDS):
+        survivors = (
+            edges.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi")
+            .select("u", "v")
+            .cache()
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= KCORE_K)
+        .join(F.broadcast(nat), F.col("u") == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "core_degree")
+        .orderBy("nation")
+    )
