@@ -1692,6 +1692,7 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .distinct()
+        .coalesce(8)
         .cache()
     )
     # seed: materialized empty covered set
@@ -1713,7 +1714,7 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .repartition(4, "bg")
             .dropDuplicates()
-            .cache()
+            .localCheckpoint(eager=False)
         )
         total = covered.agg(F.count(F.lit(1)).cast("long").alias("covered_total"))
         out.append(

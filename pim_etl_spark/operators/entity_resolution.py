@@ -515,10 +515,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lbl = norm.select("rec_id", F.col("rec_id").alias("lbl"))
     for _ in range(CC_ROUNDS):
+        # localCheckpoint truncates the per-round lineage: a lazily
+        # cached/raw label DF re-runs the whole prefix every time a
+        # consumer (or broadcast) pulls it (greedy_coverage lesson)
         lbl = (
             adj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
             .groupBy(F.col("u").alias("rec_id"))
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     surv_key = F.concat(
         F.lpad((F.lit(1000) - F.length("nname")).cast("string"), 4, "0"), F.col("nname")
@@ -562,8 +566,9 @@ def base_cluster_labels(norm: DataFrame, scored: DataFrame) -> DataFrame:
             badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
             .groupBy(F.col("u").alias("rec_id"))
             .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
-    return lbl.cache()
+    return lbl
 
 
 @query(
