@@ -2835,3 +2835,88 @@ def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("peak", "day").cast("long").alias("peak_level"),
         )
     )
+
+
+ALLOC_SEATS = 100
+
+
+@query(
+    "largest_remainder_allocation",
+    oracle=f"""
+    -- proportional quota allocation (Hamilton / largest-remainder):
+    -- {ALLOC_SEATS} seats split by per-nation revenue cents; floor
+    -- shares first, leftover seats to the largest remainders (ties:
+    -- smaller nation name). Conservation (sum = {ALLOC_SEATS}) holds
+    -- by construction and the oracle pins every seat.
+    WITH rev AS (
+      SELECT n_name AS nation,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(cents) AS t FROM rev),
+    quota AS (
+      SELECT nation, cents,
+             cents * {ALLOC_SEATS} // (SELECT t FROM tot) AS floor_seats,
+             cents * {ALLOC_SEATS} % (SELECT t FROM tot) AS remainder
+      FROM rev
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, nation ASC) AS rk,
+             (SELECT {ALLOC_SEATS} - sum(floor_seats) FROM quota) AS leftover
+      FROM quota
+    )
+    SELECT nation, cents,
+           CAST(floor_seats AS BIGINT) AS floor_seats,
+           CAST(floor_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM ranked
+    ORDER BY seats DESC, nation
+    """,
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation by the largest-remainder (Hamilton)
+    method — the quota-splitting verb behind sampling budgets, shard
+    assignments, and ad-delivery pacing: integer floor shares first,
+    then the leftover units go to the largest fractional remainders
+    (deterministic tie-break). Everything is exact integer arithmetic
+    (remainders compared as modulos — no float shares), conservation
+    is structural, and the ranking window runs over the 25-row
+    per-nation aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        F.expr(f"cents * {ALLOC_SEATS} DIV t").alias("floor_seats"),
+        F.expr(f"cents * {ALLOC_SEATS} % t").alias("remainder"),
+    )
+    leftover = quota.agg(
+        (F.lit(ALLOC_SEATS) - F.sum("floor_seats")).cast("long").alias("leftover")
+    )
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("remainder"), F.asc("nation")))
+    ).crossJoin(F.broadcast(leftover))
+    return (
+        ranked.select(
+            "nation",
+            "cents",
+            F.col("floor_seats").cast("long").alias("floor_seats"),
+            (
+                F.col("floor_seats")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy(F.desc("seats"), F.asc("nation"))
+    )

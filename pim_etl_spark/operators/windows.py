@@ -351,3 +351,65 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "order_streak_islands",
+    oracle="""
+    -- gaps-and-islands: consecutive-day ordering streaks per customer
+    -- via the day_number - row_number grouping constant; top 20
+    -- longest streaks (ties: earlier start, then smaller custkey)
+    WITH days AS (
+      SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    grp AS (
+      SELECT ck, d,
+             date_diff('day', DATE '1970-01-01', d)
+               - row_number() OVER (PARTITION BY ck ORDER BY d) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT ck, CAST(count(*) AS BIGINT) AS streak_days,
+             CAST(min(d) AS TIMESTAMP) AS streak_start,
+             CAST(max(d) AS TIMESTAMP) AS streak_end
+      FROM grp GROUP BY ck, island
+    )
+    SELECT ck AS custkey, streak_days, streak_start, streak_end
+    FROM streaks
+    ORDER BY streak_days DESC, streak_start ASC, custkey ASC
+    LIMIT 20
+    """,
+)
+def order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (consecutive-day activity streaks): the
+    day-ordinal minus row_number trick turns each maximal consecutive
+    run into a constant grouping key — no self-join, no loop, one
+    window + one aggregate per customer partition. The engagement-
+    streak / uptime-run / sensor-outage verb. Top-20 with a total
+    order (length desc, start asc, custkey asc); date outputs cast to
+    timestamp on both sides (NOTES dtype rule)."""
+    days = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("ck"), F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    island = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) - F.row_number().over(
+        Window.partitionBy("ck").orderBy("d")
+    )
+    streaks = (
+        days.withColumn("island", island)
+        .groupBy("ck", "island")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+            F.min("d").cast("timestamp_ntz").alias("streak_start"),
+            F.max("d").cast("timestamp_ntz").alias("streak_end"),
+        )
+    )
+    return (
+        streaks.select(
+            F.col("ck").alias("custkey"), "streak_days", "streak_start", "streak_end"
+        )
+        .orderBy(F.desc("streak_days"), F.asc("streak_start"), F.asc("custkey"))
+        .limit(20)
+    )
