@@ -202,6 +202,7 @@ _EARLY = (
     # round-6 genuinely-streamed oracled entries (unproven — order 1st)
     "stream_er_admission",
     "stream_windowed_topk",
+    "stream_volume_anomaly",
     "stream_dedup_event_counts",
     "stream_hourly_event_counts",
     "stream_attribution_interval_join",

@@ -1143,3 +1143,70 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk")
     )
+
+
+@query(
+    "stream_volume_anomaly",
+    oracle="""
+    -- batch twin of the streamed ingest monitor: per-day event counts
+    -- (the genuinely streamed part), then the trailing-7-day spike
+    -- rule on the day-sized aggregate: a full-history day fires when
+    -- 7 * n > 2 * trailing7_sum (division-free, cold-start safe)
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    trail AS (
+      SELECT day, n,
+             CAST(sum(n) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS t7,
+             CAST(count(*) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS t7_days
+      FROM daily
+    )
+    SELECT day, n, t7,
+           CASE WHEN 7 * n > 2 * t7 THEN 1 ELSE 0 END AS is_spike
+    FROM trail
+    WHERE t7_days = 7
+    ORDER BY day
+    """,
+)
+def stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed ingest-volume monitoring: daily event counts flow
+    through the micro-batch engine (watermarked 1-day tumbling
+    windows — the genuinely streaming stage, state = one row per live
+    day), and the trailing-7-day spike rule evaluates at the sink over
+    the day-sized aggregate (the stream_windowed_topk two-phase shape
+    — trailing windows aren't incremental, day-sized rows are). Rule
+    is volume_spike_detection's division-free 7·n > 2·Σ, cold-start
+    safe (full trailing weeks only). This is the alerting loop an
+    ingest pipeline runs continuously; batch/stream consistency is
+    the gate."""
+    events = stream_events(spark, sf_dir)
+    daily = (
+        events.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("day"), "n")
+    )
+    sunk = run_stream_to_memory(spark, daily, mode="complete", state_partitions=8)
+    from pyspark.sql import Window
+
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = sunk.select(
+        "day",
+        "n",
+        F.sum("n").over(w7).cast("long").alias("t7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("t7_days"),
+    )
+    return (
+        trail.filter(F.col("t7_days") == 7)
+        .select(
+            "day",
+            "n",
+            "t7",
+            (7 * F.col("n") > 2 * F.col("t7")).cast("int").alias("is_spike"),
+        )
+        .orderBy("day")
+    )
