@@ -806,11 +806,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
         )
+        # localCheckpoint, not cache: a lazy cache re-runs the whole
+        # peel prefix (incl. the fact-table edge build) every round
+        # the broadcast pulls it (NOTES round-6 lineage lesson)
         edges = (
             edges.join(F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi")
             .join(F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi")
             .select("u", "v")
-            .cache()
+            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy("u")
