@@ -184,6 +184,34 @@ _DRIVER_GREEN = frozenset({
     # overlay — dropped per the q21 rewrite rule so the driver
     # re-samples the touched code (full naive-session rehearsal
     # already re-proved all 241 entries green post-change).
+    # round 6 (CORRECTNESS_r06.json) — all 50 sampled entries
+    # hash-green: the r6 ER / in-engine-training / streamed batch plus
+    # the r5 lifecycles that had waited since CORRECTNESS_r05 never
+    # materialized.
+    "stream_windowed_topk", "stream_er_admission",
+    "stream_volume_anomaly", "er_linkage_quality", "er_golden_record",
+    "er_incremental_link", "logreg_gd_quality", "model_quality_filter",
+    "stream_change_feed_counts", "expectations_audit",
+    "stream_sink_exactly_once", "versioned_column_rename",
+    "versioned_column_drop", "multi_table_transaction",
+    "video_shot_boundaries", "bpe_encode_corpus",
+    "dynamic_partition_pruning", "multi_format_ingest",
+    "arrow_grouped_trimmed_mean", "custom_sink_roundtrip",
+    "seasonal_index_decomposition", "surrogate_key_merge",
+    "csv_quarantine_parse", "matryoshka_rerank_topk",
+    "rollup_query_rewrite", "audio_zero_crossings",
+    "stratified_kfold_assignment", "clamped_running_balance",
+    "label_propagation_communities", "weighted_median_price",
+    "table_fingerprint_checksum", "late_arriving_dimension",
+    "ingestion_ledger_dedup", "target_encoding_loo",
+    "feature_hashing_bow", "event_path_mining",
+    "time_decayed_popularity", "neardup_evidence_report",
+    "vocab_oov_audit", "synthetic_data_calibration",
+    "linear_interpolation_gapfill", "sequential_purchase_patterns",
+    "bayesian_smoothed_encoding", "volume_spike_detection",
+    "join_multiplicity_audit", "versioned_mor_delete",
+    "versioned_schema_evolution", "image_ahash_neardup",
+    "image_resize_block_mean", "cep_pattern_error_reset",
 })
 
 
@@ -221,68 +249,32 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-6 headline theme (ER / in-engine training) — the judge
-    # reads driver proof for the round's new capability class first
-    "er_linkage_quality",
-    "er_golden_record",
-    "er_incremental_link",
-    "logreg_gd_quality",
-    "model_quality_filter",
-    # round-5 lifecycles (waiting since r5: CORRECTNESS_r05 never
-    # materialized, so these still head the window)
-    "stream_change_feed_counts",
-    "expectations_audit",
-    "stream_sink_exactly_once",
-    "versioned_column_rename",
-    "versioned_column_drop",
-    "multi_table_transaction",
-    "video_shot_boundaries",
-    "bpe_encode_corpus",
-    "dynamic_partition_pruning",
-    "multi_format_ingest",
-    "arrow_grouped_trimmed_mean",
-    "custom_sink_roundtrip",
-    "seasonal_index_decomposition",
-    "surrogate_key_merge",
-    "csv_quarantine_parse",
-    "matryoshka_rerank_topk",
-    "rollup_query_rewrite",
-    "audio_zero_crossings",
-    "stratified_kfold_assignment",
-    "clamped_running_balance",
-    "label_propagation_communities",
-    "weighted_median_price",
-    "table_fingerprint_checksum",
-    "late_arriving_dimension",
-    "ingestion_ledger_dedup",
-    "target_encoding_loo",
-    "feature_hashing_bow",
-    "event_path_mining",
-    "time_decayed_popularity",
-    "neardup_evidence_report",
-    "vocab_oov_audit",
-    "synthetic_data_calibration",
-    "linear_interpolation_gapfill",
-    "sequential_purchase_patterns",
-    "bayesian_smoothed_encoding",
-    "volume_spike_detection",
-    "join_multiplicity_audit",
-    "versioned_mor_delete",
-    "versioned_schema_evolution",
-    "image_ahash_neardup",
-    "image_resize_block_mean",
-    "cep_pattern_error_reset",
+    # round-7 head (VERDICT r6 item 1): the 5 dedup entries whose LAST
+    # driver verdict is still `no_oracle` (r3/r4) despite gaining real
+    # recall/selectivity oracles in r5 — the driver has never confirmed
+    # those oracles — then the 3 invalidated-then-fixed gold lifecycles
+    # (delete_where/changes_between mergeSchema rewrites, q21 rule).
+    "minhash_lsh_candidates",
+    "dedup_cluster_resolution",
+    "simhash_buckets",
+    "incremental_neardup_gate",
+    "embedding_lsh_neardup_buckets",
+    "gold_time_travel_diff",
+    "gold_change_feed",
+    "incremental_rollup_maintenance",
+    # round-7 additions (VERDICT items 4/5): the custom-source read
+    # path under the hash gate, and the environmental-speed control
+    "pim_feed_source_scan",
+    "bench_control",
+    # remaining never-sampled r5/r6 entries (all parity-green locally)
     "theta_audience_overlap",
     "kll_mergeable_quantiles",
     "stream_cep_pattern_totals",
     "audio_resample_decimate",
     "variant_semistructured_access",
     "sql_udf_inlined_tiers",
-    "gold_time_travel_diff",
-    "gold_change_feed",
     "gold_bucketed_sync",
     "incremental_rollup_minmax",
-    "incremental_rollup_maintenance",
     "versioned_replica_sync",
     "versioned_point_lookup",
     "versioned_branch_merge",

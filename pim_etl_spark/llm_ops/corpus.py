@@ -1685,9 +1685,15 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", toks.alias("t"))
         .select(
             "doc_id",
+            # size(t) == 1 would make sequence(1, 0) DESCENDING ([1,0]
+            # — Spark steps -1 when start > stop) and emit a NULL
+            # bigram where the DuckDB range(1, len(t)) oracle emits
+            # nothing; gate on size >= 2 so both sides skip such docs.
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+                    "ELSE array() END"
                 )
             ).alias("bg"),
         )

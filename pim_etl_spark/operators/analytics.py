@@ -2227,7 +2227,7 @@ def autocorrelation_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cusum_changepoint",
+    "cusum_excursion_band",
     oracle="""
     -- CUSUM level-shift detection on the daily order-count series:
     -- cumulative sum of (count - floor-mean) in day order, exact
@@ -2252,7 +2252,7 @@ def autocorrelation_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
 )
-def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cusum_excursion_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection (ingest-monitoring verb, the
     sequel to volume_spike_detection's local rule): the cumulative sum
     of deviations from the global floor-mean turns a sustained level

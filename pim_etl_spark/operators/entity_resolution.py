@@ -206,12 +206,19 @@ def match_features(xp: str, yp: str) -> dict:
     def c(p: str, name: str):
         return F.col(p + name)
 
+    def idiv(a, b):
+        # exact integer floor division (SQL DIV) for nonnegative
+        # operands: (a - a % b) is exactly divisible by b, so the
+        # double division is exact below 2**53 — no implicit
+        # "float happens to round right" contract vs the DuckDB //
+        a = a.cast("long")
+        return ((a - (a % b)) / b).cast("long")
+
     name_lev = F.levenshtein(c(xp, "nname"), c(yp, "nname")).cast("long")
-    tok_jac_e4 = (
-        F.size(F.array_intersect(c(xp, "tset"), c(yp, "tset"))).cast("long")
-        * 10000
-        / F.size(F.array_union(c(xp, "tset"), c(yp, "tset")))
-    ).cast("long")
+    tok_jac_e4 = idiv(
+        F.size(F.array_intersect(c(xp, "tset"), c(yp, "tset"))).cast("long") * 10000,
+        F.size(F.array_union(c(xp, "tset"), c(yp, "tset"))),
+    )
     cents_diff = F.abs(c(xp, "cents") - c(yp, "cents"))
     size_diff = F.abs(c(xp, "psize") - c(yp, "psize")).cast("long")
     brand_eq = (c(xp, "bdig") == c(yp, "bdig")).cast("int")
@@ -221,10 +228,10 @@ def match_features(xp: str, yp: str) -> dict:
         + type_eq * 10
         + F.greatest(F.lit(0), F.lit(20) - 5 * size_diff)
         + F.greatest(
-            F.least(F.lit(20).cast("long"), (tok_jac_e4 * 2 / 1000).cast("long")),
+            F.least(F.lit(20).cast("long"), idiv(tok_jac_e4 * 2, 1000)),
             F.greatest(F.lit(0).cast("long"), F.lit(20) - 4 * name_lev),
         )
-        + F.greatest(F.lit(0).cast("long"), F.lit(20) - (cents_diff / 10).cast("long"))
+        + F.greatest(F.lit(0).cast("long"), F.lit(20) - idiv(cents_diff, 10))
     ).cast("long")
     return {
         "name_lev": name_lev,
@@ -237,10 +244,17 @@ def match_features(xp: str, yp: str) -> dict:
     }
 
 
-def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scored_pairs(
+    spark: SparkSession, sf_dir: str, norm: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs with integer similarity features and the
-    0–100 match score (see _ER_CTE for the exact formula)."""
-    norm = dirty_records(spark, sf_dir)
+    0–100 match score (see _ER_CTE for the exact formula).
+
+    Callers that already hold a (cached) ``dirty_records`` frame pass
+    it via ``norm`` so the dirty-record derivation and blocking join
+    run once per entry, not twice (round-6 ADVICE)."""
+    if norm is None:
+        norm = dirty_records(spark, sf_dir)
     cand = candidate_pairs(norm)
     x = norm.alias("x")
     y = norm.alias("y")
@@ -428,7 +442,7 @@ def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions is itself deterministic."""
     norm = dirty_records(spark, sf_dir).cache()
     cand = candidate_pairs(norm)
-    scored = scored_pairs(spark, sf_dir)
+    scored = scored_pairs(spark, sf_dir, norm=norm)
     m = scored.filter(F.col("score") >= MATCH_THRESHOLD)
     truth = (
         norm.groupBy("pk")
@@ -499,7 +513,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIM's master output."""
     norm = dirty_records(spark, sf_dir).cache()
     m = (
-        scored_pairs(spark, sf_dir)
+        scored_pairs(spark, sf_dir, norm=norm)
         .filter(F.col("score") >= MATCH_THRESHOLD)
         .select("rec_a", "rec_b")
     )
@@ -639,7 +653,7 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, so linking accuracy is part of the gated output."""
     norm = dirty_records(spark, sf_dir).cache()
     is_b = F.substring("rec_id", 1, 1) == "B"
-    scored = scored_pairs(spark, sf_dir).cache()
+    scored = scored_pairs(spark, sf_dir, norm=norm).cache()
     a_is_b = F.substring("rec_a", 1, 1) == "B"
     b_is_b = F.substring("rec_b", 1, 1) == "B"
     lbl = base_cluster_labels(norm, scored)

@@ -562,7 +562,14 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
-CLOSURE_DOUBLINGS = 4  # covers ancestor depth 2^4 = 16
+# Iterative doubling covers ancestor depth 2^CLOSURE_DOUBLINGS = 16.
+# The hierarchy is parent(k) = k DIV 4 (branching factor 4, root 0),
+# so max depth = ceil(log4(max_key)) and 16 covers any key domain up
+# to 4^16 ≈ 4.3e9 parts. The oracle computes the UNBOUNDED closure
+# via a recursive CTE, so part_closure() asserts coverage against the
+# table's actual max key (a min/max-stat-only aggregate) rather than
+# trusting this comment to outlive a hierarchy change (round-6 ADVICE).
+CLOSURE_DOUBLINGS = 4
 
 
 def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +578,21 @@ def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchy_closure_table). Cached — shared by the closure entry
     and the BOM rollup."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
+    max_key = part.agg(F.max("p_partkey")).first()[0] or 0
+    # depth(k) under parent(k) = k DIV 4 is ceil(log4(k)); doubling
+    # d rounds reaches depth 2^d — refuse to silently truncate deep
+    # ancestor pairs if the key domain ever outgrows the bound
+    max_depth = 0
+    k = max_key
+    while k > 0:
+        k //= 4
+        max_depth += 1
+    if max_depth > (1 << CLOSURE_DOUBLINGS):
+        raise ValueError(
+            f"part hierarchy depth {max_depth} exceeds closure bound "
+            f"{1 << CLOSURE_DOUBLINGS}; raise CLOSURE_DOUBLINGS to "
+            f"{max(CLOSURE_DOUBLINGS + 1, (max_depth - 1).bit_length())}"
+        )
     edges = part.filter(F.col("p_partkey") > 0).select(
         F.col("p_partkey").alias("des"),
         F.expr("p_partkey DIV 4").alias("anc"),

@@ -23,6 +23,26 @@ from pim_etl_spark.sources import load_table
 # ---------------------------------------------------------------------------
 
 @query(
+    "bench_control",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(r_regionkey) AS BIGINT) AS min_key
+    FROM region
+    """,
+)
+def bench_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environmental-slowdown control (round-6 VERDICT item 4): a
+    constant-work query — one 5-row region scan, one aggregate — whose
+    runtime measures sandbox/JVM speed, never data or plan changes.
+    Cross-round bench comparisons divide by this entry's ratio to
+    self-normalize for host speed instead of reverse-engineering it
+    from `topk_orders`."""
+    return load_table(spark, sf_dir, "region").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("r_regionkey").cast("long").alias("min_key"),
+    )
+
+
+@query(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -498,6 +518,105 @@ def multi_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "r_name string, n_suppliers bigint, total_acctbal double"
     ).orderBy("r_name")
+
+
+@query(
+    "pim_feed_source_scan",
+    oracle="""
+    -- custom-DataSource parity twin (round-6 VERDICT item 5): the
+    -- Spark side landed supplier as 4 JSONC feed documents (comments +
+    -- trailing commas) and read them back through the pim_feed Python
+    -- DataSource — the SAME partition/parse code the HTTP transport
+    -- uses — so the source's planning, per-feed partitioning, schema
+    -- enforcement, and JSONC tolerance all sit under this hash gate.
+    SELECT s_nationkey % 4 AS feed_bucket,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(min(s_suppkey) AS BIGINT) AS min_suppkey,
+           CAST(max(s_suppkey) AS BIGINT) AS max_suppkey,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM supplier
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pim_feed_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-transport scan through the ``pim_feed`` custom DataSource
+    (sources_custom.py): supplier is landed as 4 JSONC feed documents
+    — decorated with // comments and trailing commas, the dirty-feed
+    shapes the reference's sample files carry — then read back with
+    ``spark.read.format("pim_feed")``, one input partition per feed.
+    The HTTP transport shares this exact planner/parser (only the byte
+    fetch differs, loopback-tested in tests/test_custom_source.py), so
+    the hash gate covers the custom-source read path itself, closing
+    the S6–S8 oracle asymmetry. Reference:
+    etl/extractors/midocean_extractor.py:140-173.
+
+    Scale shape: feed documents are whole-payload by nature (an API
+    response); parallelism is across feeds, which is exactly how the
+    reference's 9-supplier sync fans out."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pim_etl_spark.sources_custom import register
+
+    register(spark)
+    sup_rows = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("s_nationkey") % 4).cast("long").alias("feed_bucket"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()  # fixture landing: supplier is the small dim table
+    )
+    stage = tempfile.mkdtemp(prefix="pim-feed-scan-")
+    try:
+        buckets: dict[int, list[str]] = {b: [] for b in range(4)}
+        for r in sup_rows:
+            buckets[r.feed_bucket].append(
+                _json.dumps(
+                    {
+                        "s_suppkey": r.s_suppkey,
+                        "s_name": r.s_name,
+                        "feed_bucket": r.feed_bucket,
+                        "cents": r.cents,
+                    }
+                )
+            )
+        paths = []
+        for b, lines in sorted(buckets.items()):
+            p = f"{stage}/feed_{b}.jsonc"
+            # JSONC decorations on purpose: comment header + trailing
+            # comma — the tolerance the parser exists for
+            body = ",\n  ".join(lines)
+            with open(p, "w", encoding="utf-8") as fh:
+                fh.write(f"// supplier feed bucket {b}\n[\n  {body},\n]\n")
+            paths.append(p)
+        feed = (
+            spark.read.format("pim_feed")
+            .schema("s_suppkey bigint, s_name string, feed_bucket bigint, cents bigint")
+            .option("paths", ",".join(paths))
+            .load()
+        )
+        rows = (
+            feed.groupBy("feed_bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.min("s_suppkey").cast("long").alias("min_suppkey"),
+                F.max("s_suppkey").cast("long").alias("max_suppkey"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .orderBy("feed_bucket")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "feed_bucket bigint, n_suppliers bigint, min_suppkey bigint, "
+        "max_suppkey bigint, sum_cents bigint",
+    ).orderBy("feed_bucket")
 
 
 @query(
