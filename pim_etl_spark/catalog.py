@@ -266,6 +266,9 @@ _PENDING_FIRST = (
     # path under the hash gate, and the environmental-speed control
     "pim_feed_source_scan",
     "bench_control",
+    # round-7 new capability entries (VERDICT item 7's named blanks)
+    "cep_overlapping_matches",
+    "bloom_pruned_shuffle_join",
     # remaining never-sampled r5/r6 entries (all parity-green locally)
     "theta_audience_overlap",
     "kll_mergeable_quantiles",

@@ -1645,6 +1645,118 @@ def cep_pattern_error_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_overlapping_matches",
+    oracle="""
+    -- MATCH_RECOGNIZE match-POLICY comparison on one pattern
+    -- (view ->.*-> purchase), the dial cep_pattern_error_reset leaves
+    -- untested: AFTER MATCH SKIP TO NEXT ROW (overlapping — every
+    -- (view, purchase) pair within a 20-event lookback is its own
+    -- match, so one view can serve many purchases and vice versa) vs
+    -- AFTER MATCH SKIP PAST LAST ROW (greedy non-overlapping — a view
+    -- is consumed by the first purchase that completes a match).
+    -- Greedy reduction: a purchase completes a non-overlapping match
+    -- iff some view lies strictly after the PREVIOUS purchase (proof:
+    -- matches always end at purchases, so "armed since last match"
+    -- == "view since last purchase").
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    state AS (
+      SELECT user_id, event_type, rn,
+             coalesce(max(CASE WHEN event_type = 'view' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_view,
+             coalesce(max(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_purchase,
+             coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING), 0) AS views_in_window
+      FROM numbered
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(coalesce(sum(views_in_window)
+               FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+               AS n_overlapping_matches,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                                 AND last_view > prev_purchase) AS BIGINT)
+               AS n_greedy_matches
+    FROM state
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+    ORDER BY user_id
+    """,
+)
+def cep_overlapping_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with OVERLAPPING match policies — the
+    AFTER MATCH SKIP dial on the pattern ``view → … → purchase``:
+
+    - SKIP TO NEXT ROW (overlapping): every (view, purchase) pair
+      within a 20-event lookback is its own match; matches share rows.
+      Compiles to one bounded-rows running count of views evaluated at
+      each purchase — per-row state is ONE integer, no match-list
+      materialization, which is why this survives 100 TB while an
+      enumerate-the-matches CEP engine would emit O(V×P) rows.
+    - SKIP PAST LAST ROW (greedy, non-overlapping): a completed match
+      consumes its rows. The greedy automaton reduces exactly to
+      "this purchase saw a view strictly after the previous purchase"
+      (matches end only at purchases, so armed-since-last-match equals
+      view-since-last-purchase) — one more running max, zero state
+      growth.
+
+    Both policies run in the SAME single (user_id) shuffle as layered
+    window functions; the row-number ordering (ts, event_id) makes
+    every comparison integer-exact cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lookback = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-20, -1)
+    is_view = F.col("event_type") == "view"
+    is_purchase = F.col("event_type") == "purchase"
+    state = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "last_view",
+            F.coalesce(F.max(F.when(is_view, F.col("rn"))).over(prior), F.lit(0)),
+        )
+        .withColumn(
+            "prev_purchase",
+            F.coalesce(F.max(F.when(is_purchase, F.col("rn"))).over(prior), F.lit(0)),
+        )
+        .withColumn(
+            "views_in_window",
+            F.coalesce(F.sum(F.when(is_view, 1)).over(lookback), F.lit(0)),
+        )
+    )
+    return (
+        state.groupBy("user_id")
+        .agg(
+            F.sum(is_purchase.cast("long")).alias("n_purchases"),
+            F.coalesce(
+                F.sum(F.when(is_purchase, F.col("views_in_window"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_overlapping_matches"),
+            F.sum(
+                (is_purchase & (F.col("last_view") > F.col("prev_purchase"))).cast(
+                    "long"
+                )
+            ).alias("n_greedy_matches"),
+        )
+        .filter(F.col("n_purchases") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "seasonal_index_decomposition",
     oracle="""
     -- classical multiplicative seasonal decomposition, integer-exact:

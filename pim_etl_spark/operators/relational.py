@@ -521,6 +521,127 @@ def multi_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_pruned_shuffle_join",
+    oracle="""
+    -- Bloom-style runtime-filter join, made exact so every stage is
+    -- hash-gateable: the selective dim side (urgent high-value orders)
+    -- is summarized as the SET of 4096 md5 key-buckets it occupies, the
+    -- fact side is pruned by bucket membership BEFORE the join shuffle
+    -- (false positives possible — bucket collisions — exactly like a
+    -- Bloom filter, but deterministic and engine-identical, so the
+    -- pruning stats themselves sit under the hash gate), and the real
+    -- equi-join re-checks full keys so the prune is lossless.
+    WITH dim AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    ),
+    dim_buckets AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 4096 AS bucket
+      FROM dim
+    ),
+    probe AS (
+      SELECT l_orderkey, l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 4096 AS bucket
+      FROM lineitem
+    ),
+    pruned AS (
+      SELECT p.* FROM probe p WHERE p.bucket IN (SELECT bucket FROM dim_buckets)
+    ),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe_total,
+             (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS n_probe_surviving,
+             (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM dim_buckets) AS n_buckets
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_joined,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           s.n_probe_total, s.n_probe_surviving, s.n_dim_keys, s.n_buckets
+    FROM pruned p JOIN dim d ON p.l_orderkey = d.o_orderkey
+    CROSS JOIN stats s
+    GROUP BY l_returnflag, s.n_probe_total, s.n_probe_surviving,
+             s.n_dim_keys, s.n_buckets
+    ORDER BY l_returnflag
+    """,
+)
+def bloom_pruned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned shuffle join — the runtime-filter pattern Spark's
+    optimizer injects on clusters (spark.sql.optimizer.runtime
+    .bloomFilter.*), expressed explicitly so the semantics are exact
+    and hash-gateable: the selective dim side is reduced to its set of
+    4096 md5 key-buckets (a deterministic Bloom filter with one hash
+    function — collisions are the false positives), the bucket set is
+    BROADCAST as a left-semi filter onto the fact side before the join
+    shuffle, and the equi-join re-checks full keys so the prune is
+    lossless. The join itself is pinned to shuffle (merge hint): at
+    test SF the dim would broadcast and make pruning moot, but the
+    entry exists to exercise the 100 TB shape — a dim too big to
+    broadcast, where shipping O(buckets) bits instead of shuffling
+    every fact row is the difference between a 4 TB and a 300 GB
+    exchange. The pruning stats (survivor count, bucket count) are
+    part of the gated output, so the selectivity claim is proven, not
+    asserted."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bucket(key):
+        return (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+            % 4096
+        )
+
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    dim_buckets = dim.select(bucket(F.col("o_orderkey")).alias("bucket")).distinct()
+    probe = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        bucket(F.col("l_orderkey")).alias("bucket"),
+    )
+    pruned = probe.join(F.broadcast(dim_buckets), "bucket", "left_semi")
+    stats = (
+        probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe_total"))
+        .crossJoin(
+            F.broadcast(
+                pruned.agg(F.count(F.lit(1)).cast("long").alias("n_probe_surviving"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(dim.agg(F.count(F.lit(1)).cast("long").alias("n_dim_keys")))
+        )
+        .crossJoin(
+            F.broadcast(
+                dim_buckets.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+            )
+        )
+    )
+    joined = pruned.hint("merge").join(
+        dim.hint("merge"), pruned.l_orderkey == dim.o_orderkey
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_joined"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_returnflag",
+            "n_joined",
+            "revenue_cents",
+            "n_probe_total",
+            "n_probe_surviving",
+            "n_dim_keys",
+            "n_buckets",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "pim_feed_source_scan",
     oracle="""
     -- custom-DataSource parity twin (round-6 VERDICT item 5): the

@@ -473,3 +473,28 @@ def test_peak_concurrency_windows_over_day_aggregate(spark, sf_dir):
     assert "Window" in plan, plan[:2500]
     assert "partial_sum" in plan, plan[:2500]
     assert "CartesianProduct" not in plan, plan[:2500]
+
+
+def test_cep_overlapping_single_user_exchange(spark, sf_dir):
+    """cep_overlapping_matches: both match policies (bounded-rows view
+    count for SKIP TO NEXT ROW, running maxes for the greedy SKIP PAST
+    LAST ROW reduction) must layer over ONE user_id hash Exchange —
+    the per-user aggregate reuses the window partitioning."""
+    plan = _plan(get_queries()["cep_overlapping_matches"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_is_broadcast_semi_before_shuffle_join(spark, sf_dir):
+    """bloom_pruned_shuffle_join: the bucket-membership prune must be
+    a BROADCAST left-semi join on the fact side (O(buckets) bits
+    shipped, never a shuffle of the fact table), and the real join
+    must stay the pinned shuffle merge join the entry demonstrates —
+    with zero cartesian anywhere (the stats crossJoins are all
+    broadcast 1-row frames)."""
+    import re
+
+    plan = _plan(get_queries()["bloom_pruned_shuffle_join"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:3000]
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
