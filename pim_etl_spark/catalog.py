@@ -189,8 +189,12 @@ _DRIVER_GREEN = frozenset({
     # the r5 lifecycles that had waited since CORRECTNESS_r05 never
     # materialized.
     "stream_windowed_topk", "stream_er_admission",
-    "stream_volume_anomaly", "er_linkage_quality", "er_golden_record",
+    "stream_volume_anomaly", "er_golden_record",
     "er_incremental_link", "logreg_gd_quality", "model_quality_filter",
+    # er_linkage_quality: r6-green but its candidate-count source was
+    # rewritten in round 7 (derived from the cached scored frame
+    # instead of a second blocking join) — dropped per the q21 rewrite
+    # rule so the driver re-samples the new plan.
     "stream_change_feed_counts", "expectations_audit",
     "stream_sink_exactly_once", "versioned_column_rename",
     "versioned_column_drop", "multi_table_transaction",
@@ -269,6 +273,7 @@ _PENDING_FIRST = (
     # round-7 new capability entries (VERDICT item 7's named blanks)
     "cep_overlapping_matches",
     "bloom_pruned_shuffle_join",
+    "er_linkage_quality",
     # remaining never-sampled r5/r6 entries (all parity-green locally)
     "theta_audience_overlap",
     "kll_mergeable_quantiles",
@@ -348,9 +353,31 @@ def _priority_order(names) -> list[str]:
     return early + oracled + rows_only + twins + proven
 
 
+def _entry_scoped(fn: QueryFn) -> QueryFn:
+    """Clear the Spark cache when a catalog entry STARTS: per-entry
+    caches (ER norm frames, closure/label loops) must not accumulate
+    executor storage across a 300+-entry driver run (round-6 ADVICE).
+    Clearing at start — never at return — keeps the entry's own
+    internal multi-action reuse intact, and the returned DataFrame's
+    caches stay live for the caller's collect. All cross-entry
+    artifacts (IVF/PQ/text indexes, PIM fixtures, versioned stores)
+    are parquet on disk, so this is semantics-free."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def get_queries() -> dict[str, QueryFn]:
     load_catalog()
-    return {n: QUERIES[n] for n in _priority_order(QUERIES)}
+    return {n: _entry_scoped(QUERIES[n]) for n in _priority_order(QUERIES)}
 
 
 def get_oracles() -> dict[str, str]:

@@ -251,10 +251,24 @@ def scored_pairs(
     0–100 match score (see _ER_CTE for the exact formula).
 
     Callers that already hold a (cached) ``dirty_records`` frame pass
-    it via ``norm`` so the dirty-record derivation and blocking join
-    run once per entry, not twice (round-6 ADVICE)."""
+    it via ``norm`` so the dirty-record derivation runs once per entry
+    (round-6 ADVICE); built-here norms are cached (entry-start cache
+    clearing in catalog._entry_scoped bounds the lifetime).
+
+    Plan shape (re-measured round 7): candidates DISTINCT first on the
+    narrow (rec_a, rec_b) ids, then each payload side re-attaches via
+    a join against norm — which Catalyst broadcasts while the record
+    set fits (it does at every bench SF), making both re-attaches
+    map-side and levenshtein run exactly once per distinct pair. The
+    alternative fused attach-then-block layout (payloads travel with
+    the blocking keys, dedupe on feature rows) measured 2× SLOWER here
+    (26–33 s vs 14 s at sf0.1): it re-evaluates features on
+    both-blocking-pass duplicates and shuffles wide feature rows for
+    the dedup. At a scale where norm stops broadcasting, AQE degrades
+    the re-attaches to shuffle joins and the fused layout becomes the
+    right trade — that dial, not this code, is the 100 TB knob."""
     if norm is None:
-        norm = dirty_records(spark, sf_dir)
+        norm = dirty_records(spark, sf_dir).cache()
     cand = candidate_pairs(norm)
     x = norm.alias("x")
     y = norm.alias("y")
@@ -441,8 +455,10 @@ def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishable to any attribute matcher, and the count of such
     collisions is itself deterministic."""
     norm = dirty_records(spark, sf_dir).cache()
-    cand = candidate_pairs(norm)
-    scored = scored_pairs(spark, sf_dir, norm=norm)
+    # scored has exactly one row per candidate pair, so the candidate
+    # count derives from the CACHED scored frame — the blocking
+    # self-join runs once per entry, not twice
+    scored = scored_pairs(spark, sf_dir, norm=norm).cache()
     m = scored.filter(F.col("score") >= MATCH_THRESHOLD)
     truth = (
         norm.groupBy("pk")
@@ -456,7 +472,9 @@ def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.crossJoin(F.broadcast(truth))
         .crossJoin(F.broadcast(norm.agg(F.count(F.lit(1)).cast("long").alias("n_records"))))
-        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))))
+        .crossJoin(
+            F.broadcast(scored.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        )
         .select(
             "n_records",
             "n_candidates",
@@ -512,10 +530,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conservative price). One golden row per physical product is the
     PIM's master output."""
     norm = dirty_records(spark, sf_dir).cache()
+    # cache the matched edge list: the symmetric adjacency union below
+    # reads it twice, and uncached each read re-runs the full blocking
+    # + feature-scoring join
     m = (
         scored_pairs(spark, sf_dir, norm=norm)
         .filter(F.col("score") >= MATCH_THRESHOLD)
         .select("rec_a", "rec_b")
+        .cache()
     )
     # ids-only label loop: pin a small co-partitioning on the join key
     # so each round reuses it instead of a 200-partition default

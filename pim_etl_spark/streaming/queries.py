@@ -1052,7 +1052,7 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     norm = dirty_records(spark, sf_dir).cache()
     is_b = F.substring("rec_id", 1, 1) == "B"
-    scored = scored_pairs(spark, sf_dir)
+    scored = scored_pairs(spark, sf_dir, norm=norm)
     lbl = base_cluster_labels(norm, scored)
     base = norm.filter(~is_b)
     # static join side: base blocking keys + features + cluster label,
