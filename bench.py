@@ -6,6 +6,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan + execute) into a noop sink so
 result materialization cost is measured without driver collect noise.
+
+Timings are COLD per entry (round 7): catalog callables clear the
+Spark cache when they start (catalog._entry_scoped), so neither
+sibling entries' caches nor a min-of-N first run can warm a timing —
+every number is the cost the driver's one-shot run pays. Compare
+cross-round totals only after normalizing by `bench_control`.
 """
 
 from __future__ import annotations

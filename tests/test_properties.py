@@ -193,3 +193,44 @@ def test_kmeans_int_lloyd_matches_python_reference(spark, vecs):
     want = assign(cents2)
     assert got == want
     shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_cep_reduction_equals_consuming_automaton(events):
+    """cep_overlapping_matches' greedy SKIP PAST LAST ROW policy is
+    computed as a window formula ("some view lies strictly after the
+    previous purchase"); this pins its equivalence to the actual
+    consuming automaton (armed on view, match+reset on purchase) over
+    arbitrary event sequences — the proof obligation behind the
+    entry's docstring claim."""
+    # ground truth: the consuming automaton
+    armed = False
+    automaton_matches = 0
+    for ev in events:
+        if ev == "view":
+            armed = True
+        elif ev == "purchase":
+            if armed:
+                automaton_matches += 1
+                armed = False
+    # the window-formula reduction (mirrors the Spark/DuckDB SQL):
+    # purchase at i matches iff max(view rn) over [0, i) > max(purchase
+    # rn) over [0, i)
+    formula_matches = 0
+    last_view = 0
+    prev_purchase = 0
+    for rn, ev in enumerate(events, start=1):
+        if ev == "purchase":
+            if last_view > prev_purchase:
+                formula_matches += 1
+            prev_purchase = rn
+        elif ev == "view":
+            last_view = rn
+    assert formula_matches == automaton_matches
