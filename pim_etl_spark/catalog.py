@@ -273,6 +273,7 @@ _PENDING_FIRST = (
     # round-7 new capability entries (VERDICT item 7's named blanks)
     "cep_overlapping_matches",
     "bloom_pruned_shuffle_join",
+    "versioned_partition_evolution",
     "er_linkage_quality",
     # remaining never-sampled r5/r6 entries (all parity-green locally)
     "theta_audience_overlap",

@@ -470,9 +470,12 @@ def commit_append(
     bloom_col: str | None = None,
     bloom_bits: int = 8192,
     bloom_k: int = 3,
+    extra: dict | None = None,
 ) -> int:
     """Blind append (O(batch)): parent's files carry over by name,
-    only the new rows are written."""
+    only the new rows are written. ``extra`` lands in the manifest
+    (e.g. the writer's ``partition_spec`` — see
+    versioned_partition_evolution)."""
     parent = current_version(path)
     carried = read_manifest(path, parent)["files"] if parent else []
     carried_stats = read_manifest(path, parent).get("file_stats", {}) if parent else {}
@@ -487,6 +490,7 @@ def commit_append(
         {"files_written": len(files), "files_carried": len(carried)},
         file_stats={**carried_stats, **fstats},
         expect_parent=parent,
+        extra=extra,
     )
 
 
@@ -3541,6 +3545,166 @@ def versioned_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Crash anywhere between the table commits and the catalog publish
 # leaves catalog readers on the previous consistent pair; the orphan
 # table versions are superseded by the retry (and vacuumable).
+
+
+@query(
+    "versioned_partition_evolution",
+    oracle="""
+    -- partition-SPEC evolution (Iceberg's hallmark: change how new
+    -- data is laid out WITHOUT rewriting old files): months 1-3
+    -- committed under spec 1 (one file per o_month), months 10-12
+    -- under spec 2 (one file per (o_month, prio bucket)). Readers
+    -- prune per file UNDER THE SPEC THAT WROTE IT: a probe on
+    -- (month, bucket) prunes old-spec files by month only (they
+    -- cannot prune on the new field, so the month-2 probe scans the
+    -- WHOLE month file), while new-spec files prune on both (the
+    -- month-11 probe scans exactly the matching bucket file). File
+    -- counts are structural (one per distinct partition tuple), row
+    -- counts and sums are closed-form on orders.
+    WITH o AS (
+      SELECT month(o_orderdate) AS m,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) % 3 AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n_total AS (
+      SELECT (SELECT count(DISTINCT m) FROM o WHERE m BETWEEN 1 AND 3)
+           + (SELECT count(*) FROM (SELECT DISTINCT m, b FROM o WHERE m BETWEEN 10 AND 12))
+           AS n_files_total
+    )
+    SELECT 2 AS probe_month,
+           CAST((SELECT n_files_total FROM n_total) AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 2) AS n_rows_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 2 AND b = 1) AS n_rows_matched,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE m = 2 AND b = 1) AS sum_cents
+    UNION ALL
+    SELECT 11,
+           CAST((SELECT n_files_total FROM n_total) AS BIGINT),
+           CAST(1 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 11 AND b = 1),
+           (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 11 AND b = 1),
+           (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE m = 11 AND b = 1)
+    ORDER BY probe_month
+    """,
+)
+def versioned_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution under the hash gate — the lakehouse
+    verb the schema-evolution family was missing: the table's physical
+    layout CHANGES mid-history (spec 1 clusters by month; spec 2 by
+    (month, priority-bucket)) and old files are NEVER rewritten. Each
+    commit records its ``partition_spec`` in the manifest, each file
+    carries min/max stats for ITS spec's fields, and the reader prunes
+    every file under the spec that wrote it: old-spec files prune on
+    month only (a (month, bucket) probe must scan the whole month —
+    the read amplification spec evolution exists to fix going
+    forward), new-spec files prune on both fields (the probe scans
+    exactly one bucket file). Scanned-file and scanned-row counts are
+    part of the gated output, so the pruning claim is proven, not
+    asserted.
+
+    Scale shape: pruning is manifest arithmetic (file-count-sized,
+    driver-side — the same ledger read every lakehouse planner does);
+    the data scan reads only surviving files. At 100 TB the spec
+    change is what saves rewriting petabytes when the query pattern
+    shifts — new data lands under the new layout, old data ages out
+    via compaction."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("o_month"),
+        (F.substring("o_orderpriority", 1, 1).cast("int") % 3).alias("prio_b"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    tbl = tempfile.mkdtemp(prefix="pim-vstore-pspec-")
+    try:
+        # spec 1: one commit per month, one file per commit, month
+        # stats only. Partition tuples are discovered FROM the data so
+        # file counts always equal the oracle's distinct-tuple counts.
+        spec1 = {"spec_id": 1, "fields": ["o_month"]}
+        months = sorted(
+            r["o_month"]
+            for r in orders.filter(F.col("o_month").between(1, 3))
+            .select("o_month").distinct().collect()
+        )
+        for m in months:
+            commit_append(
+                orders.filter(F.col("o_month") == m).coalesce(1),
+                tbl, stats_cols=("o_month",),
+                extra={"partition_spec": spec1},
+            )
+        # spec 2 (the evolution): month + priority bucket, one commit
+        # per tuple so each file is provably PURE (a union of
+        # coalesce(1) branches does NOT keep per-branch partitions —
+        # Catalyst collapsed it to one file when tried); old files
+        # stay untouched
+        spec2 = {"spec_id": 2, "fields": ["o_month", "prio_b"]}
+        tuples = sorted(
+            (r["o_month"], r["prio_b"])
+            for r in orders.filter(F.col("o_month").between(10, 12))
+            .select("o_month", "prio_b").distinct().collect()
+        )
+        for m, b in tuples:
+            commit_append(
+                orders.filter(
+                    (F.col("o_month") == m) & (F.col("prio_b") == b)
+                ).coalesce(1),
+                tbl, stats_cols=("o_month", "prio_b"),
+                extra={"partition_spec": spec2},
+            )
+        # reader: prune each file under the spec that wrote it — a
+        # missing stat column means "this file's spec cannot prune on
+        # that field", never "skip the file"
+        head = current_version(tbl)
+        manifest = read_manifest(tbl, head)
+        fstats = manifest.get("file_stats", {})
+        rows = []
+        for probe_month, probe_b in ((2, 1), (11, 1)):
+            scanned = []
+            for f in manifest["files"]:
+                st = fstats.get(f) or {}
+                keep = True
+                for col, val in (("o_month", probe_month), ("prio_b", probe_b)):
+                    rng = st.get(col)
+                    if isinstance(rng, (list, tuple)) and rng[0] is not None:
+                        if not (rng[0] <= val <= rng[1]):
+                            keep = False
+                            break
+                if keep:
+                    scanned.append(_entry_path(tbl, f))
+            scan = spark.read.parquet(*scanned)
+            agg = scan.agg(
+                F.count(F.lit(1)).cast("long").alias("n_scanned"),
+                F.sum(
+                    ((F.col("o_month") == probe_month) & (F.col("prio_b") == probe_b))
+                    .cast("long")
+                ).alias("n_matched"),
+                F.sum(
+                    F.when(
+                        (F.col("o_month") == probe_month)
+                        & (F.col("prio_b") == probe_b),
+                        F.col("cents"),
+                    )
+                ).cast("long").alias("sum_cents"),
+            ).collect()[0]
+            rows.append(
+                (
+                    probe_month,
+                    len(manifest["files"]),
+                    len(scanned),
+                    agg["n_scanned"],
+                    agg["n_matched"],
+                    agg["sum_cents"],
+                )
+            )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "probe_month int, n_files_total bigint, n_files_scanned bigint, "
+        "n_rows_scanned bigint, n_rows_matched bigint, sum_cents bigint",
+    ).orderBy("probe_month")
 
 
 def _catalog_dir(path: str) -> str:

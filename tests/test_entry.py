@@ -17,3 +17,19 @@ def test_queries_and_oracles_align(spark):
     oracles = entrymod.oracle_sql()
     assert qs, "catalog is empty"
     assert set(oracles).issubset(set(qs))
+
+
+def test_catalog_entries_clear_cache_on_start(spark):
+    """Every catalog callable is wrapped by catalog._entry_scoped:
+    invoking an entry clears leftover Spark caches from the previous
+    entry, so a 300+-entry driver/bench run cannot accumulate executor
+    storage (round-6 ADVICE) and no entry's timing can lean on a
+    sibling's caches."""
+    from pim_etl_spark.catalog import get_queries
+
+    leftover = spark.range(100).cache()
+    leftover.count()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() >= 1
+    qs = get_queries()
+    qs["bench_control"](spark, "/root/testdata/sf0.001").collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
