@@ -188,13 +188,15 @@ _DRIVER_GREEN = frozenset({
     # hash-green: the r6 ER / in-engine-training / streamed batch plus
     # the r5 lifecycles that had waited since CORRECTNESS_r05 never
     # materialized.
-    "stream_windowed_topk", "stream_er_admission",
-    "stream_volume_anomaly", "er_golden_record",
-    "er_incremental_link", "logreg_gd_quality", "model_quality_filter",
-    # er_linkage_quality: r6-green but its candidate-count source was
-    # rewritten in round 7 (derived from the cached scored frame
-    # instead of a second blocking join) — dropped per the q21 rewrite
-    # rule so the driver re-samples the new plan.
+    "stream_windowed_topk",
+    "stream_volume_anomaly",
+    "logreg_gd_quality", "model_quality_filter",
+    # er_linkage_quality / er_golden_record / er_incremental_link /
+    # stream_er_admission: r6-green but their executed code changed in
+    # round 7 (match_features integer DIV, scored_pairs norm reuse +
+    # caching, er_linkage candidate count derived from the scored
+    # frame) — ALL dropped per the q21 rewrite rule so the driver
+    # re-samples the new code paths (round-7 self-review finding).
     "stream_change_feed_counts", "expectations_audit",
     "stream_sink_exactly_once", "versioned_column_rename",
     "versioned_column_drop", "multi_table_transaction",
@@ -275,6 +277,9 @@ _PENDING_FIRST = (
     "bloom_pruned_shuffle_join",
     "versioned_partition_evolution",
     "er_linkage_quality",
+    "er_golden_record",
+    "er_incremental_link",
+    "stream_er_admission",
     # remaining never-sampled r5/r6 entries (all parity-green locally)
     "theta_audience_overlap",
     "kll_mergeable_quantiles",

@@ -578,10 +578,28 @@ def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchy_closure_table). Cached — shared by the closure entry
     and the BOM rollup."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
-    max_key = part.agg(F.max("p_partkey")).first()[0] or 0
     # depth(k) under parent(k) = k DIV 4 is ceil(log4(k)); doubling
     # d rounds reaches depth 2^d — refuse to silently truncate deep
-    # ancestor pairs if the key domain ever outgrows the bound
+    # ancestor pairs if the key domain ever outgrows the bound. The
+    # max key comes from the parquet FOOTER statistics (O(row groups)
+    # driver-side metadata, no Spark job — Spark's own aggregate
+    # pushdown is off by default, so part.agg(max) would be a full
+    # column scan per call; r7 self-review), with the scan as fallback.
+    max_key = 0
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(sf_dir, "part.parquet"))
+        idx = pf.schema_arrow.get_field_index("p_partkey")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                raise ValueError("missing footer stats")
+            max_key = max(max_key, int(st.max))
+    except Exception:
+        max_key = part.agg(F.max("p_partkey")).first()[0] or 0
     max_depth = 0
     k = max_key
     while k > 0:

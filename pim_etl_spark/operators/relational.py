@@ -595,6 +595,12 @@ def bloom_pruned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
     ).select("o_orderkey")
     dim_buckets = dim.select(bucket(F.col("o_orderkey")).alias("bucket")).distinct()
+    # deliberately NOT cached: the stats columns re-scan lineitem for
+    # n_probe_total / n_probe_surviving, but at bench scale three
+    # codegen'd parquet scans measure FASTER than one cache
+    # materialization + cached reads (2.6 s vs 4.2 s, r7) — caching
+    # here defeats whole-stage codegen and scan pushdown. At 100 TB
+    # the same counts would come from scan metrics, not extra passes.
     probe = li.select(
         "l_orderkey",
         "l_returnflag",

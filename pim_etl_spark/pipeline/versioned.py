@@ -3667,27 +3667,36 @@ def versioned_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
                 keep = True
                 for col, val in (("o_month", probe_month), ("prio_b", probe_b)):
                     rng = st.get(col)
-                    if isinstance(rng, (list, tuple)) and rng[0] is not None:
+                    # guard BOTH bounds, matching point_lookup_plan: a
+                    # one-sided stat must degrade to cannot-prune
+                    if (
+                        isinstance(rng, (list, tuple))
+                        and rng[0] is not None
+                        and rng[1] is not None
+                    ):
                         if not (rng[0] <= val <= rng[1]):
                             keep = False
                             break
                 if keep:
                     scanned.append(_entry_path(tbl, f))
-            scan = spark.read.parquet(*scanned)
-            agg = scan.agg(
-                F.count(F.lit(1)).cast("long").alias("n_scanned"),
-                F.sum(
-                    ((F.col("o_month") == probe_month) & (F.col("prio_b") == probe_b))
-                    .cast("long")
-                ).alias("n_matched"),
-                F.sum(
-                    F.when(
-                        (F.col("o_month") == probe_month)
-                        & (F.col("prio_b") == probe_b),
-                        F.col("cents"),
-                    )
-                ).cast("long").alias("sum_cents"),
-            ).collect()[0]
+            if not scanned:  # every file pruned: an exact zero result
+                agg = {"n_scanned": 0, "n_matched": 0, "sum_cents": None}
+            else:
+                scan = spark.read.parquet(*scanned)
+                agg = scan.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_scanned"),
+                    F.sum(
+                        ((F.col("o_month") == probe_month) & (F.col("prio_b") == probe_b))
+                        .cast("long")
+                    ).alias("n_matched"),
+                    F.sum(
+                        F.when(
+                            (F.col("o_month") == probe_month)
+                            & (F.col("prio_b") == probe_b),
+                            F.col("cents"),
+                        )
+                    ).cast("long").alias("sum_cents"),
+                ).collect()[0]
             rows.append(
                 (
                     probe_month,

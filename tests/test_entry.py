@@ -19,7 +19,7 @@ def test_queries_and_oracles_align(spark):
     assert set(oracles).issubset(set(qs))
 
 
-def test_catalog_entries_clear_cache_on_start(spark):
+def test_catalog_entries_clear_cache_on_start(spark, sf_dir):
     """Every catalog callable is wrapped by catalog._entry_scoped:
     invoking an entry clears leftover Spark caches from the previous
     entry, so a 300+-entry driver/bench run cannot accumulate executor
@@ -33,7 +33,7 @@ def test_catalog_entries_clear_cache_on_start(spark):
     leftover.count()
     assert leftover.storageLevel != StorageLevel.NONE
     qs = get_queries()
-    qs["bench_control"](spark, "/root/testdata/sf0.001").collect()
+    qs["bench_control"](spark, sf_dir).collect()
     # assert on THIS frame's storage, not a global zero: sibling tests
     # in the shared session may hold localCheckpoint RDD blocks, which
     # clearCache deliberately does not touch
