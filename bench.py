@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the full catalog at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-TWO JSON lines: first a small headline {"metric":
-"catalog_total_runtime_headline", "value": total_sec, "n_queries",
-"failed_count", ...} (so a tail-truncated capture keeps the totals),
-then the full payload {"metric": "catalog_total_runtime", "value":
-total_sec, "unit": "sec", "queries": {name: sec, ...}, "sf": ...} as
-the FINAL line (the driver's contract).
+THREE JSON lines: headline, full payload, headline again. The compact
+headline {"metric": "catalog_total_runtime", "value": total_sec,
+"n_queries", "n_succeeded", "failed_count", "sf"} is the FINAL line
+because the driver tail-captures the last ~2000 chars — whatever
+prints last is what survives truncation (round-7 lesson: headline
+printed first is exactly what gets cut). The full payload {"metric":
+"catalog_total_runtime", ..., "queries": {name: sec, ...}} prints in
+the middle and is also persisted to bench_last.json. n_queries counts
+ATTEMPTED entries; n_succeeded = n_queries - failed_count.
 
 Each query is timed end-to-end (plan + execute) into a noop sink so
 result materialization cost is measured without driver collect noise.
@@ -154,23 +157,26 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
     }
-    # headline FIRST: a tail-truncated capture (BENCH_r06 "parsed":
-    # null) can never lose the total/failed-count; the full per-query
-    # map follows as the final line per the driver contract
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime_headline",
-                "value": payload["value"],
-                "unit": "sec",
-                "n_queries": len(timings),
-                "failed_count": len(failed_queries),
-                "sf": payload["sf"],
-            }
-        ),
-        flush=True,
+    # output contract: the full per-query payload line first, then the
+    # compact headline as the VERY LAST line — the driver tail-captures
+    # the final ~2000 chars, so whatever prints last is what survives
+    # truncation (round-7 VERDICT: printing the headline first put it
+    # exactly in the truncated-away region). The headline is also
+    # printed first for humans watching the log live.
+    headline = json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": payload["value"],
+            "unit": "sec",
+            "n_queries": len(timings),  # attempted entries (incl. failed)
+            "n_succeeded": len(timings) - len(failed_queries),
+            "failed_count": len(failed_queries),
+            "sf": payload["sf"],
+        }
     )
-    print(json.dumps(payload))
+    print(headline, flush=True)
+    print(json.dumps(payload), flush=True)
+    print(headline, flush=True)
     # also persist the full parsed map next to the repo so round-over-
     # round comparisons never depend on scraping a truncated stdout tail
     try:

@@ -218,6 +218,35 @@ _DRIVER_GREEN = frozenset({
     "join_multiplicity_audit", "versioned_mor_delete",
     "versioned_schema_evolution", "image_ahash_neardup",
     "image_resize_block_mean", "cep_pattern_error_reset",
+    # round 7 (CORRECTNESS_r07.json) — all 50 sampled entries
+    # hash-green. NOT folded, per the q21 rewrite rule (executed code
+    # changed in round 8): er_linkage_quality / er_golden_record /
+    # er_incremental_link / stream_er_admission (the BLOCK_CAP
+    # sorted-neighborhood blocking split), versioned_partition_evolution
+    # (its oracle now derives n_files_scanned instead of hardcoding 1,
+    # round-7 ADVICE), and hierarchy_closure_table / bom_cost_rollup
+    # (part_closure's footer probe gained the narrowed-except +
+    # field-index guard, round-7 ADVICE) — all seven re-sample first.
+    "audio_frame_energy", "audio_resample_decimate",
+    "autocorrelation_daily_orders", "bench_control", "bfs_trade_hops",
+    "bloom_pruned_shuffle_join", "cep_overlapping_matches",
+    "cusum_change_point", "cusum_excursion_band",
+    "dedup_cluster_resolution", "embedding_lsh_neardup_buckets",
+    "ewma_order_value", "gold_bucketed_sync", "gold_change_feed",
+    "gold_time_travel_diff", "grid_dbscan_clusters",
+    "group_leakage_safe_split", "heavy_hitters_sketch",
+    "hierarchy_ancestor_rollup", "image_patchify_grid",
+    "incremental_neardup_gate", "incremental_rollup_maintenance",
+    "incremental_rollup_minmax", "interval_overlap_bin_join",
+    "kcore_decomposition", "kll_mergeable_quantiles",
+    "minhash_lsh_candidates", "order_streak_islands",
+    "pim_feed_source_scan", "selfjoin_size_sketch", "simhash_buckets",
+    "spatial_grid_neighbor_join", "sql_udf_inlined_tiers",
+    "sssp_trade_cost", "stream_cep_pattern_totals",
+    "stream_left_outer_attribution", "table_profile_summary",
+    "theta_audience_overlap", "triangle_count_trade",
+    "variant_semistructured_access", "versioned_branch_merge",
+    "versioned_point_lookup", "versioned_replica_sync",
 })
 
 
@@ -255,47 +284,36 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-7 head (VERDICT r6 item 1): the 5 dedup entries whose LAST
-    # driver verdict is still `no_oracle` (r3/r4) despite gaining real
-    # recall/selectivity oracles in r5 — the driver has never confirmed
-    # those oracles — then the 3 invalidated-then-fixed gold lifecycles
-    # (delete_where/changes_between mergeSchema rewrites, q21 rule).
-    "minhash_lsh_candidates",
-    "dedup_cluster_resolution",
-    "simhash_buckets",
-    "incremental_neardup_gate",
-    "embedding_lsh_neardup_buckets",
-    "gold_time_travel_diff",
-    "gold_change_feed",
-    "incremental_rollup_maintenance",
-    # round-7 additions (VERDICT items 4/5): the custom-source read
-    # path under the hash gate, and the environmental-speed control
-    "pim_feed_source_scan",
-    "bench_control",
-    # round-7 new capability entries (VERDICT item 7's named blanks)
-    "cep_overlapping_matches",
-    "bloom_pruned_shuffle_join",
-    "versioned_partition_evolution",
+    # round-8 head (VERDICT r7 item 2): the two heaviest entries in
+    # the repo have zero driver proof AND their executed code changed
+    # this round (the BLOCK_CAP sorted-neighborhood blocking split) —
+    # they lead the window.
+    "er_matched_pairs",
+    "er_blocking_candidates",
+    # r7-green ER entries re-sampled because the blocking rewrite
+    # changed their executed code (q21 rule; stream_er_admission is in
+    # _EARLY and orders before everything anyway)
     "er_linkage_quality",
     "er_golden_record",
     "er_incremental_link",
-    "stream_er_admission",
-    # remaining never-sampled r5/r6 entries (all parity-green locally)
-    "theta_audience_overlap",
-    "kll_mergeable_quantiles",
-    "stream_cep_pattern_totals",
-    "audio_resample_decimate",
-    "variant_semistructured_access",
-    "sql_udf_inlined_tiers",
-    "gold_bucketed_sync",
-    "incremental_rollup_minmax",
-    "versioned_replica_sync",
-    "versioned_point_lookup",
-    "versioned_branch_merge",
-    "stream_left_outer_attribution",
-    "image_patchify_grid",
-    "audio_frame_energy",
-    "group_leakage_safe_split",
+    # oracle / guard changes from round-7 ADVICE (q21 rule)
+    "versioned_partition_evolution",
+    "hierarchy_closure_table",
+    "bom_cost_rollup",
+    # heaviest / riskiest of the 60 never-driver-sampled (VERDICT
+    # named these): the rest of the never-sampled set follows in
+    # registration order inside the same window
+    "apriori_triple_itemsets",
+    "bitemporal_asof_query",
+    "bm25_ranked_search",
+    "knn_label_vote",
+    "retrieval_eval_mrr",
+    "greedy_coverage_selection",
+    "cross_corpus_lsh_decontamination",
+    "entity_resolution_clusters",
+    "semantic_dedup_cells",
+    "prefix_filter_jaccard_join",
+    "merkle_range_diff",
 )
 
 # ...and these order LAST within pending (the 50-entry driver window

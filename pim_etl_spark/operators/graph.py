@@ -571,6 +571,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 # trusting this comment to outlive a hierarchy change (round-6 ADVICE).
 CLOSURE_DOUBLINGS = 4
 
+# one-shot flag: log the footer-probe fallback once per process, not
+# once per part_closure call
+_FOOTER_FALLBACK_LOGGED = False
+
 
 def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(des, anc, depth) transitive closure of the synthesized part
@@ -593,12 +597,31 @@ def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pf = pq.ParquetFile(os.path.join(sf_dir, "part.parquet"))
         idx = pf.schema_arrow.get_field_index("p_partkey")
+        if idx < 0:  # get_field_index returns -1, never raises —
+            # indexing column(-1) would silently read the LAST
+            # column's stats (round-7 ADVICE)
+            raise KeyError("p_partkey not in parquet schema")
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(idx).statistics
             if st is None or st.max is None:
                 raise ValueError("missing footer stats")
             max_key = max(max_key, int(st.max))
-    except Exception:
+    except (ImportError, OSError, KeyError, ValueError) as exc:
+        # narrow fallback set (round-7 ADVICE — a broad except hid
+        # EVERY footer-probe failure as a silent per-call full scan):
+        # pyarrow absent, part.parquet a directory/multi-file layout,
+        # schema or stats missing. Log once per process so repeated
+        # silent fallbacks are visible.
+        global _FOOTER_FALLBACK_LOGGED
+        if not _FOOTER_FALLBACK_LOGGED:
+            _FOOTER_FALLBACK_LOGGED = True
+            import sys
+
+            print(
+                f"part_closure: parquet footer probe unavailable ({exc!r}); "
+                "falling back to a Spark max() scan per call",
+                file=sys.stderr,
+            )
         max_key = part.agg(F.max("p_partkey")).first()[0] or 0
     max_depth = 0
     k = max_key

@@ -3572,16 +3572,22 @@ def versioned_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            + (SELECT count(*) FROM (SELECT DISTINCT m, b FROM o WHERE m BETWEEN 10 AND 12))
            AS n_files_total
     )
+    -- n_files_scanned derives from the SAME distinct-tuple logic as
+    -- n_files_total (round-7 ADVICE: a hardcoded 1 assumed the probe
+    -- tuples exist at every SF): the month-2 probe survives pruning
+    -- in exactly the old-spec files of month 2 (0 or 1 of them); the
+    -- month-11 probe in exactly the new-spec (11, bucket 1) file.
     SELECT 2 AS probe_month,
            CAST((SELECT n_files_total FROM n_total) AS BIGINT) AS n_files_total,
-           CAST(1 AS BIGINT) AS n_files_scanned,
+           (SELECT CAST(count(DISTINCT m) AS BIGINT) FROM o WHERE m = 2) AS n_files_scanned,
            (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 2) AS n_rows_scanned,
            (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 2 AND b = 1) AS n_rows_matched,
            (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE m = 2 AND b = 1) AS sum_cents
     UNION ALL
     SELECT 11,
            CAST((SELECT n_files_total FROM n_total) AS BIGINT),
-           CAST(1 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT m, b FROM o WHERE m = 11 AND b = 1)),
            (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 11 AND b = 1),
            (SELECT CAST(count(*) AS BIGINT) FROM o WHERE m = 11 AND b = 1),
            (SELECT CAST(sum(cents) AS BIGINT) FROM o WHERE m = 11 AND b = 1)

@@ -1028,9 +1028,12 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MDM admission: incoming source-B records arrive as a
     file stream (three chunk files, replayed through the micro-batch
-    engine) and link against the STATIC golden index — blocking keys,
-    features, and the match score all evaluate inside the stream-static
-    join, and one streaming aggregation takes the per-record argmax
+    engine) and link against the STATIC golden index — records arrive
+    pre-stamped with their capped blocking keys (the ingest edge owns
+    key stamping, using the block-split metadata published with the
+    index; entity_resolution.BLOCK_CAP), features and the match score
+    evaluate inside the stream-static join, and one streaming
+    aggregation takes the per-record argmax
     (max score; ties to the smaller cluster via a struct min — no
     window needed, so it IS streamable). The per-chunk rollup happens
     at the sink on aggregate-sized rows (stream_windowed_topk's
@@ -1055,11 +1058,16 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored_pairs(spark, sf_dir, norm=norm)
     lbl = base_cluster_labels(norm, scored)
     base = norm.filter(~is_b)
+    # capped blocking keys over the FULL record set (the block-size
+    # cap's sub-bucket count derives from whole-block sizes — the
+    # deployment publishes that block-split metadata with the index,
+    # and the ingest edge stamps each incoming record's sub-bucketed
+    # keys before it enters the stream; see entity_resolution.BLOCK_CAP)
+    keys = blocking_keys(norm).cache()
     # static join side: base blocking keys + features + cluster label,
     # feature columns prefixed b_
     static_side = (
-        blocking_keys(base)
-        .join(base, "rec_id")
+        keys.join(base, "rec_id")
         .join(lbl, "rec_id")
         .select(
             "bkey",
@@ -1073,9 +1081,12 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    incoming = norm.filter(is_b).select(
+    # incoming rows arrive pre-keyed (one row per record x blocking
+    # key) — the in-stream work is the bkey equi-join + argmax only
+    incoming = keys.join(norm.filter(is_b), "rec_id").select(
         "rec_id",
         (F.col("pk") % 3).cast("int").alias("chunk"),
+        "bkey",
         "nname",
         "tset",
         "cents",
@@ -1092,22 +1103,12 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp)
         )
-        skeys = stream.select(
-            "*", F.concat(F.lit("bt|"), F.col("bdig"), F.lit("|"), F.col("ptype")).alias("bkey")
-        ).unionByName(
-            stream.select(
-                "*",
-                F.concat(
-                    F.lit("ts|"), F.col("ptype"), F.lit("|"), F.col("psize").cast("string")
-                ).alias("bkey"),
-            )
-        )
         fx = match_features("", "b_")
         pick = F.struct(
             (F.lit(100) - fx["score"]).alias("inv"), F.col("lbl").alias("lbl")
         )
         per_rec = (
-            skeys.join(static_side, "bkey")
+            stream.join(static_side, "bkey")
             .select("rec_id", "chunk", fx["score"].alias("score"), pick.alias("pick"))
             .groupBy("rec_id", "chunk")
             .agg(F.max("score").alias("best_score"), F.min("pick").alias("pick"))

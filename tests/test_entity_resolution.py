@@ -25,11 +25,14 @@ def quality_row(spark, sf_dir):
 
 
 def test_blocking_has_perfect_pair_completeness(spark, sf_dir):
-    """Every planted truth pair must survive blocking: B shares
-    (brand digits, type) with its A twin, C shares both keys — a
-    blocking miss would be silent recall loss downstream."""
+    """Every planted truth pair must survive the RAW blocking passes
+    (cap=None): B shares (brand digits, type) with its A twin, C
+    shares both keys — a raw blocking miss would be silent recall loss
+    downstream. The capped path's (measured, gated) recall lives in
+    er_blocking_candidates' pair_completeness_e4; its invariants are
+    pinned in test_block_cap_* below."""
     norm = dirty_records(spark, sf_dir)
-    cand = candidate_pairs(norm)
+    cand = candidate_pairs(norm, cap=None)
     x = norm.alias("x")
     y = norm.alias("y")
     truth = x.join(
@@ -37,6 +40,38 @@ def test_blocking_has_perfect_pair_completeness(spark, sf_dir):
     ).select(F.col("x.rec_id").alias("rec_a"), F.col("y.rec_id").alias("rec_b"))
     missed = truth.join(cand, ["rec_a", "rec_b"], "left_anti").count()
     assert missed == 0
+
+
+def test_block_cap_bounds_pairs_and_subsets_candidates(spark, sf_dir):
+    """The block-size cap, forced low enough to fire at this SF
+    (cap=4; BLOCK_CAP itself first fires at sf0.01): (a) capped
+    candidates are a SUBSET of the raw candidates (splitting a block
+    can only remove pairs, never invent them); (b) the pair volume
+    strictly drops whenever any block exceeds the cap; (c) the largest
+    capped block stays near the cap (sub-bucketing is a genuine cap,
+    not a relabel); (d) the split is deterministic (two evaluations
+    agree exactly)."""
+    norm = dirty_records(spark, sf_dir).cache()
+    raw = candidate_pairs(norm, cap=None).cache()
+    capped = candidate_pairs(norm, cap=4).cache()
+    assert capped.join(raw, ["rec_a", "rec_b"], "left_anti").count() == 0
+    n_raw, n_capped = raw.count(), capped.count()
+    assert 0 < n_capped < n_raw
+    from pim_etl_spark.operators.entity_resolution import blocking_keys
+
+    max_block = (
+        blocking_keys(norm, cap=4)
+        .groupBy("bkey")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    # hash sub-bucketing bounds the EXPECTED block at cap; allow 3x
+    # slack for md5 skew on tiny blocks — the raw max here is 13
+    assert max_block <= 12
+    again = {(r.rec_a, r.rec_b) for r in candidate_pairs(norm, cap=4).collect()}
+    assert {(r.rec_a, r.rec_b) for r in capped.collect()} == again
 
 
 def test_matcher_recall_is_total_and_precision_honest(quality_row):
