@@ -1757,6 +1757,129 @@ def cep_overlapping_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_quantified_pattern",
+    oracle="""
+    -- MATCH_RECOGNIZE with a QUANTIFIED variable-length pattern over
+    -- CONTIGUOUS rows (the capability cep_overlapping_matches'
+    -- any-gap pairs and cep_pattern_error_reset's reset automaton
+    -- leave untested): PATTERN (V C+ P) — a view, then ONE OR MORE
+    -- consecutive clicks, then a purchase, with nothing else between
+    -- — plus the bounded quantifier C{2,4} in the same pass.
+    -- Reduction (proof in the Spark twin's docstring): with
+    -- last_view = max prior view row and last_break = max prior row
+    -- of any non-view non-click type, a purchase at row rn completes
+    -- V C+ P  iff  last_view > last_break AND rn - last_view >= 2;
+    -- the greedy C+ length is exactly rn - last_view - 1. Matches
+    -- are intrinsically non-overlapping (the purchase itself is a
+    -- break), i.e. AFTER MATCH SKIP PAST LAST ROW.
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    state AS (
+      SELECT user_id, event_type, rn,
+             coalesce(max(CASE WHEN event_type = 'view' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_view,
+             coalesce(max(CASE WHEN event_type NOT IN ('view', 'click')
+                               THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_break
+      FROM numbered
+    ),
+    matches AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                       AND last_view > last_break
+                       AND rn - last_view >= 2
+                  THEN rn - last_view - 1 END AS b_len
+      FROM state
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           CAST(count(b_len) AS BIGINT) AS n_matches,
+           CAST(coalesce(sum(b_len), 0) AS BIGINT) AS clicks_consumed,
+           CAST(coalesce(max(b_len), 0) AS BIGINT) AS max_run,
+           CAST(count(*) FILTER (WHERE b_len BETWEEN 2 AND 4) AS BIGINT)
+               AS n_matches_bounded
+    FROM matches
+    GROUP BY user_id
+    HAVING count(b_len) > 0
+    ORDER BY user_id
+    """,
+)
+def cep_quantified_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a quantified variable-length pattern:
+    ``PATTERN (V C+ P)`` over CONTIGUOUS per-user rows — a view, one
+    or more consecutive clicks, then a purchase — plus the bounded
+    quantifier ``C{2,4}`` evaluated in the same pass. This is the
+    variable-length-match capability the two existing CEP entries
+    don't cover (error_reset is a fixed automaton; overlapping_matches
+    pairs rows with arbitrary gaps).
+
+    Compilation (no match-list materialization): number rows per user,
+    then two running maxima over prior rows — ``last_view`` (latest
+    view) and ``last_break`` (latest row that is neither view nor
+    click; purchases, errors and signups all break a click run). A
+    purchase at row ``rn`` completes V C+ P iff
+    ``last_view > last_break AND rn - last_view >= 2``. Proof: a view
+    strictly between last_view and rn would itself be last_view; a
+    break between would make last_break > last_view; so every row in
+    (last_view, rn) is a click, and rn - last_view - 1 >= 1 is the
+    exact GREEDY C+ run length. Matches are intrinsically
+    non-overlapping — the purchase row is itself a break — giving
+    AFTER MATCH SKIP PAST LAST ROW for free.
+
+    Scale shape: ONE (user_id) hash exchange; per-row state is two
+    integers however long the quantified run grows, so a 100 TB event
+    log pays a single shuffle and O(1) memory per row — the reason to
+    compile quantifiers to running state instead of enumerating
+    variable-length matches (O(run length) rows each)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    is_view = F.col("event_type") == "view"
+    is_break = ~F.col("event_type").isin("view", "click")
+    is_purchase = F.col("event_type") == "purchase"
+    state = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "last_view",
+            F.coalesce(F.max(F.when(is_view, F.col("rn"))).over(prior), F.lit(0)),
+        )
+        .withColumn(
+            "last_break",
+            F.coalesce(F.max(F.when(is_break, F.col("rn"))).over(prior), F.lit(0)),
+        )
+    )
+    b_len = F.when(
+        is_purchase
+        & (F.col("last_view") > F.col("last_break"))
+        & (F.col("rn") - F.col("last_view") >= 2),
+        F.col("rn") - F.col("last_view") - 1,
+    )
+    return (
+        state.select("user_id", "event_type", b_len.alias("b_len"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(is_purchase.cast("long")).alias("n_purchases"),
+            F.count("b_len").cast("long").alias("n_matches"),
+            F.coalesce(F.sum("b_len"), F.lit(0)).cast("long").alias("clicks_consumed"),
+            F.coalesce(F.max("b_len"), F.lit(0)).cast("long").alias("max_run"),
+            F.sum(F.col("b_len").between(2, 4).cast("long")).alias("n_matches_bounded"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "seasonal_index_decomposition",
     oracle="""
     -- classical multiplicative seasonal decomposition, integer-exact:

@@ -278,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
         "--action",
         choices=[
             "sync", "incremental", "status", "validate", "create-config", "compact",
-            "history", "rollback", "vacuum", "refresh-rollup", "clone", "replicate",
+            "history", "rollback", "vacuum", "orphan-report", "refresh-rollup",
+            "clone", "replicate",
             "merge-branch", "apply-deletes", "rename-column", "drop-column",
         ],
         default="sync",
@@ -367,7 +368,7 @@ def main(argv: list[str] | None = None) -> int:
         args.supplier = cfg["suppliers"][0] if len(cfg["suppliers"]) == 1 else None
 
     # manifest-only actions need no SparkSession at all
-    if args.action in ("history", "rollback", "vacuum", "clone"):
+    if args.action in ("history", "rollback", "vacuum", "clone", "orphan-report"):
         from pim_etl_spark.pipeline import versioned as V
 
         if args.action == "clone":
@@ -382,6 +383,10 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error("--action rollback requires --to-version")
             new_v = V.rollback(args.gold, to_version=args.to_version)
             out = {"status": "success", "restored": args.to_version, "version": new_v}
+        elif args.action == "orphan-report":
+            rep = V.orphan_report(args.gold, keep_last=args.keep_last)
+            rep.pop("classes", None)  # counts + orphan names are the CLI surface
+            out = {"status": "success", **rep}
         else:
             out = {
                 "status": "success",

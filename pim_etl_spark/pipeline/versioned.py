@@ -1689,6 +1689,84 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
     )
 
 
+def orphan_report(path: str, keep_last: int = 2) -> dict:
+    """The DETECTION half of snapshot expiry (vacuum's audit
+    complement): classify every parquet file in ``data/`` without
+    deleting anything.
+
+    Classes:
+    - ``head``: referenced by the head manifest (live for readers);
+    - ``retained``: referenced only by a retained non-head manifest
+      (time-travel reachable under ``keep_last``);
+    - ``expired``: referenced only by manifests OLDER than the
+      retention horizon — the next ``vacuum(keep_last)`` reclaims
+      them;
+    - ``orphan``: referenced by NO existing manifest at all. These are
+      the files a reference-walking GC can never name: a crashed
+      writer that moved staged files into ``data/`` but died before
+      its manifest commit published (``merge_files`` stages before it
+      commits — exactly the window ``min_age_seconds`` protects).
+      They are invisible to every reader and to time travel; only a
+      disk-vs-manifest sweep surfaces them.
+
+    Cost: O(existing manifests + files on disk) driver-side manifest
+    arithmetic plus one directory listing — no data file is opened.
+    At 100 TB this is the same ledger walk every lakehouse
+    maintenance job does (Iceberg's orphan-file removal, Delta's vacuum
+    audit); the listing, not the data, is the unit of work."""
+    head = current_version(path)
+    keep_from = max(1, head - keep_last + 1)
+    data_dir = os.path.join(path, _DATA)
+    abs_data = os.path.abspath(data_dir)
+
+    def _refs(v: int) -> set[str]:
+        m = read_manifest(path, v)
+        names = set()
+        for f in list(m["files"]) + list(m.get("delete_files", [])):
+            p = _entry_path(path, f)
+            # only files physically in THIS table's data dir count —
+            # a shallow clone's absolute-path entries into the source
+            # table are the source's to audit
+            if os.path.dirname(os.path.abspath(p)) == abs_data:
+                names.add(os.path.basename(p))
+        return names
+
+    head_refs = _refs(head) if head else set()
+    retained_refs: set[str] = set()
+    for v in range(keep_from, head + 1):
+        retained_refs |= _refs(v)
+    historic_refs: set[str] = set()
+    for v in range(1, keep_from):
+        if os.path.exists(_manifest_path(path, v)):
+            historic_refs |= _refs(v)
+    on_disk = sorted(
+        f
+        for f in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+        if f.endswith(".parquet")
+    )
+    classes: dict[str, str] = {}
+    for f in on_disk:
+        if f in head_refs:
+            classes[f] = "head"
+        elif f in retained_refs:
+            classes[f] = "retained"
+        elif f in historic_refs:
+            classes[f] = "expired"
+        else:
+            classes[f] = "orphan"
+    counts = {
+        c: sum(1 for x in classes.values() if x == c)
+        for c in ("head", "retained", "expired", "orphan")
+    }
+    return {
+        "n_on_disk": len(on_disk),
+        "counts": counts,
+        "classes": classes,
+        "orphans": sorted(f for f, c in classes.items() if c == "orphan"),
+        "retained_from": keep_from,
+    }
+
+
 def vacuum(
     path: str,
     keep_last: int = 2,
@@ -3720,6 +3798,137 @@ def versioned_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "probe_month int, n_files_total bigint, n_files_scanned bigint, "
         "n_rows_scanned bigint, n_rows_matched bigint, sum_cents bigint",
     ).orderBy("probe_month")
+
+
+@query(
+    "versioned_orphan_audit",
+    oracle="""
+    -- snapshot expiry WITH orphan-file detection (vacuum's audit
+    -- half): a 4-commit lifecycle (snapshot A / append B / replacing
+    -- snapshot C / append A-again) leaves files f1..f4 on disk with
+    -- head = {f3, f4}; two planted crashed-writer files are
+    -- referenced by NO manifest. File counts are structural — each
+    -- commit writes exactly one coalesce(1) file (the entry asserts
+    -- every slice is non-empty rather than assuming it) and exactly
+    -- two orphans are planted — so under keep_last=2 (manifests v3,
+    -- v4 retained) the audit must see: head 2, retained-only 0,
+    -- expired 2 (f1, f2 — referenced only by dropped v1/v2), orphan
+    -- 2; vacuum(keep_last=2, min_age=0) then reclaims all 4
+    -- non-retained files + 2 manifests, and the post-audit is clean.
+    -- Head row/cents totals are pure orders arithmetic (C + A).
+    WITH scoped AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 4 = 2
+    ),
+    a AS (SELECT * FROM scoped WHERE o_orderdate < DATE '1996-01-01'),
+    c AS (SELECT * FROM scoped WHERE o_orderdate >= DATE '1997-01-01')
+    SELECT CAST(6 AS BIGINT) AS pre_on_disk,
+           CAST(2 AS BIGINT) AS pre_head,
+           CAST(0 AS BIGINT) AS pre_retained,
+           CAST(2 AS BIGINT) AS pre_expired,
+           CAST(2 AS BIGINT) AS pre_orphan,
+           CAST(4 AS BIGINT) AS data_files_removed,
+           CAST(2 AS BIGINT) AS manifests_removed,
+           CAST(2 AS BIGINT) AS post_on_disk,
+           CAST(0 AS BIGINT) AS post_orphan,
+           CAST((SELECT count(*) FROM c) + (SELECT count(*) FROM a)
+                AS BIGINT) AS head_rows,
+           CAST((SELECT sum(cents) FROM c) + (SELECT sum(cents) FROM a)
+                AS BIGINT) AS head_cents
+    """,
+)
+def versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry with orphan-file DETECTION — the audit half
+    vacuum alone doesn't give you: files on disk referenced by no
+    manifest (a writer that crashed between staging its data files
+    into ``data/`` and publishing its manifest commit) are invisible
+    to readers, to time travel, AND to a reference-walking GC; only a
+    disk-vs-manifest sweep (``orphan_report``) surfaces them. The
+    lifecycle plants exactly that failure: 4 commits (snapshot,
+    append, replacing snapshot, append) plus 2 crashed-writer files,
+    audited under keep_last=2 — the report must classify head /
+    retained / expired / orphan files exactly, vacuum must reclaim
+    expired AND orphan files (min_age=0: single-writer test), and the
+    post-expiry audit must be clean while the head read still returns
+    the right rows. Every count is hash-gated.
+
+    Scale shape: the audit is O(manifests + directory listing) driver
+    arithmetic — no data file is opened; reclamation cost is O(dead
+    files). CLI: ``--action orphan-report``."""
+    import tempfile
+
+    scoped = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 2
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    a = scoped.filter(F.col("o_orderdate") < "1996-01-01").drop("o_orderdate")
+    b = scoped.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).drop("o_orderdate")
+    c = scoped.filter(F.col("o_orderdate") >= "1997-01-01").drop("o_orderdate")
+    tbl = tempfile.mkdtemp(prefix="pim-vstore-orphan-")
+    try:
+        # the structural file counts in the oracle assume one file per
+        # commit — assert the slices are non-empty instead of letting
+        # an empty coalesce(1) write silently break the arithmetic
+        # (round-7 ADVICE on versioned_partition_evolution's oracle)
+        for name, df in (("a", a), ("b", b), ("c", c)):
+            if df.limit(1).count() == 0:
+                raise ValueError(f"orphan-audit slice {name!r} empty at {sf_dir}")
+        commit_snapshot(a.coalesce(1), tbl, op="bootstrap")   # v1: f1
+        commit_append(b.coalesce(1), tbl)                     # v2: f1,f2
+        commit_snapshot(c.coalesce(1), tbl, op="replace")     # v3: f3
+        commit_append(a.coalesce(1), tbl)                     # v4: f3,f4
+        # plant the crash: two staged-but-never-committed data files
+        data_dir = os.path.join(tbl, _DATA)
+        donor = os.path.join(tempfile.mkdtemp(prefix="pim-orphan-donor-"), "d")
+        a.limit(5).coalesce(1).write.parquet(donor)
+        part = next(
+            f for f in os.listdir(donor) if f.endswith(".parquet")
+        )
+        for i in (1, 2):
+            shutil.copy(
+                os.path.join(donor, part),
+                os.path.join(data_dir, f"v99-crashed-{i}.parquet"),
+            )
+        shutil.rmtree(os.path.dirname(donor), ignore_errors=True)
+        pre = orphan_report(tbl, keep_last=2)
+        vac = vacuum(tbl, keep_last=2, min_age_seconds=0)
+        post = orphan_report(tbl, keep_last=2)
+        head = read_version(spark, tbl)
+        agg = head.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        ).collect()[0]
+        rows = [
+            (
+                pre["n_on_disk"],
+                pre["counts"]["head"],
+                pre["counts"]["retained"],
+                pre["counts"]["expired"],
+                pre["counts"]["orphan"],
+                vac["data_files_removed"],
+                vac["manifests_removed"],
+                post["n_on_disk"],
+                post["counts"]["orphan"],
+                agg["n"],
+                agg["s"],
+            )
+        ]
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "pre_on_disk bigint, pre_head bigint, pre_retained bigint, "
+        "pre_expired bigint, pre_orphan bigint, data_files_removed bigint, "
+        "manifests_removed bigint, post_on_disk bigint, post_orphan bigint, "
+        "head_rows bigint, head_cents bigint",
+    )
 
 
 def _catalog_dir(path: str) -> str:

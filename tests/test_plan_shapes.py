@@ -485,6 +485,17 @@ def test_cep_overlapping_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_cep_quantified_single_user_exchange(spark, sf_dir):
+    """cep_quantified_pattern: the V C+ P quantified match (two
+    running maxima + the per-user rollup) must layer over ONE user_id
+    hash Exchange — variable-length quantifiers compile to running
+    state, never to a match-enumeration join."""
+    plan = _plan(get_queries()["cep_quantified_pattern"](spark, sf_dir))
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan[:3000]
+
+
 def test_bloom_prune_is_broadcast_semi_before_shuffle_join(spark, sf_dir):
     """bloom_pruned_shuffle_join: the bucket-membership prune must be
     a BROADCAST left-semi join on the fact side (O(buckets) bits

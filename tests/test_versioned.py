@@ -102,6 +102,46 @@ def test_rollback_is_a_new_commit_with_old_files(spark, tmp_path):
     assert V.read_manifest(path, 3)["files"] == V.read_manifest(path, 1)["files"]
 
 
+def test_orphan_report_classifies_and_vacuum_clears(spark, tmp_path):
+    """orphan_report: a file referenced by NO manifest (crashed writer
+    — staged into data/ but never committed) must classify as
+    'orphan'; head files as 'head'; files referenced only by
+    to-be-expired manifests as 'expired'. The report never deletes;
+    vacuum then reclaims orphans + expired, and the post-report is
+    clean. A shallow-clone-style absolute entry pointing OUTSIDE this
+    table's data dir must not count toward this table's audit."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _bootstrap(spark, path, n=40, files=4)
+    for step in (2, 3):
+        V.merge_files(
+            spark,
+            path,
+            spark.createDataFrame([(0, float(step), step)], SCHEMA),
+            keys=["product_id"],
+            order_col="version",
+        )
+    data_dir = os.path.join(path, "data")
+    donor = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))[0]
+    shutil.copy(
+        os.path.join(data_dir, donor), os.path.join(data_dir, "crashed-0.parquet")
+    )
+    rep = V.orphan_report(path, keep_last=2)
+    assert rep["orphans"] == ["crashed-0.parquet"]
+    assert rep["counts"]["orphan"] == 1
+    assert rep["counts"]["head"] == len(V.read_manifest(path, 3)["files"])
+    assert rep["counts"]["expired"] > 0  # v1-only files
+    assert rep["n_on_disk"] == sum(rep["counts"].values())
+    # detection is side-effect free
+    assert os.path.exists(os.path.join(data_dir, "crashed-0.parquet"))
+    V.vacuum(path, keep_last=2, min_age_seconds=0)
+    post = V.orphan_report(path, keep_last=2)
+    assert post["counts"]["orphan"] == 0 and post["counts"]["expired"] == 0
+    assert post["n_on_disk"] == post["counts"]["head"] + post["counts"]["retained"]
+    assert V.read_version(spark, path, 3).count() == 40
+
+
 def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
     path = str(tmp_path / "t")
     _bootstrap(spark, path, n=40, files=4)
