@@ -264,16 +264,18 @@ def blocking_keys(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
     win = Window.partitionBy("bkey").orderBy("cents", "psize", "rec_id")
     pos = (F.row_number().over(win) - 1).alias("pos")
     bpos = raw.join(sizes, "bkey").select("rec_id", "bkey", "sz", pos)
-    small = bpos.filter(F.col("sz") <= cap).select("rec_id", "bkey")
-    big = bpos.filter(F.col("sz") > cap)
+    # ONE window evaluation: emit each row's final key set as an array
+    # and explode — a small/b1/b2 union of three bpos projections would
+    # re-run the per-block sort three times (Catalyst shares no
+    # unmaterialized subtree; round-5 prefix-join lesson)
     cell = F.expr(f"pos DIV {cap}")
-    b1 = big.select(
-        "rec_id", F.concat("bkey", F.lit("#"), cell.cast("string")).alias("bkey")
+    keys_arr = F.when(F.col("sz") <= cap, F.array(F.col("bkey"))).otherwise(
+        F.array(
+            F.concat("bkey", F.lit("#"), cell.cast("string")),
+            F.concat("bkey", F.lit("#"), (cell + 1).cast("string")),
+        )
     )
-    b2 = big.select(
-        "rec_id", F.concat("bkey", F.lit("#"), (cell + 1).cast("string")).alias("bkey")
-    )
-    return small.unionByName(b1).unionByName(b2)
+    return bpos.select("rec_id", F.explode(keys_arr).alias("bkey"))
 
 
 def candidate_pairs(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
