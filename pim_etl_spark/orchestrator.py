@@ -384,7 +384,11 @@ def main(argv: list[str] | None = None) -> int:
             new_v = V.rollback(args.gold, to_version=args.to_version)
             out = {"status": "success", "restored": args.to_version, "version": new_v}
         elif args.action == "orphan-report":
-            rep = V.orphan_report(args.gold, keep_last=args.keep_last)
+            rep = V.orphan_report(
+                args.gold,
+                keep_last=args.keep_last,
+                min_age_seconds=args.vacuum_min_age_hours * 3600.0,
+            )
             rep.pop("classes", None)  # counts + orphan names are the CLI surface
             out = {"status": "success", **rep}
         else:

@@ -1689,7 +1689,9 @@ def drop_column(spark: SparkSession, path: str, col: str) -> int:
     )
 
 
-def orphan_report(path: str, keep_last: int = 2) -> dict:
+def orphan_report(
+    path: str, keep_last: int = 2, min_age_seconds: float = 6 * 3600
+) -> dict:
     """The DETECTION half of snapshot expiry (vacuum's audit
     complement): classify every parquet file in ``data/`` without
     deleting anything.
@@ -1701,13 +1703,18 @@ def orphan_report(path: str, keep_last: int = 2) -> dict:
     - ``expired``: referenced only by manifests OLDER than the
       retention horizon — the next ``vacuum(keep_last)`` reclaims
       them;
-    - ``orphan``: referenced by NO existing manifest at all. These are
-      the files a reference-walking GC can never name: a crashed
-      writer that moved staged files into ``data/`` but died before
-      its manifest commit published (``merge_files`` stages before it
-      commits — exactly the window ``min_age_seconds`` protects).
-      They are invisible to every reader and to time travel; only a
-      disk-vs-manifest sweep surfaces them.
+    - ``orphan``: referenced by NO existing manifest at all AND older
+      than ``min_age_seconds``. These are the files a
+      reference-walking GC can never name: a crashed writer that
+      moved staged files into ``data/`` but died before its manifest
+      commit published. They are invisible to every reader and to
+      time travel; only a disk-vs-manifest sweep surfaces them.
+    - ``in_flight``: unreferenced but YOUNGER than the age window —
+      possibly a live writer mid-commit (``merge_files`` stages into
+      ``data/`` before its manifest publishes). Reporting these as
+      orphans would invite deleting an about-to-be-committed file (a
+      torn table — the same race vacuum's ``min_age_seconds``
+      guards); pass ``min_age_seconds=0`` only with exclusive access.
 
     Cost: O(existing manifests + files on disk) driver-side manifest
     arithmetic plus one directory listing — no data file is opened.
@@ -1733,12 +1740,19 @@ def orphan_report(path: str, keep_last: int = 2) -> dict:
 
     head_refs = _refs(head) if head else set()
     retained_refs: set[str] = set()
-    for v in range(keep_from, head + 1):
-        retained_refs |= _refs(v)
+    # a retained-range manifest can be MISSING (an earlier vacuum ran
+    # with a smaller keep_last) — skip it like the historic loop does,
+    # never crash the audit; head excluded (already read above)
+    for v in range(keep_from, head):
+        if os.path.exists(_manifest_path(path, v)):
+            retained_refs |= _refs(v)
     historic_refs: set[str] = set()
     for v in range(1, keep_from):
         if os.path.exists(_manifest_path(path, v)):
             historic_refs |= _refs(v)
+    import time as _time
+
+    cutoff = _time.time() - min_age_seconds
     on_disk = sorted(
         f
         for f in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
@@ -1752,11 +1766,16 @@ def orphan_report(path: str, keep_last: int = 2) -> dict:
             classes[f] = "retained"
         elif f in historic_refs:
             classes[f] = "expired"
+        elif (
+            min_age_seconds > 0
+            and os.path.getmtime(os.path.join(data_dir, f)) > cutoff
+        ):
+            classes[f] = "in_flight"
         else:
             classes[f] = "orphan"
     counts = {
         c: sum(1 for x in classes.values() if x == c)
-        for c in ("head", "retained", "expired", "orphan")
+        for c in ("head", "retained", "expired", "orphan", "in_flight")
     }
     return {
         "n_on_disk": len(on_disk),
@@ -3872,6 +3891,7 @@ def versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("o_orderdate")
     c = scoped.filter(F.col("o_orderdate") >= "1997-01-01").drop("o_orderdate")
     tbl = tempfile.mkdtemp(prefix="pim-vstore-orphan-")
+    donor_root = None
     try:
         # the structural file counts in the oracle assume one file per
         # commit — assert the slices are non-empty instead of letting
@@ -3886,7 +3906,8 @@ def versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         commit_append(a.coalesce(1), tbl)                     # v4: f3,f4
         # plant the crash: two staged-but-never-committed data files
         data_dir = os.path.join(tbl, _DATA)
-        donor = os.path.join(tempfile.mkdtemp(prefix="pim-orphan-donor-"), "d")
+        donor_root = tempfile.mkdtemp(prefix="pim-orphan-donor-")
+        donor = os.path.join(donor_root, "d")
         a.limit(5).coalesce(1).write.parquet(donor)
         part = next(
             f for f in os.listdir(donor) if f.endswith(".parquet")
@@ -3896,10 +3917,12 @@ def versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(donor, part),
                 os.path.join(data_dir, f"v99-crashed-{i}.parquet"),
             )
-        shutil.rmtree(os.path.dirname(donor), ignore_errors=True)
-        pre = orphan_report(tbl, keep_last=2)
+        # min_age=0: single-writer test, same contract as the vacuum
+        # call below (the planted "crashed" files are brand new; under
+        # the default window they'd correctly classify in_flight)
+        pre = orphan_report(tbl, keep_last=2, min_age_seconds=0)
         vac = vacuum(tbl, keep_last=2, min_age_seconds=0)
-        post = orphan_report(tbl, keep_last=2)
+        post = orphan_report(tbl, keep_last=2, min_age_seconds=0)
         head = read_version(spark, tbl)
         agg = head.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -3922,6 +3945,8 @@ def versioned_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(tbl, ignore_errors=True)
+        if donor_root:
+            shutil.rmtree(donor_root, ignore_errors=True)
     return spark.createDataFrame(
         rows,
         "pre_on_disk bigint, pre_head bigint, pre_retained bigint, "

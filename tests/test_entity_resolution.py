@@ -67,9 +67,9 @@ def test_block_cap_bounds_pairs_and_subsets_candidates(spark, sf_dir):
         .collect()[0]
         .mx
     )
-    # hash sub-bucketing bounds the EXPECTED block at cap; allow 3x
-    # slack for md5 skew on tiny blocks — the raw max here is 13
-    assert max_block <= 12
+    # overlapping sorted-neighborhood cells hold at most 2*cap records
+    # BY CONSTRUCTION — the pin is the exact invariant
+    assert max_block <= 2 * 4
     again = {(r.rec_a, r.rec_b) for r in candidate_pairs(norm, cap=4).collect()}
     assert {(r.rec_a, r.rec_b) for r in capped.collect()} == again
 

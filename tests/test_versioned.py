@@ -127,7 +127,11 @@ def test_orphan_report_classifies_and_vacuum_clears(spark, tmp_path):
     shutil.copy(
         os.path.join(data_dir, donor), os.path.join(data_dir, "crashed-0.parquet")
     )
-    rep = V.orphan_report(path, keep_last=2)
+    # under the DEFAULT age window a brand-new unreferenced file is
+    # possibly a live writer mid-commit: in_flight, never orphan
+    young = V.orphan_report(path, keep_last=2)
+    assert young["counts"]["in_flight"] == 1 and young["counts"]["orphan"] == 0
+    rep = V.orphan_report(path, keep_last=2, min_age_seconds=0)
     assert rep["orphans"] == ["crashed-0.parquet"]
     assert rep["counts"]["orphan"] == 1
     assert rep["counts"]["head"] == len(V.read_manifest(path, 3)["files"])
@@ -136,10 +140,15 @@ def test_orphan_report_classifies_and_vacuum_clears(spark, tmp_path):
     # detection is side-effect free
     assert os.path.exists(os.path.join(data_dir, "crashed-0.parquet"))
     V.vacuum(path, keep_last=2, min_age_seconds=0)
-    post = V.orphan_report(path, keep_last=2)
+    post = V.orphan_report(path, keep_last=2, min_age_seconds=0)
     assert post["counts"]["orphan"] == 0 and post["counts"]["expired"] == 0
     assert post["n_on_disk"] == post["counts"]["head"] + post["counts"]["retained"]
     assert V.read_version(spark, path, 3).count() == 40
+    # auditing with a LARGER keep_last than a past vacuum retained must
+    # skip the missing manifests, not crash
+    V.vacuum(path, keep_last=1, min_age_seconds=0)
+    wide = V.orphan_report(path, keep_last=5, min_age_seconds=0)
+    assert wide["counts"]["orphan"] == 0
 
 
 def test_vacuum_reclaims_only_unreferenced_files(spark, tmp_path):
