@@ -118,6 +118,13 @@ def main() -> None:
     # engine benchmark: noise is strictly additive.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     queries = get_queries()
+    # test hook: comma-separated allowlist so the output-contract
+    # pytest can drive main() end-to-end on two entries; the driver
+    # never sets it (unset = full catalog)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in wanted}
     timings: dict[str, float | None] = {}
     failed_queries: list[str] = []
     total = 0.0
@@ -184,7 +191,10 @@ def main() -> None:
     # also persist the full parsed map next to the repo so round-over-
     # round comparisons never depend on scraping a truncated stdout tail
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+        )
+        with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass
