@@ -347,7 +347,10 @@ def match_features(xp: str, yp: str) -> dict:
 
 
 def scored_pairs(
-    spark: SparkSession, sf_dir: str, norm: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    norm: DataFrame | None = None,
+    cand_filter=None,
 ) -> DataFrame:
     """Candidate pairs with integer similarity features and the
     0–100 match score (see _ER_CTE for the exact formula).
@@ -376,10 +379,19 @@ def scored_pairs(
     both-blocking-pass duplicates and shuffles wide feature rows for
     the dedup. At a scale where norm stops broadcasting, AQE degrades
     the re-attaches to shuffle joins and the fused layout becomes the
-    right trade — that dial, not this code, is the 100 TB knob."""
+    right trade — that dial, not this code, is the 100 TB knob.
+
+    ``cand_filter`` (a Column over rec_a/rec_b) prunes candidate pairs
+    BEFORE the feature joins — for consumers that provably never read
+    a pair class (the incremental/streaming linkers discard every B–B
+    pair: ~22% of candidates at the tested record mix), skipping their
+    levenshtein/array feature evaluation is an execution-side-only
+    prune with identical output."""
     if norm is None:
         norm = dirty_records(spark, sf_dir).cache()
     cand = candidate_pairs(norm)
+    if cand_filter is not None:
+        cand = cand.filter(cand_filter)
     x = norm.alias("x")
     y = norm.alias("y")
     joined = (
@@ -793,9 +805,14 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, so linking accuracy is part of the gated output."""
     norm = dirty_records(spark, sf_dir).cache()
     is_b = F.substring("rec_id", 1, 1) == "B"
-    scored = scored_pairs(spark, sf_dir, norm=norm).cache()
     a_is_b = F.substring("rec_a", 1, 1) == "B"
     b_is_b = F.substring("rec_b", 1, 1) == "B"
+    # this linker reads base–base pairs (index build) and one-B pairs
+    # (incoming links) — B–B pairs are never consumed, so skip their
+    # feature evaluation entirely (output-identical prune)
+    scored = scored_pairs(
+        spark, sf_dir, norm=norm, cand_filter=~(a_is_b & b_is_b)
+    ).cache()
     lbl = base_cluster_labels(norm, scored)
     il = scored.filter(a_is_b != b_is_b).select(
         F.when(a_is_b, F.col("rec_a")).otherwise(F.col("rec_b")).alias("rec_id"),

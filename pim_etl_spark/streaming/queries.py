@@ -1055,7 +1055,13 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     norm = dirty_records(spark, sf_dir).cache()
     is_b = F.substring("rec_id", 1, 1) == "B"
-    scored = scored_pairs(spark, sf_dir, norm=norm)
+    # the admission gate consumes base–base pairs only (index build);
+    # the incoming side scores in-stream — skip both B–B and one-B
+    # pair scoring here (output-identical prune, see scored_pairs)
+    not_b_pair = (F.substring("rec_a", 1, 1) != "B") & (
+        F.substring("rec_b", 1, 1) != "B"
+    )
+    scored = scored_pairs(spark, sf_dir, norm=norm, cand_filter=not_b_pair)
     lbl = base_cluster_labels(norm, scored)
     base = norm.filter(~is_b)
     # capped blocking keys over the FULL record set (the block-size
