@@ -485,6 +485,23 @@ def test_cep_overlapping_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_blocking_cap_window_evaluates_once(spark, sf_dir):
+    """blocking_keys: the sorted-neighborhood split must evaluate its
+    per-block window exactly ONCE (explode of the per-row key array) —
+    a union of small/oversized projections re-runs the block sort per
+    branch (Catalyst shares no unmaterialized subtree) — and the
+    block-size frame must re-attach via a broadcast join."""
+    from pim_etl_spark.operators.entity_resolution import (
+        blocking_keys,
+        dirty_records,
+    )
+
+    plan = _plan(blocking_keys(dirty_records(spark, sf_dir)))
+    assert _count(r"\bWindow\b", plan) == 1, plan[:3000]
+    assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
 def test_cep_quantified_single_user_exchange(spark, sf_dir):
     """cep_quantified_pattern: the V C+ P quantified match (two
     running maxima + the per-user rollup) must layer over ONE user_id
