@@ -90,6 +90,18 @@ _NO_CARTESIAN = (
     "pim_full_pipeline",
     "pim_multi_supplier_sync",
     "hybrid_search_rrf",
+    # round-8 additions: join-bearing entries of the round-8 driver
+    # sampling window that had no individual plan pin yet
+    "bitemporal_asof_query",
+    "scd2_priority_history",
+    "scd2_interval_lookup",
+    "scd2_incremental_maintenance",
+    "knn_label_vote",
+    "shingle_containment_pairs",
+    "phrase_proximity_search",
+    "golden_record_survivorship",
+    "fd_violation_repair",
+    "cep_quantified_pattern",
 )
 
 
