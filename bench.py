@@ -125,6 +125,10 @@ def main() -> None:
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         queries = {n: f for n, f in queries.items() if n in wanted}
+    # a filtered run self-identifies in BOTH emitted records (round-8
+    # ADVICE): a partial artifact must never be mistakable for a
+    # full-catalog run, regardless of where SPARK_GRAFT_BENCH_OUT put it
+    filtered = bool(only)
     timings: dict[str, float | None] = {}
     failed_queries: list[str] = []
     total = 0.0
@@ -165,26 +169,29 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "runs_per_query": runs,
     }
+    if filtered:
+        payload["filtered"] = True
     # output contract: the full per-query payload line first, then the
     # compact headline as the VERY LAST line — the driver tail-captures
     # the final ~2000 chars, so whatever prints last is what survives
     # truncation (round-7 VERDICT: printing the headline first put it
     # exactly in the truncated-away region). The headline is also
     # printed first for humans watching the log live.
-    headline = json.dumps(
-        {
-            # distinct metric name: a consumer scanning for the full
-            # payload's "catalog_total_runtime" must never match a
-            # line that lacks the "queries" map
-            "metric": "catalog_total_runtime_headline",
-            "value": payload["value"],
-            "unit": "sec",
-            "n_queries": len(timings),  # attempted entries (incl. failed)
-            "n_succeeded": len(timings) - len(failed_queries),
-            "failed_count": len(failed_queries),
-            "sf": payload["sf"],
-        }
-    )
+    headline_rec = {
+        # distinct metric name: a consumer scanning for the full
+        # payload's "catalog_total_runtime" must never match a
+        # line that lacks the "queries" map
+        "metric": "catalog_total_runtime_headline",
+        "value": payload["value"],
+        "unit": "sec",
+        "n_queries": len(timings),  # attempted entries (incl. failed)
+        "n_succeeded": len(timings) - len(failed_queries),
+        "failed_count": len(failed_queries),
+        "sf": payload["sf"],
+    }
+    if filtered:
+        headline_rec["filtered"] = True
+    headline = json.dumps(headline_rec)
     print(headline, flush=True)
     print(json.dumps(payload), flush=True)
     print(headline, flush=True)

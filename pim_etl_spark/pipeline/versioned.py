@@ -1766,13 +1766,19 @@ def orphan_report(
             classes[f] = "retained"
         elif f in historic_refs:
             classes[f] = "expired"
-        elif (
-            min_age_seconds > 0
-            and os.path.getmtime(os.path.join(data_dir, f)) > cutoff
-        ):
-            classes[f] = "in_flight"
         else:
-            classes[f] = "orphan"
+            # TOCTOU guard (round-8 ADVICE): a concurrent vacuum/writer
+            # can delete the file between the listdir above and this
+            # stat — a vanished file is by definition no longer on disk,
+            # so skip it rather than crash a live-table audit
+            try:
+                mtime = os.path.getmtime(os.path.join(data_dir, f))
+            except FileNotFoundError:
+                continue
+            if min_age_seconds > 0 and mtime > cutoff:
+                classes[f] = "in_flight"
+            else:
+                classes[f] = "orphan"
     counts = {
         c: sum(1 for x in classes.values() if x == c)
         for c in ("head", "retained", "expired", "orphan", "in_flight")

@@ -27,7 +27,9 @@ def test_bench_prints_headline_last_and_payload_parses(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
-        cwd=str(tmp_path),  # bench_last.json must land next to bench.py anyway
+        cwd=str(tmp_path),  # defensive: with SPARK_GRAFT_BENCH_OUT set the
+        # artifact lands at the redirected path; a tmp cwd just ensures an
+        # accidental RELATIVE write could never touch the repo
         capture_output=True,
         text=True,
         timeout=600,
@@ -50,6 +52,12 @@ def test_bench_prints_headline_last_and_payload_parses(tmp_path):
     assert payload["metric"] == "catalog_total_runtime"
     assert set(payload["queries"]) == {"bench_control", "topk_orders"}
     assert payload["failed"] == []
+    # a SPARK_GRAFT_BENCH_ONLY run must self-identify as partial in BOTH
+    # records (round-8 ADVICE): a filtered artifact can never be mistaken
+    # for a full-catalog run. The real per-round run never sets the env
+    # var, so its records carry no "filtered" key at all.
+    assert head["filtered"] is True
+    assert payload["filtered"] is True
     assert abs(head["value"] - payload["value"]) < 1e-9
     # the full payload persists to the (redirected) artifact path
     with open(out) as f:
