@@ -247,6 +247,33 @@ _DRIVER_GREEN = frozenset({
     "theta_audience_overlap", "triangle_count_trade",
     "variant_semistructured_access", "versioned_branch_merge",
     "versioned_point_lookup", "versioned_replica_sync",
+    # round 8 (CORRECTNESS_r08.json) — all 50 sampled entries
+    # hash-green. NOT folded, per the q21 rewrite rule: the six
+    # ER-family entries (stream_er_admission, er_matched_pairs,
+    # er_blocking_candidates, er_linkage_quality, er_golden_record,
+    # er_incremental_link) — their executed code changed in round 9
+    # (blocking_keys' per-raw-block single-task window sort replaced by
+    # the distributed range-exchange rank + broadcast prefix-sum-offset
+    # assignment, VERDICT r8 item 2) — all six re-sample first.
+    "versioned_partition_evolution", "hierarchy_closure_table",
+    "bom_cost_rollup", "apriori_triple_itemsets", "bitemporal_asof_query",
+    "bm25_ranked_search", "knn_label_vote", "retrieval_eval_mrr",
+    "greedy_coverage_selection", "cross_corpus_lsh_decontamination",
+    "entity_resolution_clusters", "semantic_dedup_cells",
+    "prefix_filter_jaccard_join", "merkle_range_diff",
+    "cep_quantified_pattern", "theil_sen_trend", "peak_concurrency_sweep",
+    "yoy_growth_report", "hazard_rate_table", "subject_access_report",
+    "max_drawdown_series", "largest_remainder_allocation",
+    "scd2_priority_history", "scd2_incremental_maintenance",
+    "scd2_interval_lookup", "golden_record_survivorship",
+    "fd_violation_repair", "shingle_containment_pairs",
+    "quantile_normalized_lengths", "dataset_card_summary",
+    "kmeans_int_lloyd", "embedding_label_outliers", "hard_negative_mining",
+    "bpe_merge_pair_counts", "keyword_extraction_topk", "bpe_train_merges",
+    "bigram_rank_surprisal", "cms_heavy_hitters", "model_auc_ranksum",
+    "confusion_threshold_sweep", "model_calibration_bins",
+    "ks_separation_statistic", "model_gains_table",
+    "versioned_orphan_audit",
 })
 
 
@@ -284,69 +311,28 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-8 head (VERDICT r7 item 2): the two heaviest entries in
-    # the repo have zero driver proof AND their executed code changed
-    # this round (the BLOCK_CAP sorted-neighborhood blocking split) —
-    # they lead the window.
-    "er_matched_pairs",
+    # round-9 head: the five r8-green ER entries re-sampled because
+    # the round-9 blocking_keys rewrite (distributed position
+    # assignment, VERDICT r8 item 2) changed their executed code (q21
+    # rule; stream_er_admission is in _EARLY and orders before
+    # everything anyway). After them the ONLY pending entries are the
+    # 19 never-driver-sampled round-5 statistical twins (VERDICT r8
+    # item 1) — 6 + 19 = 25 pending, comfortably inside the driver's
+    # 50-entry window, so this round's sample drains the catalog to
+    # 310/310 cumulative driver proof.
     "er_blocking_candidates",
-    # r7-green ER entries re-sampled because the blocking rewrite
-    # changed their executed code (q21 rule; stream_er_admission is in
-    # _EARLY and orders before everything anyway)
+    "er_matched_pairs",
     "er_linkage_quality",
     "er_golden_record",
     "er_incremental_link",
-    # oracle / guard changes from round-7 ADVICE (q21 rule)
-    "versioned_partition_evolution",
-    "hierarchy_closure_table",
-    "bom_cost_rollup",
-    # heaviest / riskiest of the 60 never-driver-sampled (VERDICT
-    # named these): the rest of the never-sampled set follows in
-    # registration order inside the same window
-    "apriori_triple_itemsets",
-    "bitemporal_asof_query",
-    "bm25_ranked_search",
-    "knn_label_vote",
-    "retrieval_eval_mrr",
-    "greedy_coverage_selection",
-    "cross_corpus_lsh_decontamination",
-    "entity_resolution_clusters",
-    "semantic_dedup_cells",
-    "prefix_filter_jaccard_join",
-    "merkle_range_diff",
 )
 
-# ...and these order LAST within pending (the 50-entry driver window
-# forces a choice with 64 pending): stable statistical entries whose
-# oracle shape mirrors an already-proven sibling (window/agg twins of
-# stats_aggregates / percentile / robust families), each pinned by the
-# local parity suite at sf0.001 AND sf0.01. They surface in the next
-# round's window once this round's greens fold into _DRIVER_GREEN.
-_PENDING_LAST = (
-    # r5-early statistical entries demoted from _PENDING_FIRST: each is
-    # locally parity-proven at both SFs and shape-similar to an
-    # already-green family; the lakehouse/sink lifecycles outrank them
-    # for the 50-entry window
-    "poisson_bootstrap_ci",
-    "association_rules_lift",
-    "benford_first_digit_audit",
-    "hll_mergeable_rollup",
-    "phrase_proximity_search",
-    "trend_forecast_by_priority",
-    "iqr_outlier_fences",
-    "price_histogram_equidepth",
-    "rolling_median_revenue",
-    "chisq_independence_cells",
-    "missing_value_imputation",
-    "winsorized_price_stats",
-    "robust_scaled_doc_scores",
-    "weighted_systematic_sample",
-    "pareto_frontier_parts",
-    "k_anonymity_audit",
-    "key_skew_gini",
-    "fk_integrity_audit",
-    "functional_dependency_check",
-)
+# ...and these order LAST within pending. EMPTY since round 9: the 19
+# round-5 statistical twins this tuple used to demote are now the only
+# never-driver-sampled entries left, and with just 25 pending total
+# they all fit the 50-entry window — they drain this round (VERDICT r8
+# item 1).
+_PENDING_LAST: tuple[str, ...] = ()
 
 
 def _priority_order(names) -> list[str]:

@@ -238,11 +238,25 @@ def blocking_keys(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
     sf0.001 behavioral pins use it to assert the raw passes' perfect
     planted-pair completeness).
 
-    Cost shape: one map-side-combine count per key, a broadcast-sized
-    (one row per distinct block) size join, and one window sort
-    partitioned BY BLOCK — the O(sz log sz) per-block sort is the
-    classic sorted-neighborhood price and shuffles each block to one
-    task; cap long before a block outgrows a task (the whole point)."""
+    Cost shape (round 9 — DISTRIBUTED position assignment, replacing
+    the per-raw-block single-task window sort): positions within a
+    block are assigned with the repo's rank + prefix-sum-offset
+    pattern (``assign_surrogate_keys``, warehouse.py), specialized to
+    an ORDER-PRESERVING bucketing — ``repartitionByRange`` on the full
+    sort key (bkey, cents, psize, rec_id) gives every task a
+    contiguous slice of the global order, a window ranks locally per
+    (partition, block), and each slice adds the broadcast prefix-sum
+    of the earlier slices' per-block counts. Per-task work is bounded
+    by the RANGE-PARTITION size (a config dial), never by the raw
+    block size (linear in data): at a 10⁴× scale-up a 3.6M-row raw
+    block costs ~3.6M/n_partitions rows per task instead of one
+    3.6M-row single-task sort. The offsets frame is one row per
+    (block, partition-it-spans) — ≤ key_rows/partition_size + n_blocks
+    rows, broadcast-sized by construction. Positions are a pure
+    function of the data (the global rank in a TOTAL order — rec_id is
+    unique), so the assignment is reproducible under ANY partitioning
+    and the DuckDB oracle's single ``row_number() OVER (PARTITION BY
+    bkey)`` stays hash-identical."""
     bt = norm.select(
         "rec_id",
         "cents",
@@ -260,22 +274,50 @@ def blocking_keys(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
     raw = bt.unionByName(ts)
     if cap is None:
         return raw.select("rec_id", "bkey")
-    sizes = raw.groupBy("bkey").agg(F.count(F.lit(1)).alias("sz"))
-    win = Window.partitionBy("bkey").orderBy("cents", "psize", "rec_id")
-    pos = (F.row_number().over(win) - 1).alias("pos")
-    bpos = raw.join(sizes, "bkey").select("rec_id", "bkey", "sz", pos)
-    # ONE window evaluation: emit each row's final key set as an array
-    # and explode — a small/b1/b2 union of three bpos projections would
-    # re-run the per-block sort three times (Catalyst shares no
-    # unmaterialized subtree; round-5 prefix-join lesson)
-    cell = F.expr(f"pos DIV {cap}")
+    # pid is evaluated ABOVE the range exchange, which both consumers
+    # below (the per-(pid, bkey) counts and the final rank join) share
+    # — Spark's exchange reuse executes the range shuffle ONCE per
+    # query, so the (nondeterministically sampled) range boundaries,
+    # and therefore pid, are consistent across the two branches
+    # (plan-pinned: tests/test_plan_shapes.py asserts the reuse)
+    ranked = (
+        raw.repartitionByRange("bkey", "cents", "psize", "rec_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("pid", "bkey").orderBy("cents", "psize", "rec_id")
+            ),
+        )
+    )
+    # per-(block, slice) counts give BOTH the block total (sz — the
+    # split decision) and the prefix-sum offset each slice adds; the
+    # old separate whole-block size join is subsumed
+    counts = ranked.groupBy("bkey", "pid").agg(F.count(F.lit(1)).alias("n"))
+    w_pref = (
+        Window.partitionBy("bkey").orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("bkey")
+    offsets = counts.select(
+        "bkey",
+        "pid",
+        F.coalesce(F.sum("n").over(w_pref), F.lit(0)).alias("off"),
+        F.sum("n").over(w_tot).alias("sz"),
+    )
+    # global pos = earlier slices' count + local rank − 1; emit each
+    # row's final key set as an array and explode — ONE pass, no
+    # small/oversized union re-running the rank per branch
+    cell = F.expr(f"(off + r - 1) DIV {cap}")
     keys_arr = F.when(F.col("sz") <= cap, F.array(F.col("bkey"))).otherwise(
         F.array(
             F.concat("bkey", F.lit("#"), cell.cast("string")),
             F.concat("bkey", F.lit("#"), (cell + 1).cast("string")),
         )
     )
-    return bpos.select("rec_id", F.explode(keys_arr).alias("bkey"))
+    return (
+        ranked.join(F.broadcast(offsets), ["bkey", "pid"])
+        .select("rec_id", F.explode(keys_arr).alias("bkey"))
+    )
 
 
 def candidate_pairs(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:

@@ -74,6 +74,81 @@ def test_block_cap_bounds_pairs_and_subsets_candidates(spark, sf_dir):
     assert {(r.rec_a, r.rec_b) for r in capped.collect()} == again
 
 
+def test_distributed_positions_match_single_window_reference(spark, sf_dir):
+    """Round-9 rewrite pin: the distributed position assignment (range
+    exchange + per-slice rank + broadcast prefix-sum offsets) must
+    reproduce EXACTLY the key set of the single-window reference
+    formula — forced to 1024 shuffle partitions so raw blocks (max 13
+    rows at sf0.001, vs ~8 rows per range slice) genuinely SPAN
+    slices, exercising the multi-slice offset arithmetic rather than
+    the one-slice identity case."""
+    from pyspark.sql import Window
+
+    from pim_etl_spark.operators.entity_resolution import blocking_keys
+
+    norm = dirty_records(spark, sf_dir).cache()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1024")
+        got = {(r.rec_id, r.bkey) for r in blocking_keys(norm, cap=4).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # reference: the pre-round-9 single-window sorted-neighborhood
+    # formula, inlined (one task per raw block — fine at test scale)
+    bt = norm.select(
+        "rec_id", "cents", "psize",
+        F.concat(F.lit("bt|"), F.col("bdig"), F.lit("|"), F.col("ptype")).alias("bkey"),
+    )
+    ts = norm.select(
+        "rec_id", "cents", "psize",
+        F.concat(F.lit("ts|"), F.col("ptype"), F.lit("|"), F.col("psize").cast("string")).alias("bkey"),
+    )
+    raw = bt.unionByName(ts)
+    # sanity: the forced slice width is finer than the biggest raw
+    # block, so the spanning path is really what got exercised above
+    n_rows = raw.count()
+    max_block = raw.groupBy("bkey").count().agg(F.max("count")).first()[0]
+    assert max_block > n_rows / 1024, (max_block, n_rows)
+    sizes = raw.groupBy("bkey").agg(F.count(F.lit(1)).alias("sz"))
+    win = Window.partitionBy("bkey").orderBy("cents", "psize", "rec_id")
+    bpos = raw.join(sizes, "bkey").select(
+        "rec_id", "bkey", "sz", (F.row_number().over(win) - 1).alias("pos")
+    )
+    cell = F.expr("pos DIV 4")
+    keys_arr = F.when(F.col("sz") <= 4, F.array(F.col("bkey"))).otherwise(
+        F.array(
+            F.concat("bkey", F.lit("#"), cell.cast("string")),
+            F.concat("bkey", F.lit("#"), (cell + 1).cast("string")),
+        )
+    )
+    want = {
+        (r.rec_id, r.bkey)
+        for r in bpos.select("rec_id", F.explode(keys_arr).alias("bkey")).collect()
+    }
+    assert got == want
+
+
+def test_capped_blocking_recall_floor_where_cap_fires(spark):
+    """Round-8 ADVICE: BLOCK_CAP recall was measured-only — a future
+    change to the planted-perturbation magnitudes (drifts today are
+    <= 50 cents / 1 size unit, inside the sort-key adjacency
+    assumption) would silently degrade blocking recall. Pin a FLOOR at
+    sf0.01, the smallest SF where BLOCK_CAP fires on real blocks (raw
+    max block 50 > 32): capped pair completeness >= 9900/10000."""
+    sf01 = "/root/testdata/sf0.01"
+    norm = dirty_records(spark, sf01).cache()
+    cand = candidate_pairs(norm)  # BLOCK_CAP default
+    x = norm.alias("x")
+    y = norm.alias("y")
+    truth = x.join(
+        y, (F.col("x.pk") == F.col("y.pk")) & (F.col("x.rec_id") < F.col("y.rec_id"))
+    ).select(F.col("x.rec_id").alias("rec_a"), F.col("y.rec_id").alias("rec_b"))
+    n_truth = truth.count()
+    n_cov = truth.join(cand, ["rec_a", "rec_b"], "left_semi").count()
+    assert n_truth > 0
+    assert n_cov * 10000 // n_truth >= 9900, (n_cov, n_truth)
+
+
 def test_matcher_recall_is_total_and_precision_honest(quality_row):
     """The planted perturbations were designed inside the score
     margin, so recall is exactly 1; precision < 1 records the genuine

@@ -497,19 +497,38 @@ def test_cep_overlapping_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_blocking_cap_window_evaluates_once(spark, sf_dir):
-    """blocking_keys: the sorted-neighborhood split must evaluate its
-    per-block window exactly ONCE (explode of the per-row key array) —
-    a union of small/oversized projections re-runs the block sort per
-    branch (Catalyst shares no unmaterialized subtree) — and the
-    block-size frame must re-attach via a broadcast join."""
+def test_blocking_cap_positions_are_distributed_and_exchange_reused(spark, sf_dir):
+    """blocking_keys (round 9): positions come from the DISTRIBUTED
+    rank + prefix-sum-offset assignment, never a per-raw-block
+    single-task sort — (a) NO window may partition by bkey alone and
+    order by the data columns (that is the one-task-per-raw-block
+    shape the rewrite removed); (b) the local rank windows over
+    (pid, bkey); (c) the range exchange the two consumers share must
+    execute ONCE — the final adaptive plan shows the second consumer
+    as a ReusedExchange, which is what makes the nondeterministically
+    sampled range boundaries (and so spark_partition_id) consistent
+    across the rank side and the offsets side; (d) the offsets frame
+    re-attaches via a broadcast join; (e) nothing degrades to a
+    cartesian."""
     from pim_etl_spark.operators.entity_resolution import (
         blocking_keys,
         dirty_records,
     )
 
-    plan = _plan(blocking_keys(dirty_records(spark, sf_dir)))
-    assert _count(r"\bWindow\b", plan) == 1, plan[:3000]
+    df = blocking_keys(dirty_records(spark, sf_dir))
+    # the ReusedExchange decision is made at RUNTIME by AQE's stage
+    # cache, so execute THIS dataframe's own query before reading its
+    # (now final) adaptive plan
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    # (a) the removed shape: windowspecdefinition(bkey#N, cents#... ASC
+    assert not re.search(r"windowspecdefinition\(bkey#\d+, cents", plan), plan[:3000]
+    # (b) distributed local rank per (pid, bkey)
+    assert re.search(r"windowspecdefinition\(pid#\d+, bkey#\d+, cents", plan), plan[:3000]
+    # (c) the shared range exchange is reused, not re-executed
+    assert re.search(r"ReusedExchange.*rangepartitioning", plan), plan[:3000]
+    # (d)+(e)
     assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:3000]
     assert "CartesianProduct" not in plan
 
