@@ -274,14 +274,25 @@ def blocking_keys(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
     raw = bt.unionByName(ts)
     if cap is None:
         return raw.select("rec_id", "bkey")
-    # pid is evaluated ABOVE the range exchange, which both consumers
-    # below (the per-(pid, bkey) counts and the final rank join) share
-    # — Spark's exchange reuse executes the range shuffle ONCE per
-    # query, so the (nondeterministically sampled) range boundaries,
-    # and therefore pid, are consistent across the two branches
-    # (plan-pinned: tests/test_plan_shapes.py asserts the reuse)
+    # pid must be IDENTICAL for the two consumers below (the
+    # per-(pid, bkey) counts and the final rank join), or offsets and
+    # local ranks compose against different slice boundaries. That
+    # consistency is made STRUCTURAL by the cache: an InMemoryRelation
+    # wraps exactly ONE underlying RDD, whose shuffle dependency (and
+    # the RangePartitioner's once-sampled boundaries) therefore exists
+    # exactly once no matter how many branches consume it or in what
+    # order AQE schedules their stages. Relying on exchange/stage
+    # REUSE instead is a measured trap: reuse is a planner courtesy
+    # that a semantically irrelevant plan detail can break — switching
+    # repartitionByRange from conf-N to explicit-N flipped the AQE
+    # stage-cache race and made both branches execute their own
+    # independently-sampled range shuffle (4 runs, 4 different outputs
+    # at sf0.01 — NOTES round 9). Lifetime: bounded by
+    # catalog._entry_scoped's entry-start clearCache (module cache
+    # contract, see scored_pairs).
+    n_slices = int(raw.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranked = (
-        raw.repartitionByRange("bkey", "cents", "psize", "rec_id")
+        raw.repartitionByRange(n_slices, "bkey", "cents", "psize", "rec_id")
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "r",
@@ -289,6 +300,7 @@ def blocking_keys(norm: DataFrame, cap: int | None = BLOCK_CAP) -> DataFrame:
                 Window.partitionBy("pid", "bkey").orderBy("cents", "psize", "rec_id")
             ),
         )
+        .cache()
     )
     # per-(block, slice) counts give BOTH the block total (sz — the
     # split decision) and the prefix-sum offset each slice adds; the

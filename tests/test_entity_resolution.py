@@ -128,6 +128,27 @@ def test_distributed_positions_match_single_window_reference(spark, sf_dir):
     assert got == want
 
 
+def test_capped_blocking_is_run_deterministic_where_cap_fires(spark):
+    """Round-9 race regression pin: with the BLOCK_CAP path firing on
+    real blocks (sf0.01, raw max block 50 > 32), three fresh
+    evaluations of the capped key set must agree EXACTLY. This is the
+    test that catches pid inconsistency between the offsets branch and
+    the rank branch: when an explicit-N repartitionByRange flipped the
+    AQE stage-cache race (before the ranked slice was
+    cache-materialized), four runs produced four different key sets —
+    position arithmetic composed against two independently-sampled
+    boundary sets. Key sets, not aggregates: a count can collide, the
+    exact (rec_id, bkey) set cannot."""
+    from pim_etl_spark.operators.entity_resolution import blocking_keys
+
+    norm = dirty_records(spark, "/root/testdata/sf0.01").cache()
+    runs = [
+        {(r.rec_id, r.bkey) for r in blocking_keys(norm).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
 def test_capped_blocking_recall_floor_where_cap_fires(spark):
     """Round-8 ADVICE: BLOCK_CAP recall was measured-only — a future
     change to the planted-perturbation magnitudes (drifts today are

@@ -497,18 +497,21 @@ def test_cep_overlapping_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_blocking_cap_positions_are_distributed_and_exchange_reused(spark, sf_dir):
+def test_blocking_cap_positions_are_distributed_and_slice_materialized(spark, sf_dir):
     """blocking_keys (round 9): positions come from the DISTRIBUTED
     rank + prefix-sum-offset assignment, never a per-raw-block
     single-task sort — (a) NO window may partition by bkey alone and
     order by the data columns (that is the one-task-per-raw-block
     shape the rewrite removed); (b) the local rank windows over
-    (pid, bkey); (c) the range exchange the two consumers share must
-    execute ONCE — the final adaptive plan shows the second consumer
-    as a ReusedExchange, which is what makes the nondeterministically
-    sampled range boundaries (and so spark_partition_id) consistent
-    across the rank side and the offsets side; (d) the offsets frame
-    re-attaches via a broadcast join; (e) nothing degrades to a
+    (pid, bkey); (c) the ranked slice frame is CACHE-MATERIALIZED and
+    BOTH consumers (the offsets aggregate and the final rank join)
+    read the one InMemoryRelation — the single underlying RDD is what
+    makes the nondeterministically sampled range boundaries (and so
+    spark_partition_id) structurally consistent across branches;
+    relying on AQE stage REUSE instead is a measured race (NOTES
+    round 9: explicit-N repartitionByRange flipped the stage-cache
+    race and produced 4 different outputs in 4 runs); (d) the offsets
+    frame re-attaches via a broadcast join; (e) nothing degrades to a
     cartesian."""
     from pim_etl_spark.operators.entity_resolution import (
         blocking_keys,
@@ -516,18 +519,15 @@ def test_blocking_cap_positions_are_distributed_and_exchange_reused(spark, sf_di
     )
 
     df = blocking_keys(dirty_records(spark, sf_dir))
-    # the ReusedExchange decision is made at RUNTIME by AQE's stage
-    # cache, so execute THIS dataframe's own query before reading its
-    # (now final) adaptive plan
-    df.collect()
+    df.collect()  # materialize so the executed (final) plan is inspected
     plan = _plan(df)
-    assert "isFinalPlan=true" in plan, plan[:500]
     # (a) the removed shape: windowspecdefinition(bkey#N, cents#... ASC
     assert not re.search(r"windowspecdefinition\(bkey#\d+, cents", plan), plan[:3000]
     # (b) distributed local rank per (pid, bkey)
     assert re.search(r"windowspecdefinition\(pid#\d+, bkey#\d+, cents", plan), plan[:3000]
-    # (c) the shared range exchange is reused, not re-executed
-    assert re.search(r"ReusedExchange.*rangepartitioning", plan), plan[:3000]
+    # (c) both consumers scan the SAME cached ranked-slice relation
+    assert _count(r"InMemoryTableScan", plan) >= 2, plan[:3000]
+    assert _count(r"Exchange rangepartitioning", plan) >= 1, plan[:3000]
     # (d)+(e)
     assert _count(r"BroadcastHashJoin", plan) >= 1, plan[:3000]
     assert "CartesianProduct" not in plan
