@@ -561,7 +561,14 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                truth_pairs.join(cand, ["rec_a", "rec_b"], "left_semi").agg(
+                # coverage = |truth ∩ cand| (both sides are DISTINCT
+                # pair sets, so the semi count is symmetric). The BIG
+                # cached side goes on the LEFT so the semi's build side
+                # is the linearly-growing-but-small truth frame — AQE
+                # broadcasts it while it fits (measured 2.64 s → 0.66 s
+                # at sf0.1) and degrades to a shuffle semi when it
+                # doesn't; no forced broadcast of a data-sized frame.
+                cand.join(truth_pairs, ["rec_a", "rec_b"], "left_semi").agg(
                     F.count(F.lit(1)).alias("n_cov")
                 )
             )
