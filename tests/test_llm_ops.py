@@ -680,3 +680,31 @@ def test_video_shot_boundaries_planted_cut_and_edges(spark):
 
     r3 = rows[3]  # uniform: zero motion, zero cuts
     assert r3.total_abs_diff == 0 and r3.n_boundaries == 0
+
+
+def test_sq_l2_codes_unrolled_matches_hof_and_falls_back(spark):
+    """The unrolled integer squared-L2 kernel must agree exactly with
+    the zip_with+aggregate form it replaces (the 4.3x-speedup rewrite
+    must be a pure physical change), and a dim above _UNROLL_MAX_DIM
+    must fall back to the HOF rather than emit a giant codegen method."""
+    from pim_etl_spark.llm_ops.similarity import _UNROLL_MAX_DIM, sq_l2_codes
+
+    df = spark.createDataFrame(
+        [(1, [0, 255, 17, 4], [255, 0, 17, 9]), (2, [3, 3, 3, 3], [3, 3, 3, 3])],
+        "id long, a array<long>, b array<long>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            sq_l2_codes(F.col("a"), F.col("b"), 4).alias("unrolled"),
+            sq_l2_codes(F.col("a"), F.col("b"), None).alias("hof"),
+        ).collect()
+    }
+    assert rows[1].unrolled == rows[1].hof == 255 * 255 * 2 + 25
+    assert rows[2].unrolled == rows[2].hof == 0
+
+    # dim above the ceiling: falls back to the HOF form (fresh lambda
+    # variable ids make exact string equality unstable — shape check)
+    over = str(sq_l2_codes(F.col("a"), F.col("b"), _UNROLL_MAX_DIM + 1))
+    assert "aggregate" in over and "element_at" not in over
