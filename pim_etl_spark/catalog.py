@@ -257,7 +257,11 @@ _DRIVER_GREEN = frozenset({
     # assignment, VERDICT r8 item 2) — all six re-sample first.
     "versioned_partition_evolution", "hierarchy_closure_table",
     "bom_cost_rollup", "apriori_triple_itemsets", "bitemporal_asof_query",
-    "bm25_ranked_search", "knn_label_vote", "retrieval_eval_mrr",
+    # knn_label_vote / retrieval_eval_mrr / embedding_label_outliers /
+    # hard_negative_mining dropped from this r8 block (q21 rule): the
+    # round-9 sq_l2_codes unrolled-kernel rewrite changed their
+    # executed code — they re-sample first.
+    "bm25_ranked_search",
     "greedy_coverage_selection", "cross_corpus_lsh_decontamination",
     "entity_resolution_clusters", "semantic_dedup_cells",
     "prefix_filter_jaccard_join", "merkle_range_diff",
@@ -268,7 +272,7 @@ _DRIVER_GREEN = frozenset({
     "scd2_interval_lookup", "golden_record_survivorship",
     "fd_violation_repair", "shingle_containment_pairs",
     "quantile_normalized_lengths", "dataset_card_summary",
-    "kmeans_int_lloyd", "embedding_label_outliers", "hard_negative_mining",
+    "kmeans_int_lloyd",
     "bpe_merge_pair_counts", "keyword_extraction_topk", "bpe_train_merges",
     "bigram_rank_surprisal", "cms_heavy_hitters", "model_auc_ranksum",
     "confusion_threshold_sweep", "model_calibration_bins",
@@ -325,6 +329,15 @@ _PENDING_FIRST = (
     "er_linkage_quality",
     "er_golden_record",
     "er_incremental_link",
+    # round-9 session 2 (q21 rule): executed code changed again —
+    # er_blocking_candidates' truth-coverage semi-join flipped to the
+    # AQE-broadcastable orientation (already queued above), and the
+    # four grid-code entries switched to the unrolled sq_l2_codes
+    # kernel. 6 + 4 + 19 twins = 29 pending, still inside the window.
+    "knn_label_vote",
+    "hard_negative_mining",
+    "retrieval_eval_mrr",
+    "embedding_label_outliers",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19
