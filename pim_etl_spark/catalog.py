@@ -256,7 +256,10 @@ _DRIVER_GREEN = frozenset({
     # the distributed range-exchange rank + broadcast prefix-sum-offset
     # assignment, VERDICT r8 item 2) — all six re-sample first.
     "versioned_partition_evolution", "hierarchy_closure_table",
-    "bom_cost_rollup", "apriori_triple_itemsets", "bitemporal_asof_query",
+    # apriori_triple_itemsets dropped from this r8 block (q21 rule):
+    # the round-9 okey-keyed triple-join rewrite changed its executed
+    # code — it re-samples first.
+    "bom_cost_rollup", "bitemporal_asof_query",
     # knn_label_vote / retrieval_eval_mrr / embedding_label_outliers /
     # hard_negative_mining dropped from this r8 block (q21 rule): the
     # round-9 sq_l2_codes unrolled-kernel rewrite changed their
@@ -333,11 +336,14 @@ _PENDING_FIRST = (
     # er_blocking_candidates' truth-coverage semi-join flipped to the
     # AQE-broadcastable orientation (already queued above), and the
     # four grid-code entries switched to the unrolled sq_l2_codes
-    # kernel. 6 + 4 + 19 twins = 29 pending, still inside the window.
+    # kernel (count updated below with apriori).
     "knn_label_vote",
     "hard_negative_mining",
     "retrieval_eval_mrr",
     "embedding_label_outliers",
+    # ...and the okey-keyed A-priori triple-join rewrite.
+    # 6 + 5 + 19 twins = 30 pending, still inside the window.
+    "apriori_triple_itemsets",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19
