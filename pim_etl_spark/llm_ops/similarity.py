@@ -1547,11 +1547,12 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the query side broadcasts (queries are the small
     side by construction — audit samples, not the corpus); distance
-    evaluation is map-side zip_with/aggregate over the reference scan
-    with no shuffle until the per-query top-k (partial TakeOrdered per
-    partition); the vote rollup is query-sized. The integer grid is
-    what makes the entry hash-gateable — and is also the production
-    shape (int8 SIMD distance kernels)."""
+    evaluation is map-side over the reference scan (the unrolled
+    ``sq_l2_codes`` codegen kernel) with no shuffle until the
+    per-query top-k (partial TakeOrdered per partition); the vote
+    rollup is query-sized. The integer grid is what makes the entry
+    hash-gateable — and is also the production shape (int8 SIMD
+    distance kernels)."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
