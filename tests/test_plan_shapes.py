@@ -102,6 +102,9 @@ _NO_CARTESIAN = (
     "golden_record_survivorship",
     "fd_violation_repair",
     "cep_quantified_pattern",
+    # round-9: okey-keyed A-priori triple join — every join carries the
+    # order key or the full itemset, never an item-only key
+    "apriori_triple_itemsets",
 )
 
 
@@ -557,3 +560,22 @@ def test_bloom_prune_is_broadcast_semi_before_shuffle_join(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:3000]
     assert "SortMergeJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_apriori_triple_stage_is_okey_keyed(spark, sf_dir):
+    """The A-priori triple-support stage must stay okey-keyed: both
+    pruning semi-joins broadcast model-sized sets (frequent pairs,
+    candidate triples), and no equi-join keys on an item column alone
+    — the round-9 rewrite that removed the |basket|·|cand|/|items|
+    item-only intermediate (5.49 s → 0.91 s at sf0.1)."""
+    import re
+
+    plan = _plan(get_queries()["apriori_triple_itemsets"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # two broadcast left-semi prunes (frequent pairs, candidates)
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 2, plan[:3000]
+    # the old shape's signature: a broadcast INNER join keyed on i1
+    # alone (item-only fanout) — must not reappear
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], Inner", plan):
+        left_keys = m.group(1)
+        assert "okey" in left_keys or "pokey" in left_keys or "p_partkey" in left_keys or "l_partkey" in left_keys, plan[:3000]
