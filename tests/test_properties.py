@@ -234,3 +234,34 @@ def test_greedy_cep_reduction_equals_consuming_automaton(events):
         elif ev == "view":
             last_view = rn
     assert formula_matches == automaton_matches
+
+
+# integer grid codes live in 0..255; drifted/negative values are
+# included to pin the kernel beyond the generator's current range
+code_arrays = st.integers(min_value=2, max_value=24).flatmap(
+    lambda d: st.tuples(
+        st.lists(st.integers(min_value=-300, max_value=300), min_size=d, max_size=d),
+        st.lists(st.integers(min_value=-300, max_value=300), min_size=d, max_size=d),
+    )
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(code_arrays)
+def test_sq_l2_codes_unrolled_equals_hof_property(spark, ab):
+    """Property twin of the fixed-vector kernel pin: for ANY
+    equal-length long arrays, the unrolled sq_l2_codes expression and
+    its zip_with+aggregate fallback produce the same exact integer —
+    and both equal the Python ground truth."""
+    from pyspark.sql import functions as F
+
+    from pim_etl_spark.llm_ops.similarity import sq_l2_codes
+
+    a, b = ab
+    truth = sum((x - y) * (x - y) for x, y in zip(a, b))
+    df = spark.createDataFrame([(a, b)], "a array<long>, b array<long>")
+    row = df.select(
+        sq_l2_codes(F.col("a"), F.col("b"), len(a)).alias("unrolled"),
+        sq_l2_codes(F.col("a"), F.col("b"), None).alias("hof"),
+    ).collect()[0]
+    assert row.unrolled == row.hof == truth
