@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pim_etl_spark.catalog import query
 from pim_etl_spark.llm_ops.dedup import _tokens
 from pim_etl_spark.sources import load_table
+from pim_etl_spark.tuning import loop_partitions
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
@@ -1718,7 +1719,7 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             covered.unionByName(
                 dbg.join(F.broadcast(pick.select("doc_id")), "doc_id", "left_semi").select("bg")
             )
-            .repartition(4, "bg")
+            .repartition(loop_partitions(dbg, floor=4, divisor=8), "bg")
             .dropDuplicates()
             .localCheckpoint(eager=False)
         )

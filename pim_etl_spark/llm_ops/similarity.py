@@ -1454,10 +1454,28 @@ def sq_l2_codes(a: Column, b: Column, dim: int | None = None) -> Column:
     closure per element outside whole-stage codegen, while the
     unrolled form is straight-line generated arithmetic. Falls back
     to the HOF when ``dim`` is unknown or above _UNROLL_MAX_DIM
-    (generated-method size ceiling). ANSI note: ``element_at`` throws
-    on out-of-bounds, so ``dim`` must be the true array length —
-    callers get it from the same collected per-dim bounds that built
-    the codes."""
+    (generated-method size ceiling).
+
+    Ragged-input contract (round-9 ADVICE): a declared ``dim`` is a
+    PRECONDITION — every input array must be exactly ``dim`` long.
+    ``global_grid_codes`` (the producer every declared-dim caller
+    goes through) enforces it with a per-ROW ``size(v) == dim``
+    filter, and under ANSI mode (the Spark 4 default this engine
+    runs) a violated precondition throws loudly at ``element_at``
+    rather than yielding the non-ANSI NULL distance that would sort
+    first in an ascending top-k and silently promote garbage
+    neighbors. The guard deliberately lives at the producer, not in
+    this expression: both in-kernel forms were built and MEASURED
+    out — a CaseWhen size-guard around the unrolled sum drags the
+    whole projection out of whole-stage codegen (knn_label_vote
+    3.26 s with an HOF otherwise-branch, 21 s(!) with even a plain
+    literal sentinel branch, vs 2.05 s unguarded at sf0.1), while
+    the per-row producer filter is one pushed-down O(1) predicate.
+    With ``dim=None`` there is no declared length to enforce, so the
+    HOF truncates both arrays to the shorter length explicitly
+    (Spark's ``zip_with`` PADS the shorter side with NULLs — the
+    opposite of DuckDB's list truncation — which would null the
+    whole sum) and is total over non-null inputs of any lengths."""
     if dim is not None and 0 < dim <= _UNROLL_MAX_DIM:
         total = None
         for j in range(1, dim + 1):
@@ -1465,8 +1483,16 @@ def sq_l2_codes(a: Column, b: Column, dim: int | None = None) -> Column:
             t = t * t
             total = t if total is None else total + t
         return total
+    if dim is not None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    n = F.least(F.size(a), F.size(b))
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(F.slice(a, F.lit(1), n), F.slice(b, F.lit(1), n),
+                   lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -1480,7 +1506,16 @@ def global_grid_codes(emb: DataFrame) -> tuple[DataFrame, int]:
     floor((x-mn)/(mx-mn)*255) is add/sub/mul/div/floor on doubles
     (all correctly rounded), so codes are bit-identical across
     engines given the same per-dim bounds, and min/max of floats ARE
-    exact."""
+    exact.
+
+    Uniform-length guard (round-9 ADVICE): rows whose vector is not
+    exactly ``dim`` long are dropped HERE, once per row, so the
+    unrolled ``sq_l2_codes`` kernel downstream keeps its
+    exactly-``dim`` precondition without any per-pair branching (an
+    in-kernel CaseWhen guard was measured to evict the whole
+    projection from whole-stage codegen — see the kernel docstring).
+    On the uniform corpora this engine gates on, the filter drops
+    nothing and costs one pushed-down ``size`` predicate."""
     ex = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
     rows = sorted(
         ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect(),
@@ -1501,7 +1536,11 @@ def global_grid_codes(emb: DataFrame) -> tuple[DataFrame, int]:
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    return emb.select("vec_id", "label", code.alias("c")), len(rows)
+    dim = len(rows)
+    return (
+        emb.filter(F.size("v") == dim).select("vec_id", "label", code.alias("c")),
+        dim,
+    )
 
 
 @query(

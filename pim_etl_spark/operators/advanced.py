@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
+from pim_etl_spark.tuning import loop_partitions
 
 
 @query(
@@ -1670,13 +1671,16 @@ def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.withColumnRenamed("id", "v"), "v", "left_semi")
         .select("u", "v")
         .unionByName(core.select(F.col("id").alias("u"), F.col("id").alias("v")))
-        .repartition(8, "v")
+        .repartition(loop_partitions(sym), "v")
         .cache()
     )
     lbl = core.select("id", F.col("id").alias("lbl"))
     for _ in range(3):
         lbl = (
-            ce.join(lbl.withColumnRenamed("id", "v").repartition(8, "v"), "v")
+            ce.join(
+                lbl.withColumnRenamed("id", "v").repartition(loop_partitions(sym), "v"),
+                "v",
+            )
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("lbl").alias("lbl"))
         )

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
+from pim_etl_spark.tuning import loop_partitions
 
 MATCH_THRESHOLD = 70
 
@@ -732,12 +733,15 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ids-only label loop: pin a small co-partitioning on the join key
     # so each round reuses it instead of a 200-partition default
-    # exchange per iteration (the naive-session stage-count killer)
+    # exchange per iteration (the naive-session stage-count killer);
+    # width is conf-derived (floor = the bench-measured 8) so a
+    # cluster session widens the loop instead of serializing it
+    n_loop = loop_partitions(norm)
     adj = (
         m.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
         .unionByName(m.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
         .unionByName(norm.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
-        .repartition(8, "v")
+        .repartition(n_loop, "v")
         .cache()
     )
     lbl = norm.select("rec_id", F.col("rec_id").alias("lbl"))
@@ -746,7 +750,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cached/raw label DF re-runs the whole prefix every time a
         # consumer (or broadcast) pulls it (greedy_coverage lesson)
         lbl = (
-            adj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
+            adj.join(lbl.withColumnRenamed("rec_id", "v").repartition(n_loop, "v"), "v")
             .groupBy(F.col("u").alias("rec_id"))
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
@@ -780,17 +784,18 @@ def base_cluster_labels(norm: DataFrame, scored: DataFrame) -> DataFrame:
         (F.col("score") >= MATCH_THRESHOLD) & ~a_is_b & ~b_is_b
     ).select("rec_a", "rec_b")
     bnodes = norm.filter(F.substring("rec_id", 1, 1) != "B").select("rec_id")
+    n_loop = loop_partitions(norm)
     badj = (
         bm.select(F.col("rec_a").alias("u"), F.col("rec_b").alias("v"))
         .unionByName(bm.select(F.col("rec_b").alias("u"), F.col("rec_a").alias("v")))
         .unionByName(bnodes.select(F.col("rec_id").alias("u"), F.col("rec_id").alias("v")))
-        .repartition(8, "v")
+        .repartition(n_loop, "v")
         .cache()
     )
     lbl = bnodes.select("rec_id", F.col("rec_id").alias("lbl"))
     for _ in range(CC_ROUNDS):
         lbl = (
-            badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(8, "v"), "v")
+            badj.join(lbl.withColumnRenamed("rec_id", "v").repartition(n_loop, "v"), "v")
             .groupBy(F.col("u").alias("rec_id"))
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
+from pim_etl_spark.tuning import loop_partitions
 
 # The nation dimension is fixed-cardinality (25) at every scale factor;
 # both engines hardcode it so neither needs a driver-side count action.
@@ -639,7 +640,11 @@ def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("p_partkey DIV 4").alias("anc"),
         F.lit(1).cast("int").alias("depth"),
     )
-    closure = edges.repartition(8, "anc").cache()
+    # conf-derived loop width (floor = the bench-measured 8): the
+    # closure frame is data-sized, so a cluster session must widen
+    # these per-doubling shuffles instead of serializing on 8 tasks
+    n_loop = loop_partitions(part)
+    closure = edges.repartition(n_loop, "anc").cache()
     for _ in range(CLOSURE_DOUBLINGS):
         a = closure.select(
             F.col("des"), F.col("anc").alias("mid"), F.col("depth").alias("d1")
@@ -648,14 +653,14 @@ def part_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("des").alias("mid"), F.col("anc"), F.col("depth").alias("d2")
         )
         new = (
-            a.repartition(8, "mid")
-            .join(b.repartition(8, "mid"), "mid")
+            a.repartition(n_loop, "mid")
+            .join(b.repartition(n_loop, "mid"), "mid")
             .filter(F.col("mid") > 0)
             .select("des", "anc", (F.col("d1") + F.col("d2")).alias("depth"))
         )
         closure = (
             closure.unionByName(new)
-            .repartition(8, "des", "anc")
+            .repartition(n_loop, "des", "anc")
             .dropDuplicates(["des", "anc"])
             .cache()
         )

@@ -1,0 +1,38 @@
+"""Runtime tuning dials shared by iterative operators.
+
+VERDICT r9 watch-item: iterative label-propagation / closure loops
+pinned a *constant* ``repartition(8, key)`` co-partitioning on their
+join keys. At bench scale that constant is a measured win (it kills
+the default-width exchange every iteration), but at 100x the edge
+lists are data-sized and an 8-task shuffle would serialize the loop.
+The fix is the same pattern the round-9 distributed-blocking rewrite
+used (entity_resolution.py): derive the loop width from the session's
+``spark.sql.shuffle.partitions`` with the measured constant as a
+floor, so local bench behavior is bit-identical while a cluster
+session (shuffle partitions in the thousands) scales the loop width
+proportionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def loop_partitions(df: DataFrame, floor: int = 8, divisor: int = 4) -> int:
+    """Partition count for an iterative loop's pinned co-partitioning.
+
+    Loop frames here are narrow ids-only projections — a small
+    fraction of the bytes of the session's general shuffle traffic —
+    so a fraction (``1/divisor``) of ``spark.sql.shuffle.partitions``
+    keeps per-task loop state small without re-introducing the
+    default-width exchange per iteration. ``floor`` preserves the
+    bench-measured constants (local sessions run shuffle=32, so
+    ``max(8, 32 // 4)`` == the historical 8); a 1000-executor session
+    with shuffle partitions in the thousands gets a proportionally
+    wide loop instead of a serialized 8-task one.
+    """
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return floor
+    return max(floor, n // divisor)

@@ -708,3 +708,62 @@ def test_sq_l2_codes_unrolled_matches_hof_and_falls_back(spark):
     # variable ids make exact string equality unstable — shape check)
     over = str(sq_l2_codes(F.col("a"), F.col("b"), _UNROLL_MAX_DIM + 1))
     assert "aggregate" in over and "element_at" not in over
+
+
+def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
+    """Round-9 ADVICE: arrays off the declared dim must never reach
+    the unrolled element_at terms silently — in non-ANSI mode a NULL
+    distance would sort first in an ascending top-k and promote
+    garbage neighbors. The guard lives at the PRODUCER
+    (global_grid_codes drops off-dim rows once per row; in-kernel
+    CaseWhen guards were measured to evict the projection from
+    whole-stage codegen, 2.05 s -> 21 s on knn_label_vote), and
+    under ANSI (this engine's default) a violated kernel
+    precondition throws loudly instead of yielding NULL. With
+    dim=None the HOF truncates to the shorter array explicitly
+    (zip_with pads with NULLs, which would null the sum)."""
+    import pytest
+
+    from pim_etl_spark.llm_ops.similarity import global_grid_codes, sq_l2_codes
+
+    # 1) the producer filter: an off-dim vector never enters the codes
+    emb = spark.createDataFrame(
+        [
+            (1, "a", [0.0, 1.0, 2.0, 3.0]),
+            (2, "b", [4.0, 3.0, 2.0, 1.0]),
+            (3, "c", [9.0, 9.0]),  # ragged: must be dropped
+        ],
+        "vec_id long, label string, v array<double>",
+    )
+    codes, dim = global_grid_codes(emb)
+    assert dim == 4
+    assert sorted(r.vec_id for r in codes.collect()) == [1, 2]
+
+    # 2) ANSI mode makes a violated precondition loud, not silent
+    df = spark.createDataFrame(
+        [(1, [5, 9], [1, 1, 1, 1])], "id long, a array<long>, b array<long>"
+    )
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        with pytest.raises(Exception, match="(?i)index|element_at|INVALID_ARRAY"):
+            df.select(sq_l2_codes(F.col("a"), F.col("b"), 4).alias("d")).collect()
+
+    # 3) dim=None: truncate-to-shorter, never NULL for non-null inputs
+    rows = {
+        r.id: r
+        for r in spark.createDataFrame(
+            [
+                (1, [0, 255, 17, 4], [255, 0, 17, 9]),
+                (2, [5, 9], [1, 1, 1, 1]),  # a short: 2 terms
+                (3, [1, 2, 3, 4, 5], [1, 1, 1, 1]),  # a long: 4 terms
+                (4, [7], [9, 9]),
+            ],
+            "id long, a array<long>, b array<long>",
+        )
+        .select("id", sq_l2_codes(F.col("a"), F.col("b"), None).alias("t"))
+        .collect()
+    }
+    assert rows[1].t == 255 * 255 * 2 + 25
+    assert rows[2].t == 16 + 64  # (5-1)^2 + (9-1)^2
+    assert rows[3].t == 0 + 1 + 4 + 9
+    assert rows[4].t == 4
+    assert all(r.t is not None for r in rows.values())

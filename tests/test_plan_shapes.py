@@ -576,6 +576,18 @@ def test_apriori_triple_stage_is_okey_keyed(spark, sf_dir):
     assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 2, plan[:3000]
     # the old shape's signature: a broadcast INNER join keyed on i1
     # alone (item-only fanout) — must not reappear
-    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], Inner", plan):
-        left_keys = m.group(1)
-        assert "okey" in left_keys or "pokey" in left_keys or "p_partkey" in left_keys or "l_partkey" in left_keys, plan[:3000]
+    inner_joins = re.findall(
+        r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\], Inner", plan
+    )
+    # guard against a vacuous pass (round-9 ADVICE): the basket
+    # build's partkey broadcast inner join is always present, so a
+    # Spark plan-format change that breaks the regex fails loudly
+    # instead of skipping the per-join key assertions
+    assert inner_joins, plan[:3000]
+    for left_keys, _right_keys in inner_joins:
+        assert (
+            "okey" in left_keys
+            or "pokey" in left_keys
+            or "p_partkey" in left_keys
+            or "l_partkey" in left_keys
+        ), plan[:3000]
