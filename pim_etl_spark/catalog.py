@@ -233,7 +233,10 @@ _DRIVER_GREEN = frozenset({
     "cusum_change_point", "cusum_excursion_band",
     "dedup_cluster_resolution", "embedding_lsh_neardup_buckets",
     "ewma_order_value", "gold_bucketed_sync", "gold_change_feed",
-    "gold_time_travel_diff", "grid_dbscan_clusters",
+    "gold_time_travel_diff",
+    # grid_dbscan_clusters dropped from this r7 block (q21 rule): the
+    # round-10 conf-derived loop_partitions dial changed its executed
+    # label-loop code — it re-samples first.
     "group_leakage_safe_split", "heavy_hitters_sketch",
     "hierarchy_ancestor_rollup", "image_patchify_grid",
     "incremental_neardup_gate", "incremental_rollup_maintenance",
@@ -255,17 +258,19 @@ _DRIVER_GREEN = frozenset({
     # (blocking_keys' per-raw-block single-task window sort replaced by
     # the distributed range-exchange rank + broadcast prefix-sum-offset
     # assignment, VERDICT r8 item 2) — all six re-sample first.
-    "versioned_partition_evolution", "hierarchy_closure_table",
-    # apriori_triple_itemsets dropped from this r8 block (q21 rule):
-    # the round-9 okey-keyed triple-join rewrite changed its executed
-    # code — it re-samples first.
-    "bom_cost_rollup", "bitemporal_asof_query",
+    "versioned_partition_evolution",
+    # hierarchy_closure_table / bom_cost_rollup /
+    # greedy_coverage_selection dropped from this r8 block (q21 rule):
+    # the round-10 conf-derived loop_partitions dial changed their
+    # executed closure/coverage-loop code — they re-sample first.
+    "bitemporal_asof_query",
     # knn_label_vote / retrieval_eval_mrr / embedding_label_outliers /
-    # hard_negative_mining dropped from this r8 block (q21 rule): the
-    # round-9 sq_l2_codes unrolled-kernel rewrite changed their
-    # executed code — they re-sample first.
+    # hard_negative_mining stay un-folded (q21 rule, two rounds
+    # running): round 9 changed their kernel, round 10 added the
+    # global_grid_codes uniform-length producer filter + the chained
+    # over-ceiling dim guard — they re-sample first.
     "bm25_ranked_search",
-    "greedy_coverage_selection", "cross_corpus_lsh_decontamination",
+    "cross_corpus_lsh_decontamination",
     "entity_resolution_clusters", "semantic_dedup_cells",
     "prefix_filter_jaccard_join", "merkle_range_diff",
     "cep_quantified_pattern", "theil_sen_trend", "peak_concurrency_sweep",
@@ -281,6 +286,27 @@ _DRIVER_GREEN = frozenset({
     "confusion_threshold_sweep", "model_calibration_bins",
     "ks_separation_statistic", "model_gains_table",
     "versioned_orphan_audit",
+    # round 9 (CORRECTNESS_r09.json) — all 50 sampled entries
+    # hash-green, draining cumulative driver proof to 310/310. Folded
+    # here: the 19 round-5 statistical twins (first-sampled r9), the
+    # apriori/association pair (okey-keyed rewrite re-proved), and the
+    # three ER entries whose code is untouched in round 10. NOT
+    # folded, per the q21 rewrite rule: stream_er_admission /
+    # er_golden_record / er_incremental_link (the round-10
+    # conf-derived loop_partitions dial changed their CC-label-loop
+    # code) and the four grid-code entries (round-10
+    # global_grid_codes producer filter) — they re-sample first.
+    "hll_mergeable_rollup", "trend_forecast_by_priority",
+    "iqr_outlier_fences", "price_histogram_equidepth",
+    "rolling_median_revenue", "chisq_independence_cells",
+    "missing_value_imputation", "poisson_bootstrap_ci",
+    "association_rules_lift", "apriori_triple_itemsets",
+    "pareto_frontier_parts", "winsorized_price_stats",
+    "robust_scaled_doc_scores", "weighted_systematic_sample",
+    "fk_integrity_audit", "functional_dependency_check",
+    "k_anonymity_audit", "key_skew_gini", "benford_first_digit_audit",
+    "phrase_proximity_search", "er_blocking_candidates",
+    "er_matched_pairs", "er_linkage_quality",
 })
 
 
@@ -318,32 +344,26 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-9 head: the five r8-green ER entries re-sampled because
-    # the round-9 blocking_keys rewrite (distributed position
-    # assignment, VERDICT r8 item 2) changed their executed code (q21
-    # rule; stream_er_admission is in _EARLY and orders before
-    # everything anyway). After them the ONLY pending entries are the
-    # 19 never-driver-sampled round-5 statistical twins (VERDICT r8
-    # item 1) — 6 + 19 = 25 pending, comfortably inside the driver's
-    # 50-entry window, so this round's sample drains the catalog to
-    # 310/310 cumulative driver proof.
-    "er_blocking_candidates",
-    "er_matched_pairs",
-    "er_linkage_quality",
+    # round-10 head (q21 rule): every entry whose executed code
+    # changed this round re-samples first. The conf-derived
+    # loop_partitions dial (VERDICT r9 watch-item 2) rewired the
+    # CC-label / closure / coverage loops of the first six
+    # (stream_er_admission is in _EARLY and orders before everything
+    # anyway), and the global_grid_codes uniform-length producer
+    # filter (round-9 ADVICE) sits upstream of the four grid-code
+    # entries. 10 + stream_er_admission = 11 pending total — the
+    # whole pending class fits any driver window with room for ~39
+    # re-proofs of folded greens.
     "er_golden_record",
     "er_incremental_link",
-    # round-9 session 2 (q21 rule): executed code changed again —
-    # er_blocking_candidates' truth-coverage semi-join flipped to the
-    # AQE-broadcastable orientation (already queued above), and the
-    # four grid-code entries switched to the unrolled sq_l2_codes
-    # kernel (count updated below with apriori).
+    "hierarchy_closure_table",
+    "bom_cost_rollup",
+    "grid_dbscan_clusters",
+    "greedy_coverage_selection",
     "knn_label_vote",
     "hard_negative_mining",
     "retrieval_eval_mrr",
     "embedding_label_outliers",
-    # ...and the okey-keyed A-priori triple-join rewrite.
-    # 6 + 5 + 19 twins = 30 pending, still inside the window.
-    "apriori_triple_itemsets",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19

@@ -591,3 +591,33 @@ def test_apriori_triple_stage_is_okey_keyed(spark, sf_dir):
             or "p_partkey" in left_keys
             or "l_partkey" in left_keys
         ), plan[:3000]
+
+
+def test_spark_partition_id_consumers_are_allowlisted():
+    """Standing guard for the round-9 nondeterminism class (VERDICT r9
+    item 1): spark_partition_id() after a repartitionByRange is only
+    consistent across plan branches if ONE materialized relation
+    (cache/checkpoint) feeds every consumer — AQE exchange reuse is a
+    planner courtesy, not a guarantee, and relying on it produced 4
+    different outputs in 4 runs before the blocking_keys cache fix.
+    Any NEW operator that reads spark_partition_id must copy the
+    cache-materialize pattern (entity_resolution.blocking_keys) and
+    register itself here after review — this test fails loudly on an
+    unreviewed consumer instead of letting the race ship."""
+    import pathlib
+
+    src_root = pathlib.Path(__file__).resolve().parent.parent / "pim_etl_spark"
+    allowed = {"operators/entity_resolution.py"}
+    offenders = []
+    for path in sorted(src_root.rglob("*.py")):
+        rel = path.relative_to(src_root).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), start=1):
+            code = line.split("#", 1)[0]
+            if "spark_partition_id" in code and rel not in allowed:
+                offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "unreviewed spark_partition_id consumer(s) — partition ids are only "
+        "branch-consistent over a cache-materialized relation (see "
+        "entity_resolution.blocking_keys and NOTES round 9):\n"
+        + "\n".join(offenders)
+    )
