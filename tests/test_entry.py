@@ -38,3 +38,32 @@ def test_catalog_entries_clear_cache_on_start(spark, sf_dir):
     # in the shared session may hold localCheckpoint RDD blocks, which
     # clearCache deliberately does not touch
     assert leftover.storageLevel == StorageLevel.NONE
+
+
+def test_priority_bookkeeping_sets_are_consistent(spark):
+    """The hand-maintained priority frozensets must stay consistent
+    with the live catalog: a typo'd or stale name in _DRIVER_GREEN
+    silently keeps a real entry 'pending' forever (or marks a renamed
+    entry proven), and a _PENDING_FIRST/_EARLY name that is not a
+    registered query never orders anything. Also pin the structural
+    invariants: _PENDING_FIRST entries must actually be pending (a
+    changed-code entry accidentally left in _DRIVER_GREEN would fold
+    away its re-proof), and the priority order must be a permutation
+    of the catalog."""
+    from pim_etl_spark import catalog as C
+
+    C.load_catalog()
+    names = set(C.QUERIES)
+    for label, group in (
+        ("_DRIVER_GREEN", C._DRIVER_GREEN),
+        ("_EARLY", C._EARLY),
+        ("_PENDING_FIRST", C._PENDING_FIRST),
+        ("_PENDING_LAST", C._PENDING_LAST),
+        ("_LOW_PRIORITY_TWINS", C._LOW_PRIORITY_TWINS),
+    ):
+        unknown = sorted(set(group) - names)
+        assert not unknown, f"{label} names not in the catalog: {unknown}"
+    stale = sorted(set(C._PENDING_FIRST) & C._DRIVER_GREEN)
+    assert not stale, f"_PENDING_FIRST entries still folded as green: {stale}"
+    order = C._priority_order(list(C.QUERIES))
+    assert len(order) == len(names) and set(order) == names
