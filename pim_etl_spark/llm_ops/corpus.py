@@ -1699,7 +1699,11 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .distinct()
-        .coalesce(8)
+        # conf-derived width (floor = the measured 8): the bigram
+        # frame is data-sized, so the per-round gains aggregation
+        # must keep cluster-proportional parallelism; locally this
+        # still coalesces the 32-partition distinct down to 8
+        .coalesce(loop_partitions(docs))
         .cache()
     )
     # seed: materialized empty covered set
