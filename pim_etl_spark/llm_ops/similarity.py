@@ -1459,18 +1459,22 @@ def sq_l2_codes(a: Column, b: Column, dim: int | None = None) -> Column:
     Ragged-input contract (round-9 ADVICE): a declared ``dim`` is a
     PRECONDITION — every input array must be exactly ``dim`` long.
     ``global_grid_codes`` (the producer every declared-dim caller
-    goes through) enforces it with a per-ROW ``size(v) == dim``
-    filter, and under ANSI mode (the Spark 4 default this engine
-    runs) a violated precondition throws loudly at ``element_at``
-    rather than yielding the non-ANSI NULL distance that would sort
-    first in an ascending top-k and silently promote garbage
-    neighbors. The guard deliberately lives at the producer, not in
-    this expression: both in-kernel forms were built and MEASURED
-    out — a CaseWhen size-guard around the unrolled sum drags the
-    whole projection out of whole-stage codegen (knn_label_vote
-    3.26 s with an HOF otherwise-branch, 21 s(!) with even a plain
-    literal sentinel branch, vs 2.05 s unguarded at sf0.1), while
-    the per-row producer filter is one pushed-down O(1) predicate.
+    goes through) enforces it driver-side for free — its per-dim
+    bounds collect also carries per-dim row counts, and count
+    variance across dims (= a ragged corpus) raises ValueError
+    before any distance evaluates. Under ANSI mode (the Spark 4
+    default this engine runs) a precondition violated through some
+    other producer still throws loudly at ``element_at`` rather
+    than yielding the non-ANSI NULL distance that would sort first
+    in an ascending top-k and silently promote garbage neighbors.
+    The guard deliberately lives at the producer, not in this
+    expression: both in-kernel forms were built and MEASURED out —
+    a CaseWhen size-guard around the unrolled sum drags the whole
+    projection out of whole-stage codegen (knn_label_vote 3.26 s
+    with an HOF otherwise-branch, 21 s(!) with even a plain literal
+    sentinel branch, vs 2.05 s unguarded at sf0.1), and even a
+    per-row ``size(v) == dim`` producer filter cost ~0.3 s per grid
+    entry in plan overhead.
     With ``dim=None`` there is no declared length to enforce, so the
     HOF truncates both arrays to the shorter length explicitly
     (Spark's ``zip_with`` PADS the shorter side with NULLs — the
@@ -1508,19 +1512,34 @@ def global_grid_codes(emb: DataFrame) -> tuple[DataFrame, int]:
     engines given the same per-dim bounds, and min/max of floats ARE
     exact.
 
-    Uniform-length guard (round-9 ADVICE): rows whose vector is not
-    exactly ``dim`` long are dropped HERE, once per row, so the
-    unrolled ``sq_l2_codes`` kernel downstream keeps its
-    exactly-``dim`` precondition without any per-pair branching (an
-    in-kernel CaseWhen guard was measured to evict the whole
-    projection from whole-stage codegen — see the kernel docstring).
-    On the uniform corpora this engine gates on, the filter drops
-    nothing and costs one pushed-down ``size`` predicate."""
+    Uniform-length guard (round-9 ADVICE): the per-dim bounds
+    aggregation this function already collects ALSO carries a per-dim
+    row count, and a ragged corpus shows up as count variance across
+    dims (a vector shorter than ``dim`` is absent from the trailing
+    dims' groups) — so the precondition the unrolled ``sq_l2_codes``
+    kernel needs is checked driver-side for FREE and violated loudly
+    (ValueError) before any distance evaluates. The in-dataframe
+    alternatives were measured out: an in-kernel CaseWhen guard
+    evicts the projection from whole-stage codegen (see the kernel
+    docstring), and even a per-row ``size(v) == dim`` filter here
+    cost ~0.3 s per grid entry at sf0.1 in plan overhead. All-empty
+    vectors never reach posexplode and are instead caught by ANSI's
+    out-of-bounds ``element_at`` throw downstream — still loud,
+    never the silent NULL-sorts-first mode."""
     ex = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
     rows = sorted(
-        ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect(),
+        ex.groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("x").alias("n"))
+        .collect(),
         key=lambda r: r["j"],
     )
+    counts = {int(r["n"]) for r in rows}
+    if len(counts) > 1:
+        raise ValueError(
+            "global_grid_codes requires a uniform-length embedding corpus: "
+            f"per-dim populations vary {sorted(counts)} across {len(rows)} dims "
+            "(some vectors are shorter than the corpus dimensionality)"
+        )
     mn_arr = F.array(*[F.lit(float(r["mn"])) for r in rows])
     mx_arr = F.array(*[F.lit(float(r["mx"])) for r in rows])
     code = F.transform(
@@ -1536,11 +1555,7 @@ def global_grid_codes(emb: DataFrame) -> tuple[DataFrame, int]:
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    dim = len(rows)
-    return (
-        emb.filter(F.size("v") == dim).select("vec_id", "label", code.alias("c")),
-        dim,
-    )
+    return emb.select("vec_id", "label", code.alias("c")), len(rows)
 
 
 @query(

@@ -714,28 +714,34 @@ def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
     """Round-9 ADVICE: arrays off the declared dim must never reach
     the unrolled element_at terms silently — in non-ANSI mode a NULL
     distance would sort first in an ascending top-k and promote
-    garbage neighbors. The guard lives at the PRODUCER
-    (global_grid_codes drops off-dim rows once per row; in-kernel
-    CaseWhen guards were measured to evict the projection from
-    whole-stage codegen, 2.05 s -> 21 s on knn_label_vote), and
-    under ANSI (this engine's default) a violated kernel
-    precondition throws loudly instead of yielding NULL. With
+    garbage neighbors. The guard lives at the PRODUCER: a ragged
+    corpus shows up as per-dim count variance in the bounds collect
+    global_grid_codes already does, and raises ValueError driver-side
+    (the in-dataframe alternatives were measured out — an in-kernel
+    CaseWhen evicts whole-stage codegen, 2.05 s -> 21 s on
+    knn_label_vote; a per-row size filter cost ~0.3 s/entry). Under
+    ANSI (this engine's default) a precondition violated past the
+    producer still throws loudly instead of yielding NULL. With
     dim=None the HOF truncates to the shorter array explicitly
     (zip_with pads with NULLs, which would null the sum)."""
     import pytest
 
     from pim_etl_spark.llm_ops.similarity import global_grid_codes, sq_l2_codes
 
-    # 1) the producer filter: an off-dim vector never enters the codes
-    emb = spark.createDataFrame(
+    # 1) the producer guard: a ragged corpus is refused loudly
+    ragged = spark.createDataFrame(
         [
             (1, "a", [0.0, 1.0, 2.0, 3.0]),
             (2, "b", [4.0, 3.0, 2.0, 1.0]),
-            (3, "c", [9.0, 9.0]),  # ragged: must be dropped
+            (3, "c", [9.0, 9.0]),  # ragged: must be detected
         ],
         "vec_id long, label string, v array<double>",
     )
-    codes, dim = global_grid_codes(emb)
+    with pytest.raises(ValueError, match="uniform-length"):
+        global_grid_codes(ragged)
+    # ...and a uniform corpus passes with its true dimensionality
+    uniform = ragged.filter("size(v) = 4")
+    codes, dim = global_grid_codes(uniform)
     assert dim == 4
     assert sorted(r.vec_id for r in codes.collect()) == [1, 2]
 
