@@ -2172,36 +2172,44 @@ def synthetic_data_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequential_purchase_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern mining across orders (X then later Y) —
     temporal, unlike `basket_pair_affinity`'s same-order pairs.
-    Support counts distinct customers; the self-join keys on the
-    customer, so fan-out is bounded by a customer's (brand, day)
-    count, never the catalog — linear in customers at any scale, and
-    the (brand, brand) aggregate is the only global exchange."""
+
+    Scale shape: a customer exhibits (X then Y) iff their FIRST X-buy
+    precedes their LAST Y-buy, so the per-customer frame collapses to
+    one (first_d, last_d) row per brand BEFORE the self-join — the
+    join fans out over per-customer distinct brands (bounded by the
+    brand domain), not (brand, day) buy rows, and emits exactly one
+    row per exhibiting customer, turning the support aggregate into a
+    plain count (no countDistinct exchange). The oracle keeps the
+    naive buys×buys definition, so the hash gate proves the
+    first/last reduction is semantics-preserving. The (brand, brand)
+    aggregate is the only global exchange; fan-out stays linear in
+    customers at any scale."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    buys = (
+    spans = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(
+        .groupBy(
             F.col("o_custkey").alias("cust"),
             F.col("p_brand").alias("brand"),
-            F.col("o_orderdate").alias("d"),
         )
-        .distinct()
+        .agg(F.min("o_orderdate").alias("first_d"), F.max("o_orderdate").alias("last_d"))
     )
-    a, b = buys.alias("a"), buys.alias("b")
+    a, b = spans.alias("a"), spans.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.cust") == F.col("b.cust")) & (F.col("b.d") > F.col("a.d")),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("b.last_d") > F.col("a.first_d")),
         )
         .groupBy(
             F.col("a.brand").alias("brand_then"),
             F.col("b.brand").alias("brand_later"),
         )
-        .agg(F.countDistinct("a.cust").alias("n_customers"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy(F.col("n_customers").desc(), "brand_then", "brand_later")
         .limit(10)
     )

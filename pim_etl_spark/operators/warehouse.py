@@ -1840,3 +1840,63 @@ def merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fine")
     )
     return joined
+
+
+@query(
+    "orc_roundtrip_rollup",
+    oracle="""
+    -- ORC round-trip twin: the engine writes orders to ORC, reads it
+    -- back with a pushable range predicate, and rolls up; the oracle
+    -- computes the same rollup straight from the parquet source, so
+    -- the hash gate proves the columnar round-trip is lossless
+    -- (exact cents, exact counts, string keys intact).
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_okey
+    FROM orders
+    WHERE o_orderkey > 1000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar interchange format (reference scope:
+    the feed connectors read whatever the supplier drops — parquet is
+    the native format, ORC is the other columnar one Spark ships a
+    vectorized reader for, no extra package). Orders round-trip
+    through an ORC write/read with a range predicate on the read —
+    Spark pushes it into the ORC scan (min/max stripe skipping;
+    pinned by tests/test_plan_shapes.py) — and the rollup is
+    hash-gated against the parquet source, proving losslessness of
+    longs, doubles (exact cents after the 2dp round), timestamps and
+    strings across the format boundary. The rollup is collected
+    (groups-sized: 5 priorities) before the temp store is removed."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="pim-orc-")
+    try:
+        orders.write.mode("overwrite").orc(out)
+        rows = (
+            spark.read.orc(out)
+            .filter(F.col("o_orderkey") > 1000)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+                F.max("o_orderkey").cast("long").alias("max_okey"),
+            )
+            .orderBy("priority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "priority string, n_orders bigint, total_cents bigint, max_okey bigint"
+    ).orderBy("priority")

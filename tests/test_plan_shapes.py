@@ -621,3 +621,29 @@ def test_spark_partition_id_consumers_are_allowlisted():
         "entity_resolution.blocking_keys and NOTES round 9):\n"
         + "\n".join(offenders)
     )
+
+
+def test_orc_read_pushes_range_predicate(spark, sf_dir, tmp_path):
+    """orc_roundtrip_rollup's read side: the range predicate must
+    reach the ORC scan as a pushed filter (stripe-level min/max
+    skipping at scale), and the scan must prune to the three
+    referenced columns."""
+    from pim_etl_spark.sources import load_table
+
+    out = str(tmp_path / "orders_orc")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").orc(out)
+    df = (
+        spark.read.orc(out)
+        .filter("o_orderkey > 1000")
+        .select("o_orderpriority", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan, plan[:2000]
+    m = re.search(r"PushedFilters: \[[^\]]*GreaterThan\(o_orderkey,1000\)", plan)
+    assert m, f"range predicate not pushed into the ORC scan:\n{plan[:2000]}"
+    scan = re.search(r"FileScan orc [^\[]*\[([^\]]*)\]", plan)
+    assert scan, plan[:2000]
+    cols = {c.split("#")[0].strip() for c in scan.group(1).split(",")}
+    assert cols <= {"o_orderkey", "o_orderpriority", "o_totalprice"}, cols
