@@ -213,7 +213,10 @@ _DRIVER_GREEN = frozenset({
     "feature_hashing_bow", "event_path_mining",
     "time_decayed_popularity", "neardup_evidence_report",
     "vocab_oov_audit", "synthetic_data_calibration",
-    "linear_interpolation_gapfill", "sequential_purchase_patterns",
+    "linear_interpolation_gapfill",
+    # sequential_purchase_patterns dropped from this block (q21 rule):
+    # the round-10 first/last-span rewrite changed its executed code —
+    # it re-samples first.
     "bayesian_smoothed_encoding", "volume_spike_detection",
     "join_multiplicity_audit", "versioned_mor_delete",
     "versioned_schema_evolution", "image_ahash_neardup",
@@ -364,6 +367,12 @@ _PENDING_FIRST = (
     "hard_negative_mining",
     "retrieval_eval_mrr",
     "embedding_label_outliers",
+    # ...plus the round-10 session-2 rewrites: the first/last-span
+    # sequential miner and the new ORC round-trip entry (never
+    # sampled). hard_negative_mining / retrieval_eval_mrr (already
+    # queued above) changed again in session 2 (single-agg argmins).
+    "sequential_purchase_patterns",
+    "orc_roundtrip_rollup",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19

@@ -1774,11 +1774,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: anchors broadcast (the audit/mining sample is the
     small side), distances evaluate map-side over the corpus scan,
-    and the two argmins are per-anchor TakeOrdered reductions — at
-    100 TB the same plan runs with the ANN index (ann_ivf_topk)
-    supplying candidates instead of the full scan."""
-    from pyspark.sql import Window
-
+    and BOTH argmins ride ONE aggregation — conditional
+    ``min(struct(dist, rid))`` per (anchor, branch), whose struct
+    ordering is exactly the (dist ASC, rid ASC) tiebreak — so the
+    partial aggregate collapses each task to ≤ |anchors| rows before
+    the single qid exchange. (The previous shape cached the full
+    |anchors|·|corpus| distance frame and ran two window sorts plus a
+    self-join over it: 2.7 s → 1.4 s at sf0.1, and at 100 TB the
+    distance frame is exactly what must never materialize.) At scale
+    the ANN index (ann_ivf_topk) supplies candidates instead of the
+    full scan."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -1794,32 +1799,28 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .withColumn("dist", sq_l2_codes(F.col("qc"), F.col("c"), dim))
         .select("qid", "qlab", F.col("vec_id").alias("rid"), F.col("label").alias("rlab"), "dist")
-        .cache()
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("rid"))
-    pos = (
-        d.filter(F.col("rlab") == F.col("qlab"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("qid", "qlab", F.col("rid").alias("pos_id"), F.col("dist").alias("pos_dist"))
-    )
-    neg = (
-        d.filter(F.col("rlab") != F.col("qlab"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("qid", F.col("rid").alias("neg_id"), F.col("dist").alias("neg_dist"))
+    same = F.col("rlab") == F.col("qlab")
+    best = (
+        d.groupBy("qid", "qlab")
+        .agg(
+            F.min(F.when(same, F.struct("dist", "rid"))).alias("p"),
+            F.min(F.when(~same, F.struct("dist", "rid"))).alias("n"),
+        )
+        # inner-join semantics of the two-branch shape: an anchor
+        # whose label class is a singleton has no positive and drops
+        .filter(F.col("p").isNotNull() & F.col("n").isNotNull())
     )
     return (
-        pos.join(neg, "qid")
-        .select(
+        best.select(
             F.col("qid").alias("anchor_id"),
             F.col("qlab").alias("label"),
-            "pos_id",
-            F.col("pos_dist").cast("long").alias("pos_dist"),
-            "neg_id",
-            F.col("neg_dist").cast("long").alias("neg_dist"),
-            (F.col("neg_dist") - F.col("pos_dist")).cast("long").alias("margin"),
-            (F.col("neg_dist") <= F.col("pos_dist")).cast("int").alias("violated"),
+            F.col("p.rid").alias("pos_id"),
+            F.col("p.dist").cast("long").alias("pos_dist"),
+            F.col("n.rid").alias("neg_id"),
+            F.col("n.dist").cast("long").alias("neg_dist"),
+            (F.col("n.dist") - F.col("p.dist")).cast("long").alias("margin"),
+            (F.col("n.dist") <= F.col("p.dist")).cast("int").alias("violated"),
         )
         .orderBy("anchor_id")
     )
@@ -1899,26 +1900,25 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("qid", "qlab", F.col("label").alias("rlab"), "rk")
-        .cache()
     )
-    firsthit = (
-        ranked.filter(F.col("rlab") == F.col("qlab"))
-        .groupBy("qid")
-        .agg(F.min("rk").cast("long").alias("first_rank"))
-    )
-    p10 = (
-        ranked.filter(F.col("rk") <= 10)
-        .groupBy("qid")
-        .agg(
-            F.sum(F.when(F.col("rlab") == F.col("qlab"), 1).otherwise(0))
-            .cast("long")
-            .alias("hits10")
-        )
-    )
+    # both metrics fold into ONE conditional aggregation straight off
+    # the window output — the previous shape cached the ranked frame
+    # and re-read it through two separate aggregations plus a double
+    # join back to q. Local timing is flat (2.15 vs 2.20 s at sf0.1:
+    # the qid window sort dominates either way), but the cache is
+    # gone — at 100 TB the ranked candidate frame is exactly what
+    # must never materialize in executor storage, and the single agg
+    # is one pass instead of two over it.
+    same = F.col("rlab") == F.col("qlab")
     return (
-        q.select("qid", F.col("qlab").alias("label"))
-        .join(firsthit, "qid")
-        .join(p10, "qid")
+        ranked.groupBy("qid", F.col("qlab").alias("label"))
+        .agg(
+            F.min(F.when(same, F.col("rk"))).cast("long").alias("first_rank"),
+            F.sum(F.when(same & (F.col("rk") <= 10), 1).otherwise(0))
+            .cast("long")
+            .alias("hits10"),
+        )
+        .filter(F.col("first_rank").isNotNull())
         .select(
             "qid",
             "label",
