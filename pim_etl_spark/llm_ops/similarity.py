@@ -1476,10 +1476,11 @@ def sq_l2_codes(a: Column, b: Column, dim: int | None = None) -> Column:
     per-row ``size(v) == dim`` producer filter cost ~0.3 s per grid
     entry in plan overhead.
     With ``dim=None`` there is no declared length to enforce, so the
-    HOF truncates both arrays to the shorter length explicitly
-    (Spark's ``zip_with`` PADS the shorter side with NULLs — the
-    opposite of DuckDB's list truncation — which would null the
-    whole sum) and is total over non-null inputs of any lengths."""
+    HOF gates on ``size(a) == size(b)`` and returns NULL for a
+    length mismatch (round-10 ADVICE: the earlier truncate-to-shorter
+    form returned a plausible PARTIAL distance with no signal; NULL
+    is an honest "not comparable"). Equal-length inputs never hit
+    zip_with's NULL-padding, so the sum stays exact."""
     if dim is not None and 0 < dim <= _UNROLL_MAX_DIM:
         total = None
         for j in range(1, dim + 1):
@@ -1493,12 +1494,13 @@ def sq_l2_codes(a: Column, b: Column, dim: int | None = None) -> Column:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-    n = F.least(F.size(a), F.size(b))
-    return F.aggregate(
-        F.zip_with(F.slice(a, F.lit(1), n), F.slice(b, F.lit(1), n),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    return F.when(
+        F.size(a) == F.size(b),
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -1529,11 +1531,29 @@ def global_grid_codes(emb: DataFrame) -> tuple[DataFrame, int]:
     ex = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
     rows = sorted(
         ex.groupBy("j")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("x").alias("n"))
+        .agg(
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            # positions vs non-null values: F.count("x") alone would let a
+            # corpus with NULL elements spread EVENLY across dims pass the
+            # ragged check and reach the kernel as silent NULL distances
+            # (round-10 ADVICE) — count rows and values separately so each
+            # failure mode gets its own loud, accurate error
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("x").alias("n_vals"),
+        )
         .collect(),
         key=lambda r: r["j"],
     )
-    counts = {int(r["n"]) for r in rows}
+    null_dims = [int(r["j"]) for r in rows if int(r["n_vals"]) != int(r["n_rows"])]
+    if null_dims:
+        raise ValueError(
+            "global_grid_codes requires non-null embedding elements: "
+            f"dims {null_dims[:8]}{'...' if len(null_dims) > 8 else ''} contain "
+            "NULL values (a NULL element would propagate into the distance and "
+            "sort first in an ascending top-k)"
+        )
+    counts = {int(r["n_rows"]) for r in rows}
     if len(counts) > 1:
         raise ValueError(
             "global_grid_codes requires a uniform-length embedding corpus: "

@@ -1854,7 +1854,8 @@ def merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents,
-           CAST(max(o_orderkey) AS BIGINT) AS max_okey
+           CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+           CAST(epoch_us(max(o_orderdate)) AS BIGINT) AS max_odate_us
     FROM orders
     WHERE o_orderkey > 1000
     GROUP BY 1 ORDER BY 1
@@ -1869,14 +1870,18 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark pushes it into the ORC scan (min/max stripe skipping;
     pinned by tests/test_plan_shapes.py) — and the rollup is
     hash-gated against the parquet source, proving losslessness of
-    longs, doubles (exact cents after the 2dp round), timestamps and
-    strings across the format boundary. The rollup is collected
+    longs, doubles (exact cents after the 2dp round), strings AND
+    timestamps across the format boundary: ``o_orderdate``
+    (timestamp_ntz) rides the ORC write/read and is gated as epoch
+    microseconds per group — BIGINT on both sides, so no tz/dtype
+    drift can mask or fake a mismatch (round-10 ADVICE: the earlier
+    column set carried no temporal type). The rollup is collected
     (groups-sized: 5 priorities) before the temp store is removed."""
     import shutil
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
     )
     out = tempfile.mkdtemp(prefix="pim-orc-")
     try:
@@ -1891,6 +1896,11 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("total_cents"),
                 F.max("o_orderkey").cast("long").alias("max_okey"),
+                # ntz -> timestamp is a reinterpretation under the UTC
+                # session tz; unix_micros then yields exact epoch µs
+                F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+                .cast("long")
+                .alias("max_odate_us"),
             )
             .orderBy("priority")
             .collect()
@@ -1898,5 +1908,7 @@ def orc_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "priority string, n_orders bigint, total_cents bigint, max_okey bigint"
+        rows,
+        "priority string, n_orders bigint, total_cents bigint, max_okey bigint, "
+        "max_odate_us bigint",
     ).orderBy("priority")

@@ -722,8 +722,11 @@ def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
     knn_label_vote; a per-row size filter cost ~0.3 s/entry). Under
     ANSI (this engine's default) a precondition violated past the
     producer still throws loudly instead of yielding NULL. With
-    dim=None the HOF truncates to the shorter array explicitly
-    (zip_with pads with NULLs, which would null the sum)."""
+    dim=None the HOF returns NULL on a length mismatch (round-10
+    ADVICE: the earlier truncate-to-shorter form returned a plausible
+    PARTIAL distance with no signal), and the producer separately
+    rejects NULL elements — an evenly-null corpus would pass a
+    values-only count and reach the kernel as silent NULL distances."""
     import pytest
 
     from pim_etl_spark.llm_ops.similarity import global_grid_codes, sq_l2_codes
@@ -753,15 +756,16 @@ def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
         with pytest.raises(Exception, match="(?i)index|element_at|INVALID_ARRAY"):
             df.select(sq_l2_codes(F.col("a"), F.col("b"), 4).alias("d")).collect()
 
-    # 3) dim=None: truncate-to-shorter, never NULL for non-null inputs
+    # 3) dim=None: exact for equal lengths, NULL (not a plausible
+    # partial sum) for mismatched lengths
     rows = {
         r.id: r
         for r in spark.createDataFrame(
             [
                 (1, [0, 255, 17, 4], [255, 0, 17, 9]),
-                (2, [5, 9], [1, 1, 1, 1]),  # a short: 2 terms
-                (3, [1, 2, 3, 4, 5], [1, 1, 1, 1]),  # a long: 4 terms
-                (4, [7], [9, 9]),
+                (2, [5, 9], [1, 1, 1, 1]),  # mismatch: NULL, not 80
+                (3, [1, 2, 3, 4], [1, 1, 1, 1]),
+                (4, [7], [9, 9]),  # mismatch: NULL, not 4
             ],
             "id long, a array<long>, b array<long>",
         )
@@ -769,7 +773,21 @@ def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
         .collect()
     }
     assert rows[1].t == 255 * 255 * 2 + 25
-    assert rows[2].t == 16 + 64  # (5-1)^2 + (9-1)^2
+    assert rows[2].t is None
     assert rows[3].t == 0 + 1 + 4 + 9
-    assert rows[4].t == 4
-    assert all(r.t is not None for r in rows.values())
+    assert rows[4].t is None
+
+    # 4) the producer rejects NULL elements with its OWN error — even
+    # when they are spread evenly enough to keep per-dim row counts
+    # uniform (the round-10 ADVICE failure mode for a values-only count)
+    nullish = spark.createDataFrame(
+        [
+            (1, "a", [None, 1.0, 2.0, 3.0]),
+            (2, "b", [4.0, None, 2.0, 1.0]),
+            (3, "c", [4.0, 3.0, None, 1.0]),
+            (4, "d", [4.0, 3.0, 2.0, None]),
+        ],
+        "vec_id long, label string, v array<double>",
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        global_grid_codes(nullish)
