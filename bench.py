@@ -42,13 +42,17 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def main() -> None:
-    from pim_etl_spark.catalog import get_queries
-    from pim_etl_spark.session import get_spark
+def _artifact_path() -> str:
+    return os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
 
-    spark = get_spark(app_name="pim-etl-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
+def _preland(spark) -> None:
+    """One-time session costs paid OUTSIDE any timed region: JVM/scan
+    warm-up, PIM fixture parquet, stored ANN/text/PQ indexes, and the
+    Python-UDF worker daemons — identical for full runs and rechecks
+    so both modes time the same thing."""
     # warm up the JVM/codegen/scan path so the first timed query isn't
     # charged for session startup
     for t in ("lineitem", "documents", "embeddings", "events"):
@@ -111,6 +115,120 @@ def main() -> None:
     except Exception:
         pass
 
+
+def _time_entry(spark, name: str, fn, runs: int) -> tuple[list[float], bool]:
+    """Run one catalog entry `runs` times into a noop sink; returns
+    (per-run seconds, failed). Cache hygiene is catalog._entry_scoped's
+    job (each callable clears the Spark cache when it starts), so every
+    run is cold."""
+    times: list[float] = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"FAILED {name}: {exc}", file=sys.stderr)
+            return times, True
+        times.append(time.perf_counter() - t0)
+    return times, False
+
+
+def recheck(entry_names: list[str]) -> None:
+    """`bench.py --recheck a,b,c`: the mechanical form of the manual
+    bench-noise protocol (round-10 VERDICT "what's wrong" #2). Re-runs
+    each flagged entry min-of-3 in an otherwise idle session and STAMPS
+    the verdict into the existing artifact JSON, so clean-window
+    adjudication ("that 2.6 s reading was a co-tenant spike; an isolated
+    min-of-3 reproduces 1.4 s") is reproducible from the artifact alone
+    instead of living in NOTES prose. The flagged reading is preserved
+    under "recheck"; "queries"/"value" are updated to the isolated
+    minimum; the artifact's "recheck" section makes a stamped artifact
+    self-identifying (never mistakable for a pristine single-pass run),
+    and stdout emits one distinct `catalog_recheck` JSON record."""
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.session import get_spark
+
+    path = _artifact_path()
+    try:
+        with open(path) as f:
+            artifact = json.load(f)
+    except OSError as exc:
+        print(f"--recheck needs an existing bench artifact at {path}: {exc}", file=sys.stderr)
+        sys.exit(2)
+    if artifact.get("sf") != _sf_from_dir(SF_DIR):
+        print(
+            f"--recheck refused: artifact sf={artifact.get('sf')} but "
+            f"SPARK_GRAFT_SF_DIR={SF_DIR} — rechecking at a different scale "
+            "would stamp incomparable numbers",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    queries = get_queries()
+    unknown = [n for n in entry_names if n not in queries]
+    if unknown:
+        print(f"--recheck: unknown entries {unknown}", file=sys.stderr)
+        sys.exit(2)
+
+    spark = get_spark(app_name="pim-etl-spark-recheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    _preland(spark)
+
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    stamped = dict(artifact.get("recheck") or {})
+    for name in entry_names:
+        flagged = (artifact.get("queries") or {}).get(name)
+        times, failed = _time_entry(spark, name, queries[name], runs)
+        if failed:
+            continue
+        best = round(min(times), 3)
+        stamped[name] = {
+            "flagged_sec": flagged,
+            "runs_sec": [round(t, 3) for t in times],
+            "min_sec": best,
+            "ratio_vs_flagged": (
+                round(best / flagged, 3) if isinstance(flagged, (int, float)) and flagged else None
+            ),
+        }
+        artifact.setdefault("queries", {})[name] = best
+    artifact["recheck"] = stamped
+    artifact["value"] = round(
+        sum(v for v in artifact.get("queries", {}).values() if v is not None), 3
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    summary = {
+        "metric": "catalog_recheck",
+        "unit": "sec",
+        "sf": artifact.get("sf"),
+        "runs_per_query": runs,
+        "recheck": {n: stamped[n] for n in entry_names if n in stamped},
+        "artifact": path,
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.session import get_spark
+
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--recheck":
+        names = [n.strip() for a in argv[1:] for n in a.split(",") if n.strip()]
+        if not names:
+            print("usage: bench.py --recheck entry[,entry...]", file=sys.stderr)
+            sys.exit(2)
+        recheck(names)
+        return
+    if argv:
+        print(f"unknown arguments: {argv}", file=sys.stderr)
+        sys.exit(2)
+
+    spark = get_spark(app_name="pim-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _preland(spark)
+
     # min-of-N per query (default 2): a co-tenant CPU spike during one
     # run can't fabricate a 30× outlier — BENCH_r02 recorded q1 at
     # 17.8 s where a quiet host reproduces 0.6 s (VERDICT round 2,
@@ -133,23 +251,11 @@ def main() -> None:
     failed_queries: list[str] = []
     total = 0.0
     for name in sorted(queries):
-        fn = queries[name]
         # only SUCCESSFUL runs fold into best: a fast exception after an
         # earlier success must not shadow the real timing, and a query
         # that never succeeded reports null, not a bogus time
-        best: float | None = None
-        failed = False
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, SF_DIR)
-                df.write.mode("overwrite").format("noop").save()
-            except Exception as exc:  # keep the bench line parseable on failure
-                print(f"FAILED {name}: {exc}", file=sys.stderr)
-                failed = True
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        times, failed = _time_entry(spark, name, queries[name], runs)
+        best: float | None = min(times) if times else None
         timings[name] = round(best, 3) if best is not None else None
         if failed:
             failed_queries.append(name)

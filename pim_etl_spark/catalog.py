@@ -310,6 +310,16 @@ _DRIVER_GREEN = frozenset({
     "k_anonymity_audit", "key_skew_gini", "benford_first_digit_audit",
     "phrase_proximity_search", "er_blocking_candidates",
     "er_matched_pairs", "er_linkage_quality",
+    # round 10 (CORRECTNESS_r10.json) — all 50 sampled entries
+    # hash-green, draining cumulative driver proof to 311/311. Folded:
+    # the 8 round-10-pending entries whose code is untouched in round
+    # 11. NOT folded, per the q21 rewrite rule: the four grid-code
+    # entries (round-11 global_grid_codes null-element guard +
+    # sq_l2_codes dim=None NULL-on-mismatch) and orc_roundtrip_rollup
+    # (round-11 o_orderdate epoch-µs column) — they re-sample first.
+    "er_golden_record", "er_incremental_link", "stream_er_admission",
+    "hierarchy_closure_table", "bom_cost_rollup", "grid_dbscan_clusters",
+    "greedy_coverage_selection", "sequential_purchase_patterns",
 })
 
 
@@ -347,31 +357,18 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-10 head (q21 rule): every entry whose executed code
-    # changed this round re-samples first. The conf-derived
-    # loop_partitions dial (VERDICT r9 watch-item 2) rewired the
-    # CC-label / closure / coverage loops of the first six
-    # (stream_er_admission is in _EARLY and orders before everything
-    # anyway), and the global_grid_codes uniform-length producer
-    # filter (round-9 ADVICE) sits upstream of the four grid-code
-    # entries. 10 + stream_er_admission = 11 pending total — the
-    # whole pending class fits any driver window with room for ~39
-    # re-proofs of folded greens.
-    "er_golden_record",
-    "er_incremental_link",
-    "hierarchy_closure_table",
-    "bom_cost_rollup",
-    "grid_dbscan_clusters",
-    "greedy_coverage_selection",
+    # round-11 head (q21 rule): every entry whose executed code
+    # changed this round re-samples first. The round-10 ADVICE fixes
+    # touched global_grid_codes (null-element guard) + sq_l2_codes
+    # (dim=None NULL-on-mismatch), upstream of the four grid-code
+    # entries, and orc_roundtrip_rollup gained the o_orderdate
+    # epoch-µs column (its oracle changed too). 5 pending total — the
+    # whole pending class fits any driver window with room for ~45
+    # freshness re-proofs of folded greens.
     "knn_label_vote",
     "hard_negative_mining",
     "retrieval_eval_mrr",
     "embedding_label_outliers",
-    # ...plus the round-10 session-2 rewrites: the first/last-span
-    # sequential miner and the new ORC round-trip entry (never
-    # sampled). hard_negative_mining / retrieval_eval_mrr (already
-    # queued above) changed again in session 2 (single-agg argmins).
-    "sequential_purchase_patterns",
     "orc_roundtrip_rollup",
 )
 
@@ -383,12 +380,55 @@ _PENDING_FIRST = (
 _PENDING_LAST: tuple[str, ...] = ()
 
 
+_last_sampled_cache: dict[str, int] | None = None
+
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """entry -> the latest driver round that sampled it, parsed from
+    the committed CORRECTNESS_r*.json artifacts at the repo root.
+    Missing/unreadable artifacts degrade to {} (registration order).
+    Used ONLY to order the proven class: with zero reds the driver's
+    50-entry window is pure surplus, so spending it on the entries
+    whose proof is OLDEST maximally refreshes cumulative proof age
+    (round-10 VERDICT item 5 — the r1–r3 greens had not been
+    driver-touched in 7+ rounds under registration order)."""
+    global _last_sampled_cache
+    if _last_sampled_cache is None:
+        import glob
+        import json
+        import os
+        import re
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out: dict[str, int] = {}
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(data, dict):
+                continue
+            for name in data:
+                out[name] = max(out.get(name, 0), rnd)
+        _last_sampled_cache = out
+    return _last_sampled_cache
+
+
 def _priority_order(names) -> list[str]:
     """Unverified-first ordering: streaming proofs, then pending
-    oracled entries, then pending rows-only, twins last, round-1-green
-    proven entries at the end; stable within each class."""
+    oracled entries, then pending rows-only, twins last, proven
+    entries at the end ordered stalest-proof-first; stable within
+    each class."""
     pending = [n for n in names if n not in _DRIVER_GREEN]
-    proven = [n for n in names if n in _DRIVER_GREEN]
+    last_rnd = _last_sampled_rounds()
+    proven = sorted(
+        (n for n in names if n in _DRIVER_GREEN), key=lambda n: last_rnd.get(n, 0)
+    )
     early = [n for n in pending if n in _EARLY]
     oracled = [
         n

@@ -63,3 +63,73 @@ def test_bench_prints_headline_last_and_payload_parses(tmp_path):
     with open(out) as f:
         disk = json.load(f)
     assert disk["queries"] == payload["queries"]
+
+
+def test_bench_recheck_stamps_artifact(tmp_path):
+    """`bench.py --recheck` (round-10 VERDICT "what's wrong" #2): the
+    manual bench-noise protocol made mechanical. A flagged entry is
+    re-run min-of-N in an idle session and the verdict is STAMPED into
+    the existing artifact — flagged reading preserved, queries/value
+    updated to the isolated minimum — so clean-window adjudication is
+    reproducible from the artifact alone."""
+    out = tmp_path / "bench_out.json"
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_RUNS": "1",
+        "SPARK_GRAFT_BENCH_ONLY": "bench_control,topk_orders",
+        "SPARK_GRAFT_BENCH_OUT": str(out),
+    }
+    # 1) produce an artifact, then inflate one reading to simulate a
+    # co-tenant noise spike the recheck must adjudicate
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out) as f:
+        artifact = json.load(f)
+    true_reading = artifact["queries"]["topk_orders"]
+    artifact["queries"]["topk_orders"] = 99.9
+    with open(out, "w") as f:
+        json.dump(artifact, f)
+
+    # 2) recheck the flagged entry (min-of-2 to keep the test fast but
+    # still exercise the multi-run minimum)
+    env2 = {**env, "SPARK_GRAFT_BENCH_RUNS": "2"}
+    env2.pop("SPARK_GRAFT_BENCH_ONLY")
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--recheck", "topk_orders"],
+        env=env2, cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    lines = [ln for ln in res2.stdout.strip().splitlines() if ln.strip()]
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "catalog_recheck"
+    assert summary["runs_per_query"] == 2
+    stamp = summary["recheck"]["topk_orders"]
+    assert stamp["flagged_sec"] == 99.9
+    assert len(stamp["runs_sec"]) == 2
+    assert stamp["min_sec"] == min(stamp["runs_sec"])
+    assert stamp["min_sec"] < 99.9  # the spike is adjudicated as noise
+    assert 0 < stamp["ratio_vs_flagged"] < 1
+
+    # 3) the artifact itself carries the stamp and the updated totals
+    with open(out) as f:
+        disk = json.load(f)
+    assert disk["recheck"]["topk_orders"] == stamp
+    assert disk["queries"]["topk_orders"] == stamp["min_sec"]
+    assert abs(
+        disk["value"] - sum(v for v in disk["queries"].values() if v is not None)
+    ) < 1e-6
+    # sanity: the recheck reading is in the same regime as the honest one
+    assert stamp["min_sec"] < max(true_reading * 20, 30)
+
+    # 4) guard rails: a recheck at a different SF is refused
+    env3 = {**env2, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01"}
+    res3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--recheck", "topk_orders"],
+        env=env3, cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert res3.returncode == 2
+    assert "refused" in res3.stderr

@@ -67,3 +67,28 @@ def test_priority_bookkeeping_sets_are_consistent(spark):
     assert not stale, f"_PENDING_FIRST entries still folded as green: {stale}"
     order = C._priority_order(list(C.QUERIES))
     assert len(order) == len(names) and set(order) == names
+
+
+def test_priority_order_proven_class_is_stalest_proof_first():
+    """Freshness rotation (round-10 VERDICT item 5): with zero reds the
+    driver's 50-entry window is surplus, so the proven class orders by
+    least-recently-sampled round (parsed from the committed
+    CORRECTNESS_r*.json artifacts) — each window then maximally
+    refreshes cumulative proof age instead of re-proving whatever
+    registered first. Pending entries still order strictly before any
+    proven entry, and every _DRIVER_GREEN entry must actually appear in
+    some artifact (a fold without a sampled green would be bogus)."""
+    from pim_etl_spark import catalog as C
+
+    C.load_catalog()
+    last = C._last_sampled_rounds()
+    unproven_folds = sorted(n for n in C._DRIVER_GREEN if n not in last)
+    assert not unproven_folds, f"folded green but never in an artifact: {unproven_folds}"
+    order = C._priority_order(list(C.QUERIES))
+    proven_seq = [n for n in order if n in C._DRIVER_GREEN]
+    rounds = [last[n] for n in proven_seq]
+    assert rounds == sorted(rounds), "proven class not stalest-first"
+    first_proven = order.index(proven_seq[0])
+    assert all(
+        order.index(n) < first_proven for n in order if n not in C._DRIVER_GREEN
+    ), "a pending entry ordered after a proven one"

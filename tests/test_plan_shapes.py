@@ -647,3 +647,47 @@ def test_orc_read_pushes_range_predicate(spark, sf_dir, tmp_path):
     assert scan, plan[:2000]
     cols = {c.split("#")[0].strip() for c in scan.group(1).split(",")}
     assert cols <= {"o_orderkey", "o_orderpriority", "o_totalprice"}, cols
+
+
+def test_literal_partition_dials_are_allowlisted():
+    """Standing guard for the round-9/10 constant-dial class (VERDICT
+    r10 item 4): a literal ``repartition(8, key)`` inside an iterative
+    operator is bit-stable locally but caps loop parallelism at 8 tasks
+    on a 1000-executor cluster — the scale bug the conf-derived
+    ``tuning.loop_partitions`` dial fixed. The round-10 sweep concluded
+    every REMAINING literal site is fixture- or contract-sized by
+    design: versioned.py's lifecycle entries construct exact N-file
+    table layouts (DV sidecars, Bloom-pruning scatter, month
+    partitions, coalesce(1) bootstrap commits — the file count IS the
+    fixture), streaming's bootstrap/chunk commits are single-commit
+    contracts, relational's export fixture plants 4 files, and
+    warehouse's dim-v1 bootstrap plants 2. This test pins that
+    conclusion as exact per-file counts: a NEW literal dial (or a
+    removed one) fails here until reviewed — either re-expressed via
+    tuning.loop_partitions or re-allowlisted with a why."""
+    import pathlib
+    import re
+
+    src_root = pathlib.Path(__file__).resolve().parent.parent / "pim_etl_spark"
+    expected = {
+        "streaming/queries.py": 3,      # 2 bootstrap commits + exactly-once chunk files
+        "operators/relational.py": 1,   # pim_export sink fixture: 4 task-files
+        "operators/warehouse.py": 1,    # late-dim v1 bootstrap: 2-file layout
+        "pipeline/versioned.py": 19,    # lifecycle fixtures: exact N-file layouts
+    }
+    pat = re.compile(r"\.(?:repartition(?:ByRange)?|coalesce)\(\s*\d")
+    found: dict[str, list[str]] = {}
+    for path in sorted(src_root.rglob("*.py")):
+        rel = path.relative_to(src_root).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), start=1):
+            code = line.split("#", 1)[0]
+            if pat.search(code):
+                found.setdefault(rel, []).append(f"{rel}:{lineno}: {line.strip()}")
+    counts = {rel: len(lines) for rel, lines in found.items()}
+    assert counts == expected, (
+        "literal repartition/coalesce(<int>) sites drifted from the reviewed "
+        f"allowlist (expected {expected}, found {counts}) — a numeric dial in "
+        "a loop or hot path must come from tuning.loop_partitions / session "
+        "conf, not a constant; fixture-sized sites get re-allowlisted with a "
+        "why:\n" + "\n".join(ln for lines in found.values() for ln in lines)
+    )
