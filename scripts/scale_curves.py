@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Empirical time-vs-sf scale curves for the heaviest catalog entries
+(round-10 VERDICT item 1: the 100 TB design claims were plan-audited
+but never CURVE-measured — a super-linear entry is a hidden
+scale-killer no plan audit catches).
+
+Runs each entry at sf0.001 / sf0.01 / sf0.1 (a 100× data span),
+min-of-3 per point in one otherwise-idle session, and reports the
+per-decade exponent of each segment:
+
+    exponent = log10(t_hi / t_lo)          (per 10× data)
+
+so 1.0 = perfectly linear, 0.0 = flat (fixed cost dominates), >1.2 =
+investigate. The LOW segment (0.001→0.01) is dominated by fixed
+per-job cost (Spark job launch, micro-batch engine startup, store
+bootstrap commits) at these tiny sizes, so the HIGH segment
+(0.01→0.1) is the one the 100 TB claims rest on — and even it still
+carries the fixed floor, which DILUTES the measured growth: with
+t = F + c·sf^a the raw segment exponent UNDERESTIMATES the
+data-dependent exponent ``a``. `exp_high_adjusted` therefore
+subtracts the per-entry sf0.001 reading as a floor estimate and fits
+the residual — that is the number to hold against the 1.2 bar. A
+raw exponent near 0 with no computable adjusted value means the
+entry is fixed-cost-bound across the whole measured span.
+
+Usage:
+    python scripts/scale_curves.py [--runs 3] [--out SCALE_CURVES.json]
+                                   [--entries a,b,c]
+Writes a JSON artifact plus a ready-to-paste markdown table on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+# The heaviest catalog entries by the round-10 driver bench, i.e. the
+# ones whose 100× behavior matters most: the full ER family,
+# the frequent-itemset / sequential miners, the grid-code ANN kernels,
+# the LSH dedup chain, and the two heaviest versioned lifecycles
+# (versioned_branch_merge doubles as the round-10 wobble A/B).
+DEFAULT_ENTRIES = (
+    "stream_er_admission",
+    "er_incremental_link",
+    "er_golden_record",
+    "er_blocking_candidates",
+    "er_matched_pairs",
+    "er_linkage_quality",
+    "apriori_triple_itemsets",
+    "sequential_purchase_patterns",
+    "knn_label_vote",
+    "hard_negative_mining",
+    "dedup_cluster_resolution",
+    "versioned_branch_merge",
+    "versioned_replica_sync",
+)
+
+
+def _sf(d: str) -> float:
+    return float(os.path.basename(d.rstrip("/")).replace("sf", ""))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "SCALE_CURVES.json"))
+    ap.add_argument("--entries", default=",".join(DEFAULT_ENTRIES))
+    args = ap.parse_args()
+    entries = [n.strip() for n in args.entries.split(",") if n.strip()]
+
+    from pim_etl_spark.catalog import get_queries
+    from pim_etl_spark.session import get_spark
+    from pim_etl_spark.sources import load_table
+
+    spark = get_spark(app_name="pim-etl-spark-scale-curves")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+    unknown = [n for n in entries if n not in queries]
+    if unknown:
+        print(f"unknown entries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+
+    # pay one-time session costs outside every timed region: scan-path
+    # warmup per SF + the Python-UDF worker daemons
+    for d in SF_DIRS:
+        for t in ("orders", "customer", "lineitem", "documents", "embeddings", "events"):
+            try:
+                load_table(spark, d, t).count()
+            except Exception:
+                pass
+    spark.range(10_000, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    results: dict[str, dict] = {}
+    for name in entries:
+        fn = queries[name]
+        per_sf: dict[str, float] = {}
+        runs_detail: dict[str, list[float]] = {}
+        for d in SF_DIRS:
+            times: list[float] = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                df = fn(spark, d)
+                df.write.mode("overwrite").format("noop").save()
+                times.append(time.perf_counter() - t0)
+            per_sf[str(_sf(d))] = round(min(times), 3)
+            runs_detail[str(_sf(d))] = [round(t, 3) for t in times]
+            print(f"  {name} sf={_sf(d)}: min {min(times):.3f}s of {[round(t,2) for t in times]}", file=sys.stderr)
+        t_lo, t_mid, t_hi = (per_sf[k] for k in ("0.001", "0.01", "0.1"))
+        exp_lo = math.log10(t_mid / t_lo) if t_lo > 0 else None
+        exp_hi = math.log10(t_hi / t_mid) if t_mid > 0 else None
+        # fixed-floor-adjusted HIGH exponent: treat the sf0.001 reading
+        # as the entry's fixed per-run cost (job launch, store
+        # bootstrap, micro-batch startup) and fit the growth of the
+        # remaining data-dependent part. Guard: needs both residuals
+        # clearly positive or the log is meaningless.
+        r_mid, r_hi = t_mid - t_lo, t_hi - t_lo
+        exp_hi_adj = (
+            round(math.log10(r_hi / r_mid), 2) if r_mid > 0.05 and r_hi > 0.05 else None
+        )
+        results[name] = {
+            "sec_by_sf": per_sf,
+            "runs_by_sf": runs_detail,
+            "exp_low_segment": round(exp_lo, 2),
+            "exp_high_segment": round(exp_hi, 2),
+            "exp_high_adjusted": exp_hi_adj,
+        }
+
+    out_path = os.path.abspath(args.out)
+    with open(out_path, "w") as f:
+        json.dump({"runs_per_point": args.runs, "entries": results}, f, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
+
+    # ready-to-paste markdown
+    print("| entry | sf0.001 | sf0.01 | sf0.1 | exp 0.001→0.01 | exp 0.01→0.1 | exp 0.01→0.1 (floor-adj) |")
+    print("|---|---|---|---|---|---|---|")
+    for name, r in results.items():
+        s = r["sec_by_sf"]
+        adj = r["exp_high_adjusted"]
+        print(
+            f"| {name} | {s['0.001']} | {s['0.01']} | {s['0.1']} "
+            f"| {r['exp_low_segment']} | {r['exp_high_segment']} "
+            f"| {adj if adj is not None else '—'} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
