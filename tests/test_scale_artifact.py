@@ -1,0 +1,52 @@
+"""Gate on the committed scale-curve artifacts (round 11): the 100 TB
+design claims are empirically curve-measured for the heaviest catalog
+entries (SCALE.md "Measured scale curves"), and this test pins the
+artifact's verdict — every floor-adjusted per-decade exponent at or
+under the 1.2 investigation bar. If a future round re-measures and
+commits a super-linear entry, this fails until the entry is fixed or
+its exception documented here, keeping the scale claim from silently
+rotting. Deterministic: reads committed JSON, runs no Spark."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# per-decade exponent above which an entry is a scale risk: 1.0 is
+# linear-in-data; headroom to 1.2 absorbs measurement noise on the
+# floor-subtracted residual fit
+EXPONENT_BAR = 1.2
+
+
+def test_scale_curve_artifacts_stay_sublinear():
+    paths = sorted(glob.glob(os.path.join(REPO, "SCALE_CURVES*.json")))
+    assert paths, "scale-curve artifact missing (scripts/scale_curves.py output)"
+    measured = 0
+    offenders = []
+    for path in paths:
+        with open(path) as f:
+            data = json.load(f)
+        assert data.get("runs_per_point", 0) >= 3, f"{path}: not min-of-3"
+        for name, rec in data["entries"].items():
+            assert set(rec["sec_by_sf"]) == {"0.001", "0.01", "0.1"}, name
+            assert all(
+                len(runs) >= 3 for runs in rec["runs_by_sf"].values()
+            ), f"{name}: fewer than 3 runs at some point"
+            # the floor-adjusted exponent estimates the data-term
+            # exponent; when the residuals are too small to fit, the
+            # raw high-segment exponent (an underestimate, but the
+            # entry is then fixed-cost-bound anyway) is the check
+            exp = rec.get("exp_high_adjusted")
+            if exp is None:
+                exp = rec["exp_high_segment"]
+            measured += 1
+            if exp > EXPONENT_BAR:
+                offenders.append(f"{name}: exponent {exp} (from {path})")
+    assert measured >= 13, f"artifact coverage shrank to {measured} entries"
+    assert not offenders, (
+        "super-linear scale curve(s) committed — fix the operator or document "
+        "the exception in SCALE.md AND here:\n" + "\n".join(offenders)
+    )
