@@ -299,7 +299,7 @@ _DRIVER_GREEN = frozenset({
     # conf-derived loop_partitions dial changed their CC-label-loop
     # code) and the four grid-code entries (round-10
     # global_grid_codes producer filter) — they re-sample first.
-    "hll_mergeable_rollup", "trend_forecast_by_priority",
+    "trend_forecast_by_priority",
     "iqr_outlier_fences", "price_histogram_equidepth",
     "rolling_median_revenue", "chisq_independence_cells",
     "missing_value_imputation", "poisson_bootstrap_ci",
@@ -310,6 +310,10 @@ _DRIVER_GREEN = frozenset({
     "k_anonymity_audit", "key_skew_gini", "benford_first_digit_audit",
     "phrase_proximity_search", "er_blocking_candidates",
     "er_matched_pairs", "er_linkage_quality",
+    # hll_mergeable_rollup: r9-green but REWRITTEN in round 11 (sketch
+    # lgK 12 -> 14: the sf0.1 parity sweep caught the 2% envelope
+    # asserted at only ~1.3σ of sketch headroom missing on one region)
+    # — dropped per the q21 rule so the driver re-samples the new code.
     # round 10 (CORRECTNESS_r10.json) — all 50 sampled entries
     # hash-green, draining cumulative driver proof to 311/311. Folded:
     # the 8 round-10-pending entries whose code is untouched in round
@@ -370,6 +374,8 @@ _PENDING_FIRST = (
     "retrieval_eval_mrr",
     "embedding_label_outliers",
     "orc_roundtrip_rollup",
+    # session-2: the sf0.1 parity sweep's find (lgK 12 -> 14)
+    "hll_mergeable_rollup",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19

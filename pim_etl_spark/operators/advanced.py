@@ -941,8 +941,13 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash-gated columns are the exact twin (region customer counts
     — computable exactly here because each customer belongs to one
     nation, so region = disjoint union) and a 2% relative-error flag
-    on the merged estimate (datasketches HLL at default lgK=12 has
-    ~1.6% RSE ceiling; the flag fails if union drops registers).
+    on the merged estimate. The sketch is built at lgK=14 (~0.8% RSE,
+    16 KB — still a trivially mergeable kilobyte object) so the 2%
+    gate sits at ~2.5σ: the round-11 sf0.1 parity sweep caught the
+    default lgK=12 (~1.6% RSE) missing the envelope on one region by
+    2.01% — a bound asserted at 1.3σ of headroom is a coin flip per
+    dataset, and the fix is a bigger sketch, not a looser claim
+    (measured at sf0.1: lgK=14 worst region error 0.64%).
     Plan: one shuffle to (nation) partials, then a 25-row sketch merge
     — the rollup itself moves no data."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
@@ -955,7 +960,7 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(
-            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.hll_sketch_agg("o_custkey", 14).alias("sk"),
             F.count_distinct("o_custkey").alias("exact_n"),
         )
     )

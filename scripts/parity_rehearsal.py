@@ -27,6 +27,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--entries", default=None, help="comma list; default all")
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="driver heap override (e.g. 8g). The driver's gate runs naive "
+        "(1g default) at sf0.01 where that suffices; sf0.1 sweeps need this "
+        "— the round-11 sweep's ER collects OOM'd the 1g naive JVM",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,7 +41,10 @@ def main() -> int:
     from pim_etl_spark.catalog import get_oracles, get_queries
     from test_oracle_parity import _assert_driver_hashable, _duck, _normalize
 
-    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    builder = SparkSession.builder.master("local[32]")
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = get_queries()
