@@ -176,10 +176,20 @@ def recheck(entry_names: list[str]) -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     stamped = dict(artifact.get("recheck") or {})
+    failed_entries: list[str] = []
     for name in entry_names:
         flagged = (artifact.get("queries") or {}).get(name)
         times, failed = _time_entry(spark, name, queries[name], runs)
         if failed:
+            # A recheck failure is a regression between bench and
+            # recheck, not noise — stamp it so the artifact can't read
+            # as adjudicated-clean, and exit non-zero below.
+            failed_entries.append(name)
+            stamped[name] = {
+                "flagged_sec": flagged,
+                "runs_sec": [round(t, 3) for t in times],
+                "failed": True,
+            }
             continue
         best = round(min(times), 3)
         stamped[name] = {
@@ -203,10 +213,13 @@ def recheck(entry_names: list[str]) -> None:
         "sf": artifact.get("sf"),
         "runs_per_query": runs,
         "recheck": {n: stamped[n] for n in entry_names if n in stamped},
+        "failed": failed_entries,
         "artifact": path,
     }
     print(json.dumps(summary), flush=True)
     spark.stop()
+    if failed_entries:
+        sys.exit(1)
 
 
 def main() -> None:

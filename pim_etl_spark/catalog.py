@@ -324,6 +324,17 @@ _DRIVER_GREEN = frozenset({
     "er_golden_record", "er_incremental_link", "stream_er_admission",
     "hierarchy_closure_table", "bom_cost_rollup", "grid_dbscan_clusters",
     "greedy_coverage_selection", "sequential_purchase_patterns",
+    # round 11 (CORRECTNESS_r11.json) — all 50 sampled entries
+    # hash-green, cumulative driver proof 311/311 for the second
+    # consecutive round. Folded: the four grid-code entries (re-proved
+    # on the round-10-ADVICE guard code) and hll_mergeable_rollup
+    # (re-proved on the lgK=14 fix). NOT folded, per the q21 rewrite
+    # rule: orc_roundtrip_rollup — round 12 moved the UTC session-tz
+    # pin in sources.load_table from events-only to unconditional
+    # (round-11 ADVICE), which is exactly the tz-sensitive path its
+    # max_odate_us column reads — it re-samples first.
+    "knn_label_vote", "hard_negative_mining", "retrieval_eval_mrr",
+    "embedding_label_outliers", "hll_mergeable_rollup",
 })
 
 
@@ -361,21 +372,14 @@ _EARLY = (
 # entries are stable siblings of already-proven shapes and surface in
 # the next round's window once this round's greens fold.
 _PENDING_FIRST = (
-    # round-11 head (q21 rule): every entry whose executed code
-    # changed this round re-samples first. The round-10 ADVICE fixes
-    # touched global_grid_codes (null-element guard) + sq_l2_codes
-    # (dim=None NULL-on-mismatch), upstream of the four grid-code
-    # entries, and orc_roundtrip_rollup gained the o_orderdate
-    # epoch-µs column (its oracle changed too). 5 pending total — the
-    # whole pending class fits any driver window with room for ~45
-    # freshness re-proofs of folded greens.
-    "knn_label_vote",
-    "hard_negative_mining",
-    "retrieval_eval_mrr",
-    "embedding_label_outliers",
+    # round-12 head (q21 rule): the round-11 ADVICE fix made
+    # sources.load_table pin spark.sql.session.timeZone=UTC
+    # unconditionally (previously events-only). orc_roundtrip_rollup's
+    # max_odate_us is the one column computed through that tz-sensitive
+    # path (unix_micros over an NTZ->LTZ cast), so it re-samples first
+    # on the changed code. 1 pending total — the driver window carries
+    # ~49 freshness re-proofs of folded greens.
     "orc_roundtrip_rollup",
-    # session-2: the sf0.1 parity sweep's find (lgK 12 -> 14)
-    "hll_mergeable_rollup",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19
@@ -386,7 +390,7 @@ _PENDING_FIRST = (
 _PENDING_LAST: tuple[str, ...] = ()
 
 
-_last_sampled_cache: dict[str, int] | None = None
+_last_sampled_cache: tuple[tuple[tuple[str, float], ...], dict[str, int]] | None = None
 
 
 def _last_sampled_rounds() -> dict[str, int]:
@@ -397,32 +401,44 @@ def _last_sampled_rounds() -> dict[str, int]:
     50-entry window is pure surplus, so spending it on the entries
     whose proof is OLDEST maximally refreshes cumulative proof age
     (round-10 VERDICT item 5 — the r1–r3 greens had not been
-    driver-touched in 7+ rounds under registration order)."""
-    global _last_sampled_cache
-    if _last_sampled_cache is None:
-        import glob
-        import json
-        import os
-        import re
+    driver-touched in 7+ rounds under registration order).
 
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        out: dict[str, int] = {}
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            try:
-                with open(path) as f:
-                    data = json.load(f)
-            except (OSError, ValueError):
-                continue
-            if not isinstance(data, dict):
-                continue
-            for name in data:
-                out[name] = max(out.get(name, 0), rnd)
-        _last_sampled_cache = out
-    return _last_sampled_cache
+    The cache is keyed on the artifact file list + mtimes (round-11
+    ADVICE): a process that writes a new artifact and recomputes
+    ordering sees fresh data. Only keys whose value looks like an
+    entry sample record (a dict carrying the driver's compare fields)
+    count — a future top-level metadata key in an artifact is ignored
+    rather than misread as an entry."""
+    global _last_sampled_cache
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    key = tuple((p, os.path.getmtime(p)) for p in paths if os.path.exists(p))
+    if _last_sampled_cache is not None and _last_sampled_cache[0] == key:
+        return _last_sampled_cache[1]
+    out: dict[str, int] = {}
+    for path in paths:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict) or "rows_match" not in rec:
+                continue  # metadata key, not an entry sample record
+            out[name] = max(out.get(name, 0), rnd)
+    _last_sampled_cache = (key, out)
+    return out
 
 
 def _priority_order(names) -> list[str]:

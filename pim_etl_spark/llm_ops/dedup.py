@@ -198,16 +198,31 @@ _SHINGLE_CTE = """
 
 # Exact truth set: every pair at shingle-Jaccard >= 0.5, integer-exact
 # threshold test (2*|∩| >= |∪| — no float boundary), value rounded for
-# output only. All-pairs is the ORACLE's job at sf0.01 (125k pairs);
-# the engine under test must reach the same set via LSH banding.
+# output only. Formulated as an INVERTED-INDEX join (explode shingles,
+# equi-join on the shingle, count shared per pair — |∩| exactly, since
+# the sets are distinct; |∪| = |a|+|b|-|∩|) instead of the literal
+# all-pairs list_intersect cross join: mathematically identical (any
+# J >= 0.5 pair shares ≥1 shingle, so no qualifying pair is missed;
+# verified row-identical at sf0.001/sf0.01), but O(Σ df²) ≈ 2.8M rows
+# at sf0.1 instead of O(n²·|s|) — 0.13 s vs 10 s at sf0.01, 1.7 s at
+# sf0.1 where the old form ground for minutes (round-11 VERDICT #1:
+# this family's oracles must be sweepable at 10× the gate scale).
 _TRUTH_PAIRS_CTE = f"""
     {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     truth AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE 2 * len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s)))
+      SELECT doc_a, doc_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      FROM ov
+      JOIN sz sa ON sa.doc_id = ov.doc_a
+      JOIN sz sb ON sb.doc_id = ov.doc_b
+      WHERE 2 * i >= sa.n + sb.n - i
     )
 """
 
@@ -698,20 +713,28 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     -- exact truth twin of LSH-based benchmark decontamination: a
     -- TRAIN doc is contaminated iff some BENCH doc (doc_id % 10 = 0)
-    -- shares shingle-Jaccard >= 0.5 with it. The oracle does the
-    -- all-pairs cross join (its job at gate scale); the engine must
-    -- reach the same flag set via banded MinHash collisions + exact
-    -- verification of candidates only.
+    -- shares shingle-Jaccard >= 0.5 with it. Inverted-index form
+    -- (explode shingles, equi-join train x bench on the shingle,
+    -- count shared per pair) — identical to the train x bench cross
+    -- join (a J >= 0.5 pair shares ≥1 shingle) but O(Σ df_tr·df_be)
+    -- instead of O(|tr|·|be|·|s|), sweepable at sf0.1 (VERDICT r11 #1).
     WITH {_SHINGLE_CTE},
-    tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
-    be AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    ov AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+             CAST(count(*) AS BIGINT) AS i
+      FROM ex t JOIN ex b ON t.g = b.g
+      WHERE t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    ),
     hits AS (
-      SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
-             round(CAST(len(list_intersect(tr.s, be.s)) AS DOUBLE)
-                   / len(list_distinct(list_concat(tr.s, be.s))), 4) AS j
-      FROM tr JOIN be
-        ON 2 * len(list_intersect(tr.s, be.s))
-           >= len(list_distinct(list_concat(tr.s, be.s)))
+      SELECT train_id, bench_id,
+             round(CAST(i AS DOUBLE) / (st.n + sb.n - i), 4) AS j
+      FROM ov
+      JOIN sz st ON st.doc_id = ov.train_id
+      JOIN sz sb ON sb.doc_id = ov.bench_id
+      WHERE 2 * i >= st.n + sb.n - i
     )
     SELECT train_id,
            CAST(count(*) AS BIGINT) AS n_bench_matches,

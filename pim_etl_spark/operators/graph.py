@@ -248,7 +248,12 @@ TRI_TOP_EDGES = 3
     oracle=f"""
     -- per-nation triangle participation over the UNDIRECTED
     -- sparsified trade graph (top-{TRI_TOP_EDGES} heaviest out-edges per
-    -- nation, then symmetrized); canonical a<b<c join enumeration
+    -- nation, then symmetrized); canonical a<b<c join enumeration.
+    -- und and tri are MATERIALIZED: tri references und three times
+    -- and member references tri three times, so an inlining planner
+    -- otherwise replays the 4-table fact join ~9× (measured 103 s at
+    -- sf0.1 vs ~1 s materialized — the kcore_decomposition class,
+    -- round 12).
     WITH e0 AS (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
       FROM lineitem l
@@ -264,10 +269,10 @@ TRI_TOP_EDGES = 3
                                   ORDER BY w DESC, dst ASC) AS rk
         FROM e0
       ) WHERE rk <= {TRI_TOP_EDGES}
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT least(src, dst) AS a, greatest(src, dst) AS b
       FROM sparse GROUP BY 1, 2
-    ), tri AS (
+    ), tri AS MATERIALIZED (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1
       JOIN und e2 ON e2.a = e1.b
@@ -797,7 +802,12 @@ KCORE_ROUNDS = 4
     -- run the same {KCORE_ROUNDS} fixed rounds, so the surviving set
     -- agrees even if the fixpoint needs fewer rounds. Output: the
     -- surviving core with final in-core degrees.
-    WITH raw AS (
+    -- raw and sym are MATERIALIZED: each peel round references sym
+    -- plus the previous survivor set TWICE (s.u and s.v sides), so an
+    -- inlining planner otherwise expands the chain exponentially —
+    -- 2^rounds copies of the 4-table fact join (measured: >5 min and
+    -- an 80 GB spill at sf0.1 vs 1.9 s materialized, round 12).
+    WITH raw AS MATERIALIZED (
       SELECT least(s_nationkey, c_nationkey) AS u,
              greatest(s_nationkey, c_nationkey) AS v,
              count(*) AS c
@@ -811,7 +821,7 @@ KCORE_ROUNDS = 4
     wund AS (SELECT u, v, sum(c) AS w FROM raw GROUP BY 1, 2),
     tot AS (SELECT sum(w) AS tw, count(*) AS ne FROM wund),
     und AS (SELECT u, v FROM wund, tot WHERE w * ne > tw),
-    sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
     n0 AS (SELECT u AS node FROM sym GROUP BY 1 HAVING count(*) >= {KCORE_K}),
     s1 AS (SELECT s.u, s.v FROM sym s JOIN n0 a ON s.u = a.node JOIN n0 b ON s.v = b.node),
     n1 AS (SELECT u AS node FROM s1 GROUP BY 1 HAVING count(*) >= {KCORE_K}),

@@ -78,9 +78,17 @@ def normalize_event_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFram
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one warehouse table; normalizes the events timestamp."""
-    if name == "events":
-        _ensure_nanos_conf(spark)
+    """Load one warehouse table; normalizes the events timestamp.
+
+    ``_ensure_nanos_conf`` runs unconditionally: any operator that
+    converts an NTZ timestamp to epoch micros (e.g. the ORC rollup's
+    ``unix_micros(cast(... as timestamp))``) reads the session
+    timezone, and the driver gate builds a naive SparkSession — on a
+    non-UTC host the value would shift by the tz offset and spuriously
+    mismatch DuckDB's ``epoch_us``. Pinning UTC for every table load
+    keeps NTZ↔LTZ casts lossless everywhere, not just for events.
+    """
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df, target="timestamp_ntz")

@@ -23,9 +23,16 @@ the residual — that is the number to hold against the 1.2 bar. A
 raw exponent near 0 with no computable adjusted value means the
 entry is fixed-cost-bound across the whole measured span.
 
+Round 12 extension: ``--sf-dirs`` accepts any comma list of sf
+directories (e.g. adding the self-generated ``.scratch/sf1`` — see
+scripts/gen_scratch_sf.py), and the exponent math normalizes by each
+segment's actual sf ratio, so non-decade spans report the same
+per-10× exponent scale. The floor estimate stays the LOWEST point's
+reading.
+
 Usage:
     python scripts/scale_curves.py [--runs 3] [--out SCALE_CURVES.json]
-                                   [--entries a,b,c]
+                                   [--entries a,b,c] [--sf-dirs d1,d2,...]
 Writes a JSON artifact plus a ready-to-paste markdown table on stdout.
 """
 
@@ -77,8 +84,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "SCALE_CURVES.json"))
     ap.add_argument("--entries", default=",".join(DEFAULT_ENTRIES))
+    ap.add_argument("--sf-dirs", default=",".join(SF_DIRS))
     args = ap.parse_args()
     entries = [n.strip() for n in args.entries.split(",") if n.strip()]
+    sf_dirs = [d.strip() for d in args.sf_dirs.split(",") if d.strip()]
+    sf_dirs.sort(key=_sf)
+    assert len(sf_dirs) >= 2, "need at least two sf points for a curve"
 
     from pim_etl_spark.catalog import get_queries
     from pim_etl_spark.session import get_spark
@@ -94,7 +105,7 @@ def main() -> None:
 
     # pay one-time session costs outside every timed region: scan-path
     # warmup per SF + the Python-UDF worker daemons
-    for d in SF_DIRS:
+    for d in sf_dirs:
         for t in ("orders", "customer", "lineitem", "documents", "embeddings", "events"):
             try:
                 load_table(spark, d, t).count()
@@ -104,12 +115,13 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
+    sfs = [_sf(d) for d in sf_dirs]
     results: dict[str, dict] = {}
     for name in entries:
         fn = queries[name]
         per_sf: dict[str, float] = {}
         runs_detail: dict[str, list[float]] = {}
-        for d in SF_DIRS:
+        for d in sf_dirs:
             times: list[float] = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
@@ -119,23 +131,35 @@ def main() -> None:
             per_sf[str(_sf(d))] = round(min(times), 3)
             runs_detail[str(_sf(d))] = [round(t, 3) for t in times]
             print(f"  {name} sf={_sf(d)}: min {min(times):.3f}s of {[round(t,2) for t in times]}", file=sys.stderr)
-        t_lo, t_mid, t_hi = (per_sf[k] for k in ("0.001", "0.01", "0.1"))
-        exp_lo = math.log10(t_mid / t_lo) if t_lo > 0 else None
-        exp_hi = math.log10(t_hi / t_mid) if t_mid > 0 else None
-        # fixed-floor-adjusted HIGH exponent: treat the sf0.001 reading
-        # as the entry's fixed per-run cost (job launch, store
-        # bootstrap, micro-batch startup) and fit the growth of the
-        # remaining data-dependent part. Guard: needs both residuals
-        # clearly positive or the log is meaningless.
-        r_mid, r_hi = t_mid - t_lo, t_hi - t_lo
+        ts = [per_sf[str(s)] for s in sfs]
+        # per-10× exponent of each consecutive segment, normalized by
+        # the segment's actual sf ratio (decade segments divide by 1)
+        segs = [
+            round(math.log10(ts[i + 1] / ts[i]) / math.log10(sfs[i + 1] / sfs[i]), 2)
+            if ts[i] > 0
+            else None
+            for i in range(len(ts) - 1)
+        ]
+        # fixed-floor-adjusted exponent of the TOP segment: treat the
+        # lowest-sf reading as the entry's fixed per-run cost (job
+        # launch, store bootstrap, micro-batch startup) and fit the
+        # growth of the remaining data-dependent part. Guard: needs
+        # both residuals clearly positive or the log is meaningless.
+        t_lo = ts[0]
+        r_mid, r_hi = ts[-2] - t_lo, ts[-1] - t_lo
         exp_hi_adj = (
-            round(math.log10(r_hi / r_mid), 2) if r_mid > 0.05 and r_hi > 0.05 else None
+            round(
+                math.log10(r_hi / r_mid) / math.log10(sfs[-1] / sfs[-2]), 2
+            )
+            if r_mid > 0.05 and r_hi > 0.05
+            else None
         )
         results[name] = {
             "sec_by_sf": per_sf,
             "runs_by_sf": runs_detail,
-            "exp_low_segment": round(exp_lo, 2),
-            "exp_high_segment": round(exp_hi, 2),
+            "exp_low_segment": segs[0],
+            "exp_high_segment": segs[-1],
+            "exp_segments": segs,
             "exp_high_adjusted": exp_hi_adj,
         }
 
@@ -145,16 +169,16 @@ def main() -> None:
     print(f"wrote {out_path}", file=sys.stderr)
 
     # ready-to-paste markdown
-    print("| entry | sf0.001 | sf0.01 | sf0.1 | exp 0.001→0.01 | exp 0.01→0.1 | exp 0.01→0.1 (floor-adj) |")
-    print("|---|---|---|---|---|---|---|")
+    sf_cols = " | ".join(f"sf{s:g}" for s in sfs)
+    seg_cols = " | ".join(f"exp {sfs[i]:g}→{sfs[i+1]:g}" for i in range(len(sfs) - 1))
+    print(f"| entry | {sf_cols} | {seg_cols} | top-seg (floor-adj) |")
+    print("|---" * (len(sfs) * 2 + 1) + "|")
     for name, r in results.items():
         s = r["sec_by_sf"]
         adj = r["exp_high_adjusted"]
-        print(
-            f"| {name} | {s['0.001']} | {s['0.01']} | {s['0.1']} "
-            f"| {r['exp_low_segment']} | {r['exp_high_segment']} "
-            f"| {adj if adj is not None else '—'} |"
-        )
+        vals = " | ".join(str(s[str(x)]) for x in sfs)
+        segs_str = " | ".join(str(x) for x in r["exp_segments"])
+        print(f"| {name} | {vals} | {segs_str} | {adj if adj is not None else '—'} |")
     spark.stop()
 
 

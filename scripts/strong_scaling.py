@@ -19,6 +19,14 @@ far below = investigate. (The floor F itself is mostly scheduler
 latency and does not scale with cores, which both sides of the ratio
 assume.)
 
+Round 12: ``--sf-dir`` / ``--curves`` / ``--out`` let the probe run
+at the self-generated scratch sf1 (scripts/gen_scratch_sf.py) against
+the sf1 curve artifact — at sf1 the partitions are MB-sized, so the
+loop entries' compute term dominates the per-task overhead that bound
+the sf0.1 readings (round-11 VERDICT item 3). The Amdahl prediction
+generalizes to the artifact's lowest point as F and its highest as
+the probed total.
+
 Usage: python scripts/strong_scaling.py            # orchestrates both
        python scripts/strong_scaling.py --worker 8 # internal: one config
 Writes STRONG_SCALING.json + a markdown table on stdout.
@@ -56,7 +64,7 @@ ENTRIES = (
 )
 
 
-def worker(cores: int, shuffle: int = 32, entries=ENTRIES) -> None:
+def worker(cores: int, shuffle: int = 32, entries=ENTRIES, sf_dir: str = SF_DIR) -> None:
     """Time ENTRIES min-of-RUNS in ONE session at `cores` local cores;
     prints a single JSON line. Run as a subprocess (one JVM per core
     count). Shuffle width stays PINNED at 32 for every config so the
@@ -76,14 +84,14 @@ def worker(cores: int, shuffle: int = 32, entries=ENTRIES) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for t in ("orders", "customer", "lineitem", "documents", "embeddings"):
-        load_table(spark, SF_DIR, t).count()
+        load_table(spark, sf_dir, t).count()
     queries = get_queries()
     out: dict[str, float] = {}
     for name in entries:
         times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             times.append(time.perf_counter() - t0)
         out[name] = round(min(times), 3)
         print(f"  [{cores} cores] {name}: {out[name]}s", file=sys.stderr)
@@ -96,15 +104,21 @@ def main() -> None:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--shuffle", type=int, default=32)
     ap.add_argument("--entries", default=None)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--curves", default=os.path.join(REPO, "SCALE_CURVES.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "STRONG_SCALING.json"))
     args = ap.parse_args()
+    entries = tuple(args.entries.split(",")) if args.entries else ENTRIES
     if args.worker:
-        worker(args.worker, args.shuffle, args.entries.split(",") if args.entries else ENTRIES)
+        worker(args.worker, args.shuffle, entries, args.sf_dir)
         return
 
     measured: dict[int, dict[str, float]] = {}
     for cores in CORES:
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores),
+             "--sf-dir", args.sf_dir, "--shuffle", str(args.shuffle),
+             "--entries", ",".join(entries)],
             capture_output=True, text=True, timeout=3600,
         )
         if res.returncode != 0:
@@ -113,20 +127,23 @@ def main() -> None:
         sys.stderr.write(res.stderr[-2000:])
         measured[cores] = json.loads(res.stdout.strip().splitlines()[-1])
 
-    with open(os.path.join(REPO, "SCALE_CURVES.json")) as f:
+    with open(args.curves) as f:
         curves = json.load(f)["entries"]
 
     results = {}
     factor = CORES[1] // CORES[0]
     print("| entry | t(8) | t(32) | speedup | Amdahl-predicted | ratio |")
     print("|---|---|---|---|---|---|")
-    for name in ENTRIES:
+    for name in entries:
         t8, t32 = measured[CORES[0]][name], measured[CORES[1]][name]
         speedup = round(t8 / t32, 2)
         pred = None
         if name in curves:
+            # F = the curve's LOWEST point (per-run fixed cost),
+            # total = its HIGHEST point — must match --sf-dir's sf
             sec = curves[name]["sec_by_sf"]
-            fixed, total = sec["0.001"], sec["0.1"]
+            keys = sorted(sec, key=float)
+            fixed, total = sec[keys[0]], sec[keys[-1]]
             data = max(total - fixed, 0.0)
             if total > 0:
                 pred = round((fixed + factor * data) / (fixed + data), 2)
@@ -137,10 +154,10 @@ def main() -> None:
         }
         print(f"| {name} | {t8} | {t32} | {speedup} | {pred or '—'} | {ratio or '—'} |")
 
-    with open(os.path.join(REPO, "STRONG_SCALING.json"), "w") as f:
-        json.dump({"cores": list(CORES), "runs_per_point": RUNS, "sf_dir": SF_DIR,
+    with open(args.out, "w") as f:
+        json.dump({"cores": list(CORES), "runs_per_point": RUNS, "sf_dir": args.sf_dir,
                    "entries": results}, f, indent=1)
-    print("wrote STRONG_SCALING.json", file=sys.stderr)
+    print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -133,3 +133,28 @@ def test_bench_recheck_stamps_artifact(tmp_path):
     )
     assert res3.returncode == 2
     assert "refused" in res3.stderr
+
+    # 5) a recheck run that FAILS must not be silently skipped
+    # (round-11 ADVICE): point the session at an empty same-sf dir so
+    # the entry's table load breaks — the stamp must say failed, the
+    # summary must list it, and the exit code must be non-zero so a
+    # regression between bench and recheck can't read as adjudicated
+    # noise. The flagged reading must survive untouched in queries.
+    broken_sf = tmp_path / "sf0.001"
+    broken_sf.mkdir()
+    with open(out) as f:
+        pre_fail = json.load(f)
+    env4 = {**env2, "SPARK_GRAFT_SF_DIR": str(broken_sf)}
+    res4 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--recheck", "topk_orders"],
+        env=env4, cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert res4.returncode == 1, res4.stderr[-2000:]
+    lines4 = [ln for ln in res4.stdout.strip().splitlines() if ln.strip()]
+    summary4 = json.loads(lines4[-1])
+    assert summary4["failed"] == ["topk_orders"]
+    assert summary4["recheck"]["topk_orders"]["failed"] is True
+    with open(out) as f:
+        disk4 = json.load(f)
+    assert disk4["recheck"]["topk_orders"]["failed"] is True
+    assert disk4["queries"]["topk_orders"] == pre_fail["queries"]["topk_orders"]

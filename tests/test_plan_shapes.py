@@ -626,18 +626,19 @@ def test_spark_partition_id_consumers_are_allowlisted():
 def test_orc_read_pushes_range_predicate(spark, sf_dir, tmp_path):
     """orc_roundtrip_rollup's read side: the range predicate must
     reach the ORC scan as a pushed filter (stripe-level min/max
-    skipping at scale), and the scan must prune to the three
-    referenced columns."""
+    skipping at scale), and the scan must prune to the operator's
+    actual 4-column set — including the o_orderdate timestamp, whose
+    pushdown/pruning path is otherwise untested (round-11 ADVICE)."""
     from pim_etl_spark.sources import load_table
 
     out = str(tmp_path / "orders_orc")
     load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
     ).write.mode("overwrite").orc(out)
     df = (
         spark.read.orc(out)
         .filter("o_orderkey > 1000")
-        .select("o_orderpriority", "o_totalprice")
+        .select("o_orderpriority", "o_totalprice", "o_orderdate")
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan orc" in plan, plan[:2000]
@@ -646,7 +647,8 @@ def test_orc_read_pushes_range_predicate(spark, sf_dir, tmp_path):
     scan = re.search(r"FileScan orc [^\[]*\[([^\]]*)\]", plan)
     assert scan, plan[:2000]
     cols = {c.split("#")[0].strip() for c in scan.group(1).split(",")}
-    assert cols <= {"o_orderkey", "o_orderpriority", "o_totalprice"}, cols
+    assert cols <= {"o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"}, cols
+    assert "o_orderdate" in cols, f"timestamp column missing from the ORC scan: {cols}"
 
 
 def test_literal_partition_dials_are_allowlisted():

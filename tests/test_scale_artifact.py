@@ -31,7 +31,13 @@ def test_scale_curve_artifacts_stay_sublinear():
             data = json.load(f)
         assert data.get("runs_per_point", 0) >= 3, f"{path}: not min-of-3"
         for name, rec in data["entries"].items():
-            assert set(rec["sec_by_sf"]) == {"0.001", "0.01", "0.1"}, name
+            # at least a 10× span of at least 3 measured points (the
+            # round-12 sf1 artifact adds non-decade scratch points;
+            # the original artifacts carry exactly 0.001/0.01/0.1)
+            sf_keys = sorted(float(k) for k in rec["sec_by_sf"])
+            assert len(sf_keys) >= 3 and sf_keys[-1] / sf_keys[0] >= 10, (
+                f"{name}: curve span too small ({sf_keys})"
+            )
             assert all(
                 len(runs) >= 3 for runs in rec["runs_by_sf"].values()
             ), f"{name}: fewer than 3 runs at some point"
