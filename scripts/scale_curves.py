@@ -85,6 +85,17 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "SCALE_CURVES.json"))
     ap.add_argument("--entries", default=",".join(DEFAULT_ENTRIES))
     ap.add_argument("--sf-dirs", default=",".join(SF_DIRS))
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra spark conf(s) pinned for the whole run, recorded in the "
+        "artifact — e.g. spark.sql.autoBroadcastJoinThreshold=-1 to hold a "
+        "curve inside the shuffle-join regime across a span that would "
+        "otherwise cross the broadcast boundary (round 12: a regime "
+        "transition mid-span reads as a fake super-linear exponent)",
+    )
     args = ap.parse_args()
     entries = [n.strip() for n in args.entries.split(",") if n.strip()]
     sf_dirs = [d.strip() for d in args.sf_dirs.split(",") if d.strip()]
@@ -97,6 +108,9 @@ def main() -> None:
 
     spark = get_spark(app_name="pim-etl-spark-scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     queries = get_queries()
     unknown = [n for n in entries if n not in queries]
     if unknown:
@@ -164,8 +178,27 @@ def main() -> None:
         }
 
     out_path = os.path.abspath(args.out)
+    payload: dict = {"runs_per_point": args.runs, "entries": results}
+    if args.conf:
+        payload["pinned_confs"] = args.conf
+    # merge into an existing artifact instead of clobbering it, so a
+    # targeted re-measurement (e.g. the pinned-regime re-run of a
+    # transition entry) replaces only its own entries
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("runs_per_point") == args.runs:
+            merged = dict(prior.get("entries", {}))
+            merged.update(results)
+            payload["entries"] = merged
+            if prior.get("pinned_confs") or args.conf:
+                per_entry = dict(prior.get("entry_confs", {}))
+                for n in results:
+                    per_entry[n] = args.conf
+                payload["entry_confs"] = per_entry
+                payload.pop("pinned_confs", None)
     with open(out_path, "w") as f:
-        json.dump({"runs_per_point": args.runs, "entries": results}, f, indent=1)
+        json.dump(payload, f, indent=1)
     print(f"wrote {out_path}", file=sys.stderr)
 
     # ready-to-paste markdown
