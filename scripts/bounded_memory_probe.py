@@ -59,6 +59,44 @@ DEFAULT_ENTRIES = (
 )
 
 
+def _pinned_session(heap: str, confs: list[str], cores: int = 32):
+    from pyspark.sql import SparkSession
+
+    # pinned heap, otherwise the naive driver-gate shape (no tuned
+    # session confs — the spill behavior must come from Spark's
+    # defaults + the operators' own plan shapes, not a generous heap).
+    # shuffle width stays 32 regardless of cores so the PLAN is
+    # identical across a cores A/B — only concurrent-task count varies
+    # (the same pin discipline as scripts/strong_scaling.py)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.driver.memory", heap)
+        .config("spark.sql.shuffle.partitions", "32")
+    )
+    for kv in confs:
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _gateway_dead(exc: Exception) -> bool:
+    # a heap-death takes the whole local[32] JVM with it: the py4j
+    # gateway refuses connections and every later call fails with a
+    # socket error instead of a Spark error. Detect it so the probe
+    # can relaunch a fresh pinned JVM and genuinely probe the REST of
+    # the entries (the first sf1 run cascade-failed 9 entries against
+    # a dead gateway — none of them was actually exercised).
+    text = f"{type(exc).__name__}: {exc}"
+    return (
+        "Connection refused" in text
+        or "Java gateway process" in text
+        or "Py4JNetworkError" in type(exc).__name__
+        or "Answer from Java side is empty" in text
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--heap", default="1g")
@@ -67,23 +105,40 @@ def main() -> int:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BOUNDED_MEMORY.json"), help="artifact path"
     )
+    ap.add_argument(
+        "--cores",
+        type=int,
+        default=32,
+        help="local[N] task slots; the shuffle width stays pinned at 32 so "
+        "a cores A/B compares identical plans at different concurrency — "
+        "the control that separates per-concurrent-task fixed overhead "
+        "from data-sized memory",
+    )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra spark conf(s) pinned for the probe session, recorded in "
+        "the artifact — e.g. spark.sql.autoBroadcastJoinThreshold=-1 to hold "
+        "data-scaling join sides in the spillable shuffle regime",
+    )
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="tear the JVM down and relaunch it before every entry, so each "
+        "entry's verdict is independent: a heap-death (or the degraded "
+        "scheduler state an in-JVM OOM leaves behind) cannot taint the "
+        "entries that follow — the shared-JVM sf1 run failed "
+        "er_golden_record on post-OOM thread-pool rejection fallout that a "
+        "fresh JVM passes cleanly",
+    )
     args = ap.parse_args()
     entries = [n.strip() for n in args.entries.split(",") if n.strip()]
 
-    from pyspark.sql import SparkSession
-
     from pim_etl_spark.catalog import get_queries
 
-    # pinned heap, otherwise the naive driver-gate shape (no tuned
-    # session confs — the spill behavior must come from Spark's
-    # defaults + the operators' own plan shapes, not a generous heap)
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.driver.memory", args.heap)
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _pinned_session(args.heap, args.conf, args.cores)
     actual = spark.sparkContext.getConf().get("spark.driver.memory")
     print(f"probe heap pin: {actual} over {len(entries)} entries", file=sys.stderr)
 
@@ -93,9 +148,27 @@ def main() -> int:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2
 
+    def _relaunch(spark):
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        # drop the dead singletons so getOrCreate builds fresh
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        return _pinned_session(args.heap, args.conf, args.cores)
+
     results: dict[str, dict] = {}
     failed: list[str] = []
     for i, name in enumerate(entries, 1):
+        if args.isolate and i > 1:
+            spark = _relaunch(spark)
         t0 = time.perf_counter()
         try:
             queries[name](spark, args.sf_dir).write.mode("overwrite").format("noop").save()
@@ -106,14 +179,25 @@ def main() -> int:
             failed.append(name)
             results[name] = {"ok": False, "error": str(exc)[:500]}
             print(f"[{i}/{len(entries)}] FAILED {name}: {exc}", file=sys.stderr)
-    spark.stop()
+            if _gateway_dead(exc):
+                print("JVM died — relaunching the pinned session", file=sys.stderr)
+                spark = _relaunch(spark)
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
     artifact = {
         "heap": args.heap,
+        "cores": args.cores,
         "sf_dir": args.sf_dir,
         "entries": results,
         "failed": failed,
     }
+    if args.conf:
+        artifact["pinned_confs"] = args.conf
+    if args.isolate:
+        artifact["isolated_jvm_per_entry"] = True
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"metric": "bounded_memory_probe", "heap": args.heap,

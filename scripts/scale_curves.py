@@ -179,11 +179,15 @@ def main() -> None:
 
     out_path = os.path.abspath(args.out)
     payload: dict = {"runs_per_point": args.runs, "entries": results}
-    if args.conf:
-        payload["pinned_confs"] = args.conf
     # merge into an existing artifact instead of clobbering it, so a
     # targeted re-measurement (e.g. the pinned-regime re-run of a
-    # transition entry) replaces only its own entries
+    # transition entry) replaces only its own entries. entry_confs
+    # carries per-entry conf provenance and must SURVIVE unpinned
+    # follow-up runs that merge other entries (round 12: an unpinned
+    # LSH merge dropped the ER entries' regime-pin record because the
+    # old carry-forward only fired when the prior had legacy
+    # pinned_confs or the new run had --conf).
+    per_entry: dict[str, list[str]] = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
@@ -191,12 +195,20 @@ def main() -> None:
             merged = dict(prior.get("entries", {}))
             merged.update(results)
             payload["entries"] = merged
-            if prior.get("pinned_confs") or args.conf:
-                per_entry = dict(prior.get("entry_confs", {}))
-                for n in results:
-                    per_entry[n] = args.conf
-                payload["entry_confs"] = per_entry
-                payload.pop("pinned_confs", None)
+            per_entry = dict(prior.get("entry_confs", {}))
+            # legacy artifacts recorded a run-wide pinned_confs; fold
+            # it into per-entry records for the entries it measured
+            for n in prior.get("pinned_confs", []) and prior.get("entries", {}) or ():
+                per_entry.setdefault(n, prior["pinned_confs"])
+    # a re-measured entry's provenance is THIS run's conf: record the
+    # pin, or clear a stale one (re-measured unpinned = default confs)
+    for n in results:
+        if args.conf:
+            per_entry[n] = args.conf
+        else:
+            per_entry.pop(n, None)
+    if per_entry:
+        payload["entry_confs"] = per_entry
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {out_path}", file=sys.stderr)

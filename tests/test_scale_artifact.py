@@ -70,3 +70,20 @@ def test_scale_curve_artifacts_stay_sublinear():
         "super-linear scale curve(s) committed — fix the operator or document "
         "the exception in SCALE.md AND here:\n" + "\n".join(offenders)
     )
+
+
+def test_sf1_regime_pin_provenance_is_recorded():
+    """The three ER entries whose sf1 curves are measured inside the
+    shuffle-join regime (SCALE.md: a broadcast→shuffle transition
+    mid-span reads as a fake super-linear exponent) must carry their
+    autoBroadcastJoinThreshold=-1 pin in the artifact's entry_confs —
+    an unpinned follow-up merge once dropped the record silently
+    (round 12), leaving SCALE.md claiming provenance the artifact no
+    longer stated."""
+    with open(os.path.join(REPO, "SCALE_CURVES_SF1.json")) as f:
+        data = json.load(f)
+    confs = data.get("entry_confs", {})
+    for name in ("er_matched_pairs", "er_linkage_quality", "stream_er_admission"):
+        assert confs.get(name) == ["spark.sql.autoBroadcastJoinThreshold=-1"], (
+            f"{name}: regime-pin provenance missing from entry_confs ({confs.get(name)})"
+        )
