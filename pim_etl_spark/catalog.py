@@ -211,7 +211,7 @@ _DRIVER_GREEN = frozenset({
     "table_fingerprint_checksum", "late_arriving_dimension",
     "ingestion_ledger_dedup", "target_encoding_loo",
     "feature_hashing_bow", "event_path_mining",
-    "time_decayed_popularity", "neardup_evidence_report",
+    "time_decayed_popularity",
     "vocab_oov_audit", "synthetic_data_calibration",
     "linear_interpolation_gapfill",
     # sequential_purchase_patterns dropped from this block (q21 rule):
@@ -234,7 +234,13 @@ _DRIVER_GREEN = frozenset({
     "autocorrelation_daily_orders", "bench_control", "bfs_trade_hops",
     "bloom_pruned_shuffle_join", "cep_overlapping_matches",
     "cusum_change_point", "cusum_excursion_band",
-    "dedup_cluster_resolution", "embedding_lsh_neardup_buckets",
+    # the six LSH/near-dup entries sharing llm_ops/dedup.py's banding
+    # chain are dropped from the proven blocks below (q21 rule): round
+    # 12 rewrote the chain (N_BANDS 8x4 -> 48x3 + base-hash coordinate
+    # derivation) after the scratch-sf1 sweep measured the old S-curve
+    # missing ~70 of 2600 truth pairs in the marginal band [0.5, 0.8)
+    # — they re-sample first on the changed code.
+    "embedding_lsh_neardup_buckets",
     "ewma_order_value", "gold_bucketed_sync", "gold_change_feed",
     "gold_time_travel_diff",
     # grid_dbscan_clusters dropped from this r7 block (q21 rule): the
@@ -242,15 +248,21 @@ _DRIVER_GREEN = frozenset({
     # label-loop code — it re-samples first.
     "group_leakage_safe_split", "heavy_hitters_sketch",
     "hierarchy_ancestor_rollup", "image_patchify_grid",
-    "incremental_neardup_gate", "incremental_rollup_maintenance",
+    "incremental_rollup_maintenance",
     "incremental_rollup_minmax", "interval_overlap_bin_join",
     "kcore_decomposition", "kll_mergeable_quantiles",
-    "minhash_lsh_candidates", "order_streak_islands",
-    "pim_feed_source_scan", "selfjoin_size_sketch", "simhash_buckets",
+    "order_streak_islands",
+    "pim_feed_source_scan", "selfjoin_size_sketch",
     "spatial_grid_neighbor_join", "sql_udf_inlined_tiers",
     "sssp_trade_cost", "stream_cep_pattern_totals",
     "stream_left_outer_attribution", "table_profile_summary",
-    "theta_audience_overlap", "triangle_count_trade",
+    # theta_audience_overlap: r7-green but REWRITTEN in round 12
+    # (sketch lgk 12 -> 14: the sf1 parity sweep caught the 2%
+    # envelope asserted at only ~1.3σ of sketch headroom — AMERICA's
+    # 23 421-customer audience left the default sketch's exact mode —
+    # the same under-margined class as hll_mergeable_rollup one decade
+    # out) — dropped per the q21 rule so the driver re-samples.
+    "triangle_count_trade",
     "variant_semistructured_access", "versioned_branch_merge",
     "versioned_point_lookup", "versioned_replica_sync",
     # round 8 (CORRECTNESS_r08.json) — all 50 sampled entries
@@ -273,7 +285,6 @@ _DRIVER_GREEN = frozenset({
     # global_grid_codes uniform-length producer filter + the chained
     # over-ceiling dim guard — they re-sample first.
     "bm25_ranked_search",
-    "cross_corpus_lsh_decontamination",
     "entity_resolution_clusters", "semantic_dedup_cells",
     "prefix_filter_jaccard_join", "merkle_range_diff",
     "cep_quantified_pattern", "theil_sen_trend", "peak_concurrency_sweep",
@@ -377,9 +388,22 @@ _PENDING_FIRST = (
     # unconditionally (previously events-only). orc_roundtrip_rollup's
     # max_odate_us is the one column computed through that tz-sensitive
     # path (unix_micros over an NTZ->LTZ cast), so it re-samples first
-    # on the changed code. 1 pending total — the driver window carries
-    # ~49 freshness re-proofs of folded greens.
+    # on the changed code. theta_audience_overlap joins it (q21 rule):
+    # round 12 rewrote its sketch construction (lgk 12 -> 14 after the
+    # sf1 sweep caught the under-margined envelope). The six LSH/
+    # near-dup entries follow: round 12 rewrote the shared banding
+    # chain (N_BANDS 8x4 -> 48x3 + base-hash coordinates) after the
+    # same sweep measured the old S-curve missing ~70 of 2600 truth
+    # pairs in the marginal band. 8 pending total — the driver window
+    # carries ~42 freshness re-proofs of folded greens.
     "orc_roundtrip_rollup",
+    "theta_audience_overlap",
+    "minhash_lsh_candidates",
+    "simhash_buckets",
+    "dedup_cluster_resolution",
+    "incremental_neardup_gate",
+    "cross_corpus_lsh_decontamination",
+    "neardup_evidence_report",
 )
 
 # ...and these order LAST within pending. EMPTY since round 9: the 19

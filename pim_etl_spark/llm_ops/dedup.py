@@ -96,8 +96,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-discovered, exactly-verified output against it; hashes stay
 # engine-side, results are hash-gated.
 
-N_HASHES = 32
-N_BANDS = 8  # 4 rows per band → catches jaccard ≳ 0.5 pairs
+# 48 bands x 3 rows: the S-curve midpoint (1/b)^(1/r) = 0.275 sits
+# BELOW the verify threshold (J >= 0.5), so per-pair catch probability
+# at the threshold is 1-(1-0.5^3)^48 = 0.9984 and >= 0.99998 by
+# J = 0.6. The previous 8x4 scheme had its midpoint at 0.59 — ABOVE
+# the threshold — so pairs in the marginal band [0.5, ~0.8) were
+# caught with probability as low as 0.40; every tested corpus had
+# happened to concentrate its pair mass at J >= 0.85, and the round-12
+# scratch-sf1 sweep (the first corpus with organic marginal pairs: 61
+# in [0.5, 0.6), 143 in [0.6, 0.7)) measured exactly the predicted
+# ~70 misses out of 2600 truth pairs. Candidate-volume cost of the
+# steeper curve, MEASURED on the saturated-vocabulary corpus (the
+# adversarial case — 116M background pairs share a shingle at
+# J < 0.1): expected background candidates 8.1k vs 2.6k truth pairs
+# at scratch sf1 — still O(truth), not O(n²), because r=3 suppresses
+# background collisions by J³ (an r=2 scheme measures 192k). All
+# numbers: SCALE.md "Banding vs verify threshold".
+N_HASHES = 144
+N_BANDS = 48
 
 
 def _shingles(c, k: int = 3):
@@ -124,15 +140,32 @@ def _shingles(c, k: int = 3):
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature over 3-token shingles.
 
-    explode(shingles) → partial min-agg per seed, map-side combined
-    before the doc_id shuffle, so only (doc_id, 32 longs) rows cross
-    the exchange — never the shingle text. (A fully per-row array_min
-    formulation was tried and is ~40× slower: ProjectCollapse inlines
-    the whole shingle expression tree into every signature column.)
-    Deterministic: xxhash64 is a fixed algorithm, seeds are literal.
+    explode(shingles) → partial min-agg per coordinate, map-side
+    combined before the doc_id shuffle, so only (doc_id, 144 longs)
+    rows cross the exchange — never the shingle text. (A fully
+    per-row array formulation was tried twice and is 2-100× slower:
+    ProjectCollapse inlines the shingle expression tree into the
+    coordinate loop and re-evaluates it per coordinate — the round-5
+    trap, which the explode's generator barrier prevents.)
+
+    The 144 coordinates hash the variable-length shingle STRING only
+    once (its xxhash64 base value), then derive coordinate i as
+    xxhash64(i, base) — a fixed-width 12-byte hash per coordinate.
+    Measured at sf0.1: the 144 cheap-hash aggs run FASTER than the
+    old 32 string-rehash aggs (2.8 s vs 3.5 s), and the
+    spark.sql.codegen.maxFields=100 whole-stage-codegen fallback the
+    145-field aggregate triggers costs ~15%, not a cliff (A/B with
+    maxFields=400: 2.4 s). Derivation is ANSI-safe (unlike h1 + i*h2
+    double hashing, whose long arithmetic can overflow-throw under
+    Spark 4's ANSI mode); base-hash collisions conflate two shingles
+    with probability ~2⁻⁶⁴ — negligible against the banding's own
+    error terms. Deterministic: xxhash64 is a fixed algorithm,
+    coordinate indices are literal.
     """
-    shingled = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    shingled = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).select("doc_id", F.xxhash64(F.col("shingle")).alias("sbase"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sbase"))).alias(f"h{i}") for i in range(n_hashes)]
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
@@ -282,11 +315,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated against the DuckDB all-pairs truth set (VERDICT r4 #1:
     the hashes stay engine-side; the RESULT is pinned exactly).
 
-    At 8 bands × 4 rows the per-pair catch probability at the planted
-    similarity level (j >= 0.89 in the synthetic corpus) is
-    1-(1-j⁴)⁸ > 0.999; the oracle proves recall is exactly 1 on this
-    corpus, and precision is 1 by construction (every emitted pair is
-    exactly verified).
+    At 48 bands × 3 rows the per-pair catch probability is
+    1-(1-j³)⁴⁸: 0.9984 at the j = 0.5 verify threshold and >= 0.99998
+    from j = 0.6 up — the S-curve midpoint (0.275) sits below the
+    threshold, so the MARGINAL band [0.5, 0.8) is caught reliably,
+    not just the planted j >= 0.89 mass (the round-12 scratch-sf1
+    sweep caught the old 8×4 scheme missing ~70 of 2600 truth pairs
+    there; see the N_BANDS comment). The oracle proves recall is
+    exactly 1 on every tested corpus, and precision is 1 by
+    construction (every emitted pair is exactly verified).
     """
     docs = load_table(spark, sf_dir, "documents")
     return verified_neardup_pairs(docs).orderBy("doc_a", "doc_b")
@@ -493,11 +530,24 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_buckets",
     oracle=f"""
-    -- SimHash separation bound: the oracle computes the exact truth
-    -- (near-dup pairs and an adjacent-id non-dup sample) and asserts
-    -- the engine's fingerprints separate them across the hamming-16
-    -- boundary — a broken hash mix, vote fold, or bit pack collapses
-    -- one of the flags
+    -- SimHash fingerprint contract, re-scoped in round 12: the old
+    -- gate asserted hamming-16 SEPARATION of J >= 0.5 pairs from
+    -- non-dups, which the scratch-sf1 sweep falsified — measured
+    -- there, marginal-band (J in [0.5, 0.6)) pairs reach hamming 25
+    -- while the 50k-pair null distribution's tail reaches DOWN to 16;
+    -- no 64-bit fingerprint boundary can separate similarity classes
+    -- that close (J = 0.49 vs 0.51 pairs are distribution-identical).
+    -- Separation was a property of the earlier corpora's BIMODAL pair
+    -- mass (everything >= 0.89 or <= 0.1), not of the operator. The
+    -- scale-true contract of a 64-bit fingerprint is the one gated
+    -- now: (a) recall on the HIGH-similarity class — every J >= 0.9
+    -- truth pair within hamming 16 (measured max 13 at sf1) — and
+    -- (b) a bounded blocking false-positive rate — at most 1 in 1000
+    -- of the adjacent-id non-dup sample within radius 16 (the rate
+    -- that drives exact-verification cost at 100 TB; measured 1 of
+    -- 49 998 at sf1). A broken hash mix, vote fold, or bit pack
+    -- still collapses a flag: mixing failures send everything to
+    -- small hamming (fails b) or scatter true dups (fails a).
     WITH {_TRUTH_PAIRS_CTE},
     adjacent AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -510,25 +560,31 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_dup_pairs,
            (SELECT CAST(count(*) AS BIGINT) FROM nondup) AS n_nondup_pairs,
-           TRUE AS dup_hamming_le_16,
-           TRUE AS nondup_hamming_gt_16
+           TRUE AS dup09_hamming_le_16,
+           TRUE AS nondup_fp_le_1_in_1000
     """,
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup separation, hash-gated (VERDICT r4 #1): every
-    TRUE near-dup pair (exact shingle-Jaccard >= 0.5, found via the
-    oracle-proven LSH path) must land within hamming distance 16,
-    while an adjacent-id non-dup sample must all land beyond it —
-    the property that makes hamming-ball blocking (bucket by bit
-    prefix, probe neighbors) a sound near-dup index.
+    """SimHash fingerprint contract, hash-gated (VERDICT r4 #1;
+    re-scoped round 12 — see the oracle comment for the measured
+    falsification of the old separation claim): every J >= 0.9 truth
+    pair lands within hamming 16 of its partner (high-similarity
+    recall — what makes hamming-ball blocking a sound DISCOVERY index
+    for the dedup class), while at most 1 in 1000 of an adjacent-id
+    non-dup sample lands inside that radius (the false-positive rate
+    that bounds exact-verification cost — candidates are verified,
+    exactly as the MinHash-LSH chain verifies its collisions; the
+    marginal [0.5, 0.9) band routes through that chain, whose banded
+    recall IS engineered for it).
 
-    Measured margins on the synthetic corpus: planted pairs reach at
-    most hamming 11; non-dup pairs start at 21 — the 16 boundary has
-    ≥5 bits of slack on both sides and is deterministic (fixed seeds).
+    n_dup_pairs still counts the FULL J >= 0.5 truth set through the
+    LSH + exact-verify path, so this entry additionally re-proves the
+    banding recall fix at every scale it is gated at.
     """
     docs = load_table(spark, sf_dir, "documents")
     sim = simhash(docs)
-    dup_pairs = verified_neardup_pairs(docs).select("doc_a", "doc_b")
+    verified = verified_neardup_pairs(docs)
+    dup_pairs = verified.select("doc_a", "doc_b")
     adjacent = docs.select(F.col("doc_id").alias("doc_a")).join(
         docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
         "doc_a",
@@ -539,20 +595,29 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             pairs.join(sim.withColumnsRenamed({"doc_id": "doc_a", "simhash": "ha"}), "doc_a")
             .join(sim.withColumnsRenamed({"doc_id": "doc_b", "simhash": "hb"}), "doc_b")
-            .select(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d"))
+            .select(
+                *[c for c in ("jaccard",) if c in pairs.columns],
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d"),
+            )
         )
 
-    dup_stats = hamming(dup_pairs).agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"), F.max("d").alias("max_dup")
+    dup_stats = hamming(verified).agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        # coalesce: a corpus with no J >= 0.9 pair vacuously satisfies
+        # the recall flag instead of leaking a NULL into the hash gate
+        F.coalesce(F.max(F.when(F.col("jaccard") >= 0.9, F.col("d"))), F.lit(0)).alias(
+            "max_dup09"
+        ),
     )
     nondup_stats = hamming(nondup_pairs).agg(
-        F.count(F.lit(1)).alias("n_nondup_pairs"), F.min("d").alias("min_nondup")
+        F.count(F.lit(1)).alias("n_nondup_pairs"),
+        F.sum((F.col("d") <= 16).cast("long")).alias("n_fp_le16"),
     )
     return dup_stats.join(nondup_stats).select(
         "n_dup_pairs",
         "n_nondup_pairs",
-        (F.col("max_dup") <= 16).alias("dup_hamming_le_16"),
-        (F.col("min_nondup") > 16).alias("nondup_hamming_gt_16"),
+        (F.col("max_dup09") <= 16).alias("dup09_hamming_le_16"),
+        (F.col("n_fp_le16") * 1000 <= F.col("n_nondup_pairs")).alias("nondup_fp_le_1_in_1000"),
     )
 
 
@@ -564,24 +629,9 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
     probe-side AND the stored-index-side representation of the LSH
     near-dup structure. At scale the corpus side is a persisted
     artifact (like the IVF/PQ/text indexes) rebuilt only on corpus
-    growth; signatures are ~32 longs/doc, so the store is O(corpus
+    growth; signatures are ~144 longs/doc, so the store is O(corpus
     rows), not O(corpus bytes)."""
-    sigs = minhash_signatures(docs)
-    rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
-    )
+    return band_signatures(minhash_signatures(docs))
 
 
 def neardup_gate(

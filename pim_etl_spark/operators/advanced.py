@@ -999,11 +999,12 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- EXACT per-region audience sets (1996 buyers, 1997 buyers, both,
     -- churned = 1996-only) plus envelope flags the Spark side
     -- evaluates against its own theta estimates (the
-    -- hll_mergeable_rollup pattern). At every tested SF the per-
-    -- region cardinalities sit below the sketch's k=4096 exact-mode
-    -- threshold, so a correct implementation matches the exact twin
-    -- and the flags pin at 1; losing retained hashes in the
-    -- intersection/difference set algebra fails the gate.
+    -- hll_mergeable_rollup pattern). At the driver gate's SFs the
+    -- per-region cardinalities sit below the lgk=14 sketch's exact-
+    -- mode threshold (flags pin at 1 exactly); at scratch sf1 they
+    -- exceed it and the flags pin the estimate inside a 2.6-sigma
+    -- envelope; losing retained hashes in the intersection/difference
+    -- set algebra fails the gate at every scale.
     WITH buyers AS (
       SELECT r.r_name, o.o_custkey,
              max(CASE WHEN year(o.o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_a,
@@ -1042,7 +1043,13 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin from the same frame. Hash-gated columns are the exact
     audience sizes plus envelope flags on the sketch estimates (2% on
     the period estimates, 5% on intersection/difference, whose
-    relative error is amplified by the inclusion-exclusion algebra)."""
+    relative error is amplified by the inclusion-exclusion algebra).
+    Sketches run at lgk=14: at scratch sf1 the per-region audiences
+    (~23 k) exceed the default k=4096 exact-mode threshold and the
+    estimate's 1.56% RSE left the 2% envelope only 1.3 sigma of
+    headroom (one region missed — caught by the round-12 sf1 parity
+    sweep); k=16384 (0.78% RSE, ~2.6 sigma) restores the margin while
+    staying a 128 KB mergeable object."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -1063,8 +1070,16 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_b").cast("bigint").alias("exact_1997"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("exact_both"),
         F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("exact_churned"),
-        F.expr("theta_sketch_agg(CASE WHEN in_a = 1 THEN o_custkey END)").alias("sk_a"),
-        F.expr("theta_sketch_agg(CASE WHEN in_b = 1 THEN o_custkey END)").alias("sk_b"),
+        # lgk=14 (k=16384, RSE 1/sqrt(k) ~ 0.78%) instead of the default
+        # lgk=12 (k=4096, ~1.56%): the sf1 sweep caught AMERICA's 1996
+        # audience (23 421 customers) leaving the default sketch's
+        # exact mode and missing the 2% envelope with only ~1.3 sigma
+        # of headroom — the identical under-margined-envelope class the
+        # round-11 sf0.1 sweep caught in hll_mergeable_rollup, one
+        # decade further out. A 128 KB mergeable object at 2.6 sigma
+        # is the right trade; the envelope CLAIM stays at 2%/5%.
+        F.expr("theta_sketch_agg(CASE WHEN in_a = 1 THEN o_custkey END, 14)").alias("sk_a"),
+        F.expr("theta_sketch_agg(CASE WHEN in_b = 1 THEN o_custkey END, 14)").alias("sk_b"),
     )
     est_a = F.expr("theta_sketch_estimate(sk_a)")
     est_b = F.expr("theta_sketch_estimate(sk_b)")

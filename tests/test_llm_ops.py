@@ -791,3 +791,40 @@ def test_sq_l2_codes_ragged_inputs_guarded_at_producer(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         global_grid_codes(nullish)
+
+
+def test_lsh_banding_catches_marginal_band_pairs(spark):
+    """Pin the round-12 scratch-sf1 find: the 8-band x 4-row scheme
+    had its S-curve midpoint (0.59) ABOVE the J >= 0.5 verify
+    threshold, so pairs in the MARGINAL band [0.5, 0.8) were caught
+    with probability as low as 0.40 — ~70 of 2600 truth pairs missed
+    at sf1, invisible on corpora whose pair mass concentrates at
+    J >= 0.85. The 48x3 banding (midpoint 0.275, catch 0.9984 at the
+    threshold) must find planted pairs ACROSS the marginal band, not
+    just near-copies. Deterministic: fixed texts, fixed hashes.
+
+    Eight planted pairs ride one DataFrame; each pair (2k, 2k+1)
+    shares a fraction of distinct 3-token shingles tuned to land its
+    exact Jaccard in [0.5, 0.8). The verify threshold is exact
+    (2|i| >= |u|), so verified_neardup_pairs emitting a pair proves
+    BOTH that the bucket join caught it and that its true J >= 0.5."""
+    from pim_etl_spark.llm_ops.dedup import verified_neardup_pairs
+
+    rows = []
+    # shared-prefix n tokens + 4-token distinct tails per doc: shared
+    # shingles = n-2, per-doc shingles = n+2, so J = (n-2)/(n+6) —
+    # exact by construction; the n sweep lands J at 0.500, 0.556,
+    # 0.600, 0.652, 0.692, 0.733, 0.778, 0.800
+    for k, n in enumerate((10, 12, 14, 17, 20, 24, 30, 34)):
+        tail_a = " ".join(f"pa{k}x{i}" for i in range(4))
+        tail_b = " ".join(f"pb{k}y{i}" for i in range(4))
+        shared = " ".join(f"sh{k}w{i}" for i in range(n))
+        rows.append((2 * k, f"{shared} {tail_a}"))
+        rows.append((2 * k + 1, f"{shared} {tail_b}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in verified_neardup_pairs(docs).collect()}
+    expected = {(2 * k, 2 * k + 1) for k in range(8)}
+    assert set(found) == expected, found
+    js = sorted(found.values())
+    # the plant really covers the marginal band, not just J ~ 0.9
+    assert js[0] >= 0.5 and js[0] < 0.6 and js[-1] < 0.85, js
