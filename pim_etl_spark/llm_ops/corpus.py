@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pim_etl_spark.catalog import query
 from pim_etl_spark.llm_ops.dedup import _tokens
 from pim_etl_spark.sources import load_table
-from pim_etl_spark.tuning import loop_partitions
+from pim_etl_spark.tuning import loop_partitions, sorted_output
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
@@ -867,7 +867,7 @@ def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged_tokens",
             (F.col("n_tokens") - F.col("n_flagged_tokens")).alias("tokens_after"),
         )
-        .orderBy("doc_id")
+        .transform(sorted_output, "doc_id")
     )
 
 
@@ -1736,4 +1736,4 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
-    return res.orderBy("round")
+    return res.transform(sorted_output, "round")

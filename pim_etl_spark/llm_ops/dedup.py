@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
+from pim_etl_spark.tuning import sorted_output
 
 # Normalization shared by all dedup flavors: lowercase + collapse
 # whitespace, so trivially-different copies hash identically.
@@ -137,7 +138,9 @@ def _shingles(c, k: int = 3):
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, sh: DataFrame | None = None
+) -> DataFrame:
     """Per-doc MinHash signature over 3-token shingles.
 
     explode(shingles) → partial min-agg per coordinate, map-side
@@ -162,9 +165,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     error terms. Deterministic: xxhash64 is a fixed algorithm,
     coordinate indices are literal.
     """
-    shingled = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).select("doc_id", F.xxhash64(F.col("shingle")).alias("sbase"))
+    if sh is not None:
+        # caller already holds the (cached) shingle-set frame — explode
+        # it instead of re-deriving the shingle pipeline (identical
+        # arrays, so identical signature values)
+        exploded = sh.select("doc_id", F.explode("s").alias("shingle"))
+    else:
+        exploded = docs.select(
+            "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        )
+    shingled = exploded.select("doc_id", F.xxhash64(F.col("shingle")).alias("sbase"))
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("sbase"))).alias(f"h{i}") for i in range(n_hashes)]
     return shingled.groupBy("doc_id").agg(*aggs)
 
@@ -267,7 +277,7 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _shingles(F.col("text")).alias("s"))
 
 
-def verified_neardup_pairs(docs: DataFrame) -> DataFrame:
+def verified_neardup_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidate discovery + EXACT
     shingle-Jaccard verification of only the collided pairs
     (2*|∩| >= |∪| — integer-exact at the 0.5 boundary).
@@ -282,9 +292,15 @@ def verified_neardup_pairs(docs: DataFrame) -> DataFrame:
     O(collisions)); exact verification never leaves the candidate set.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(docs)
+    # one CACHED shingle frame feeds signature hashing AND both verify
+    # sides — uncached, Catalyst executes the shingle pipeline (regex
+    # normalize + split + zip + transform over every document) once per
+    # consumer: 3× here, 4× in simhash_buckets (r12 measurement). Cache
+    # lifetime is entry-scoped (catalog._entry_scoped clearCache).
+    if sh is None:
+        sh = shingle_sets(docs).cache()
+    sigs = minhash_signatures(docs, sh=sh)
     pairs = lsh_candidate_pairs(sigs)
-    sh = shingle_sets(docs)
     return (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
@@ -326,7 +342,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every emitted pair is exactly verified).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return verified_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+    return sorted_output(verified_neardup_pairs(docs), "doc_a", "doc_b")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -334,7 +350,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 64
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """64-bit SimHash per doc: per-SHINGLE xxhash64, per-bit majority
     vote (the standard document fingerprint — features are the same
     3-token shingles MinHash signs, so hamming distance tracks
@@ -347,7 +363,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     pack into one long. No shuffle, no repeated traversal per bit.
     """
     bit_idx = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
-    feats = shingle_sets(docs).withColumnRenamed("s", "feat")
+    feats = (sh if sh is not None else shingle_sets(docs)).withColumnRenamed("s", "feat")
     votes = F.aggregate(
         F.transform(F.col("feat"), lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0), SIMHASH_BITS),
@@ -523,7 +539,7 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("keeper_doc_id"))
-        .orderBy("cluster_id")
+        .transform(sorted_output, "cluster_id")
     )
 
 
@@ -582,8 +598,11 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding recall fix at every scale it is gated at.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sim = simhash(docs)
-    verified = verified_neardup_pairs(docs)
+    # one cached shingle frame for the fingerprint features, the MinHash
+    # signatures AND both exact-verify sides (4 executions -> 1, r12)
+    sh = shingle_sets(docs).cache()
+    sim = simhash(docs, sh=sh)
+    verified = verified_neardup_pairs(docs, sh=sh)
     dup_pairs = verified.select("doc_a", "doc_b")
     adjacent = docs.select(F.col("doc_id").alias("doc_a")).join(
         docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
@@ -635,7 +654,11 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
 
 
 def neardup_gate(
-    corpus: DataFrame, incoming: DataFrame, jaccard_threshold: float = 0.5
+    corpus: DataFrame,
+    incoming: DataFrame,
+    jaccard_threshold: float = 0.5,
+    corpus_sh: DataFrame | None = None,
+    incoming_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion near-dup gate: which INCOMING documents
     near-duplicate the EXISTING corpus (the check a training-data
@@ -650,10 +673,13 @@ def neardup_gate(
     Returns one row per incoming doc with a bucket collision:
     (doc_id, best_match_id, best_jaccard, is_neardup).
     """
-    index_sigs = banded_signatures(corpus).select(
+    index_sigs = band_signatures(minhash_signatures(corpus, sh=corpus_sh)).select(
         F.col("doc_id").alias("corpus_id"), "band", "band_hash"
     )
-    return gate_against_index(index_sigs, incoming, corpus, jaccard_threshold)
+    return gate_against_index(
+        index_sigs, incoming, corpus, jaccard_threshold,
+        corpus_sh=corpus_sh, incoming_sh=incoming_sh,
+    )
 
 
 def gate_against_index(
@@ -661,6 +687,8 @@ def gate_against_index(
     incoming: DataFrame,
     corpus: DataFrame,
     jaccard_threshold: float = 0.5,
+    corpus_sh: DataFrame | None = None,
+    incoming_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup gate against a PRE-BUILT banded-signature index
     (``(corpus_id, band, band_hash)`` — a persisted artifact at scale,
@@ -670,15 +698,21 @@ def gate_against_index(
     text, so per-batch cost is O(batch + collisions), never
     O(batch × corpus)."""
     cand = (
-        banded_signatures(incoming)
+        band_signatures(minhash_signatures(incoming, sh=incoming_sh))
         .join(index_sigs, ["band", "band_hash"])
         .select("doc_id", "corpus_id")
         .distinct()
     )
-    inc_toks = incoming.select("doc_id", _shingles(F.col("text")).alias("tok_in"))
-    corp_toks = corpus.select(
-        F.col("doc_id").alias("corpus_id"), _shingles(F.col("text")).alias("tok_c")
-    )
+    if incoming_sh is not None:
+        inc_toks = incoming_sh.withColumnsRenamed({"s": "tok_in"})
+    else:
+        inc_toks = incoming.select("doc_id", _shingles(F.col("text")).alias("tok_in"))
+    if corpus_sh is not None:
+        corp_toks = corpus_sh.withColumnsRenamed({"doc_id": "corpus_id", "s": "tok_c"})
+    else:
+        corp_toks = corpus.select(
+            F.col("doc_id").alias("corpus_id"), _shingles(F.col("text")).alias("tok_c")
+        )
     # shingle-set Jaccard — the same unit the banded signatures hash,
     # so collision probability and the verify threshold live on one
     # scale (round-5 change from token sets, which saturate on small
@@ -749,7 +783,14 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 7 == 3)
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
-    gated = neardup_gate(corpus, incoming)
+    # one cached shingle frame, sliced per side: index signatures, probe
+    # signatures, and both exact-verify sides all read it (4 -> 1, r12)
+    sh = shingle_sets(docs).cache()
+    gated = neardup_gate(
+        corpus, incoming,
+        corpus_sh=sh.filter(F.col("doc_id") % 7 != 3),
+        incoming_sh=sh.filter(F.col("doc_id") % 7 == 3),
+    )
     n_incoming = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
     confirmed = gated.filter(F.col("is_neardup")).agg(
         F.count(F.lit(1)).alias("n_neardups"),
@@ -811,16 +852,21 @@ def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
-    banded_t = band_signatures(minhash_signatures(train))
-    banded_b = band_signatures(minhash_signatures(bench)).withColumnsRenamed(
-        {"doc_id": "bench_id"}
+    # one cached shingle frame; each side's signatures explode its
+    # doc_id-filtered slice (identical arrays -> identical signatures),
+    # and the verify joins read the same cache (4 executions -> 1, r12)
+    sh = shingle_sets(docs).cache()
+    banded_t = band_signatures(
+        minhash_signatures(train, sh=sh.filter(F.col("doc_id") % 10 != 0))
     )
+    banded_b = band_signatures(
+        minhash_signatures(bench, sh=sh.filter(F.col("doc_id") % 10 == 0))
+    ).withColumnsRenamed({"doc_id": "bench_id"})
     cands = (
         banded_t.join(banded_b, ["band", "band_hash"])
         .select(F.col("doc_id").alias("train_id"), "bench_id")
         .distinct()
     )
-    sh = shingle_sets(docs)
     verified = (
         cands.join(sh.withColumnsRenamed({"doc_id": "train_id", "s": "sh_t"}), "train_id")
         .join(sh.withColumnsRenamed({"doc_id": "bench_id", "s": "sh_b"}), "bench_id")
@@ -839,7 +885,7 @@ def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
             F.count(F.lit(1)).alias("n_bench_matches"),
             F.max("j").alias("best_jaccard"),
         )
-        .orderBy("train_id")
+        .transform(sorted_output, "train_id")
     )
 
 
@@ -948,7 +994,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(F.col("__i").cast("double") / F.col("__u"), 4).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
+        .transform(sorted_output, "doc_a", "doc_b")
     )
 
 
@@ -1126,5 +1172,5 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter",
             F.expr("n_inter * 10000 DIV n_a").alias("containment_e4"),
         )
-        .orderBy("doc_a", "doc_b")
+        .transform(sorted_output, "doc_a", "doc_b")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 QUERY_VEC_ID = 0
@@ -1668,7 +1669,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rlab").alias("label_pred"),
             "n_votes",
         )
-        .orderBy("vec_id")
+        .transform(sorted_output, "vec_id")
     )
 
 
@@ -1842,7 +1843,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n.dist") - F.col("p.dist")).cast("long").alias("margin"),
             (F.col("n.dist") <= F.col("p.dist")).cast("int").alias("violated"),
         )
-        .orderBy("anchor_id")
+        .transform(sorted_output, "anchor_id")
     )
 
 
@@ -1946,5 +1947,5 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 DIV first_rank").alias("rr_e6"),
             (F.col("hits10") * 1000).alias("p_at10_e4"),
         )
-        .orderBy("qid")
+        .transform(sorted_output, "qid")
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.functions import token_count
 from pim_etl_spark.sources import load_table
 
@@ -985,7 +986,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = totals[0]
     for t in totals[1:]:
         out = out.unionByName(t)
-    return out.orderBy("merge_round")
+    return out.transform(sorted_output, "merge_round")
 
 
 @query(
@@ -1201,7 +1202,7 @@ def bigram_rank_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.expr("sum(rnk) * 10000 DIV count(*)").alias("avg_ctx_rank_x10000"),
         )
-        .orderBy("doc_id")
+        .transform(sorted_output, "doc_id")
     )
 
 

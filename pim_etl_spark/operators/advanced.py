@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
-from pim_etl_spark.tuning import loop_partitions
+from pim_etl_spark.tuning import loop_partitions, sorted_output
 
 
 @query(
@@ -439,7 +439,7 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(ap(0) - ex(0)) <= 0.05 * ex(0)).alias("p50_within_5pct"),
             (F.abs(ap(1) - ex(1)) <= 0.05 * ex(1)).alias("p95_within_5pct"),
         )
-        .orderBy("l_returnflag")
+        .transform(sorted_output, "l_returnflag")
     )
 
 
@@ -640,7 +640,7 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
             F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
         )
-        .orderBy("l_returnflag")
+        .transform(sorted_output, "l_returnflag")
     )
 
 
@@ -680,7 +680,7 @@ def windowed_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.size(F.collect_set("event_type").over(w)).cast("long").alias("distinct_types_so_far"),
         )
-        .orderBy("user_id", "event_id")
+        .transform(sorted_output, "user_id", "event_id")
     )
 
 
@@ -853,7 +853,7 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         one.select(F.explode(per_col).alias("p"))
         .select("p.*")
-        .orderBy("col")
+        .transform(sorted_output, "col")
     )
 
 
@@ -1100,7 +1100,7 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (within(est_both, "exact_both", 20) & within(est_churn, "exact_churned", 20))
         .cast("int")
         .alias("setops_within_5pct"),
-    ).orderBy("r_name")
+    ).transform(sorted_output, "r_name")
 
 
 @query(
@@ -1714,7 +1714,7 @@ def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lbl.select("id", F.lit("core").alias("role"), F.col("lbl").alias("cluster"))
         .unionByName(border.select("id", F.lit("border").alias("role"), F.col("lbl").alias("cluster")))
-        .orderBy("id")
+        .transform(sorted_output, "id")
     )
 
 

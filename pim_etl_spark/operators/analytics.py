@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -359,7 +360,7 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(1, "signup", n1), (2, "view_after_signup", n2), (3, "purchase_after_view", n3)],
         "step int, stage string, n_users bigint",
-    ).orderBy("step")
+    ).transform(sorted_output, "step")
 
 
 @query(
@@ -1422,7 +1423,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.join(ci, "priority")
         .select("priority", "n_rows", "mean_price", "ci_lo", "ci_hi", "n_replicates")
-        .orderBy("priority")
+        .transform(sorted_output, "priority")
     )
 
 
@@ -2042,7 +2043,7 @@ def time_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("decayed_score"),
         )
-        .orderBy(F.col("decayed_score").desc(), F.col("brand").asc())
+        .transform(sorted_output, F.col("decayed_score").desc(), F.col("brand").asc())
         .limit(15)
     )
 
@@ -2210,7 +2211,7 @@ def sequential_purchase_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.brand").alias("brand_later"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-        .orderBy(F.col("n_customers").desc(), "brand_then", "brand_later")
+        .transform(sorted_output, F.col("n_customers").desc(), "brand_then", "brand_later")
         .limit(10)
     )
 
@@ -2851,7 +2852,7 @@ def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .filter(F.col("supp") >= APRIORI_MIN_SUPPORT)
     )
-    return tri.select("i1", "i2", "i3", "supp").orderBy("i1", "i2", "i3")
+    return tri.select("i1", "i2", "i3", "supp").transform(sorted_output, "i1", "i2", "i3")
 
 
 @query(
@@ -3027,7 +3028,7 @@ def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         subjects.join(o.unionByName(l), "c_custkey")
         .select("c_custkey", "c_name", "tbl", "n_rows", "cents_total", "row_checksum")
-        .orderBy("c_custkey", "tbl")
+        .transform(sorted_output, "c_custkey", "tbl")
     )
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
-from pim_etl_spark.tuning import loop_partitions
+from pim_etl_spark.tuning import loop_partitions, sorted_output
 
 MATCH_THRESHOLD = 70
 
@@ -586,7 +586,7 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_cov * 10000 DIV n_truth").cast("long").alias("pair_completeness_e4"),
         )
     )
-    return per_pass.unionByName(combined).orderBy("pass")
+    return per_pass.unionByName(combined).transform(sorted_output, "pass")
 
 
 @query(
@@ -606,10 +606,10 @@ def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic so the decision boundary is reproducible across
     engines AND partitionings. `is_true` carries the planted
     provenance for downstream quality audit; the score never reads it."""
-    return (
-        scored_pairs(spark, sf_dir)
-        .filter(F.col("score") >= MATCH_THRESHOLD)
-        .orderBy("rec_a", "rec_b")
+    return sorted_output(
+        scored_pairs(spark, sf_dir).filter(F.col("score") >= MATCH_THRESHOLD),
+        "rec_a",
+        "rec_b",
     )
 
 
@@ -769,7 +769,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("psize").cast("long").alias("canonical_size"),
             F.max("cents").alias("canonical_cents"),
         )
-        .orderBy("cluster_id")
+        .transform(sorted_output, "cluster_id")
     )
 
 
@@ -923,5 +923,5 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("is_correct"),
         )
-        .orderBy("rec_id")
+        .transform(sorted_output, "rec_id")
     )

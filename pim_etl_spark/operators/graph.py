@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
-from pim_etl_spark.tuning import loop_partitions
+from pim_etl_spark.tuning import loop_partitions, sorted_output
 
 # The nation dimension is fixed-cardinality (25) at every scale factor;
 # both engines hardcode it so neither needs a driver-side count action.
@@ -134,7 +134,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.join(F.broadcast(nat), F.col("node") == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), "nation")
+        .transform(sorted_output, F.col("rank").desc(), "nation")
     )
 
 
@@ -236,7 +236,7 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
         )
         .select("node", "n_name", "min_hops")
-        .orderBy("min_hops", "node")
+        .transform(sorted_output, "min_hops", "node")
     )
 
 
@@ -351,7 +351,7 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_triangles"),
         )
-        .orderBy("node")
+        .transform(sorted_output, "node")
     )
 
 
@@ -450,7 +450,7 @@ def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
         )
         .select("node", "n_name", "min_cost")
-        .orderBy("min_cost", "node")
+        .transform(sorted_output, "min_cost", "node")
     )
 
 
@@ -563,7 +563,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         labels.join(F.broadcast(nation), labels.node == nation.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("label").cast("long").alias("community"))
-        .orderBy("nation")
+        .transform(sorted_output, "nation")
     )
 
 
@@ -726,7 +726,7 @@ def hierarchy_closure_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.bit_xor("h60").alias("pair_checksum"),
         )
-        .orderBy("depth")
+        .transform(sorted_output, "depth")
     )
 
 
@@ -786,7 +786,7 @@ def bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("subtree_cents"),
         )
         .filter(F.col("n_descendants") >= 16)
-        .orderBy("anc")
+        .transform(sorted_output, "anc")
     )
 
 
@@ -899,5 +899,5 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("core_degree") >= KCORE_K)
         .join(F.broadcast(nat), F.col("u") == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), "core_degree")
-        .orderBy("nation")
+        .transform(sorted_output, "nation")
     )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -322,5 +323,5 @@ def variant_semistructured_access(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("k").cast("bigint").alias("sum_k"),
             F.min("tag1").alias("tag1_min"),
         )
-        .orderBy("event_type")
+        .transform(sorted_output, "event_type")
     )

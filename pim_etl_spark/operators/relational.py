@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -517,7 +518,7 @@ def multi_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.createDataFrame(
         rows, "r_name string, n_suppliers bigint, total_acctbal double"
-    ).orderBy("r_name")
+    ).transform(sorted_output, "r_name")
 
 
 @query(
@@ -643,7 +644,7 @@ def bloom_pruned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dim_keys",
             "n_buckets",
         )
-        .orderBy("l_returnflag")
+        .transform(sorted_output, "l_returnflag")
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark import functions as pf
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -37,7 +38,7 @@ def eu_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(pf.parse_eu_decimal(eu_string)), 2).alias("parsed_sum"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag")
+        .transform(sorted_output, "l_returnflag")
     )
 
 

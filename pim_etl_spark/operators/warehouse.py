@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -231,7 +232,7 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("lo").alias("lo_cents"),
             F.any_value("hi").alias("hi_cents"),
         )
-        .orderBy("status")
+        .transform(sorted_output, "status")
     )
 
 
@@ -352,7 +353,7 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cw") - F.col("n_chars")).alias("cum_before"),
             F.expr("cw div step").alias("slot_hi"),
         )
-        .orderBy("source", "doc_id")
+        .transform(sorted_output, "source", "doc_id")
     )
 
 
@@ -468,7 +469,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cid").alias("cluster_id"), "n_members", "n_noisy", "canonical_name"
         )
-        .orderBy("cluster_id")
+        .transform(sorted_output, "cluster_id")
     )
 
 
@@ -849,7 +850,7 @@ def scd2_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(facts.o_custkey, F.col("o_orderpriority").alias("priority_at_ship"))
         .agg(F.count(F.lit(1)).alias("n_shipments"))
-        .orderBy("o_custkey", "priority_at_ship")
+        .transform(sorted_output, "o_custkey", "priority_at_ship")
     )
 
 
@@ -1311,7 +1312,7 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tbl, ignore_errors=True)
     return spark.createDataFrame(
         rows, "priority string, n_orders bigint, revenue double"
-    ).orderBy("priority")
+    ).transform(sorted_output, "priority")
 
 
 def assign_surrogate_keys(

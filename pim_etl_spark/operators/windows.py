@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import load_table
 
 
@@ -349,7 +350,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("weighted_median_cents"),
         )
-        .orderBy("flag")
+        .transform(sorted_output, "flag")
     )
 
 

@@ -184,6 +184,71 @@ def _bloom_has(b64: str, positions: Sequence[int]) -> bool:
     return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
+def _stats_from_footers(
+    staging: str, staged_names: Sequence[str], stats_cols: Sequence[str]
+) -> dict | None:
+    """Per-file min/max of ``stats_cols`` read straight from the parquet
+    FOOTERS, driver-side — zero Spark jobs (r12 optimization, guide §1.2
+    step 1: the old path launched a scan+aggregate job per commit whose
+    answer the writer had already persisted in the chunk statistics).
+
+    Exactness contract: only types whose parquet chunk statistics are
+    provably the exact column min/max are served from the footer —
+    integers, DATE, BOOLEAN, and UTF8 strings (parquet-mr drops binary
+    stats entirely rather than truncating them at the chunk level, so
+    present string stats are full values and compare in the same
+    unsigned-byte order Spark's ``min``/``max`` uses). Floats/doubles
+    (NaN makes writer stats untrustworthy) and timestamps (pyarrow
+    surfaces them tz-adjusted, unlike a collected Spark row) return
+    ``None`` → the caller falls back to the Spark stats job, as does
+    any file whose footer lacks min/max for a non-empty column. The
+    returned values are exactly what the Spark job's ``collect()``
+    yields for these types (int / str / datetime.date / bool), so
+    manifests, pruning joins, and any stats-bearing gated output are
+    bit-identical either way."""
+    import pyarrow.parquet as _pq
+
+    stats: dict = {}
+    for f in staged_names:
+        try:
+            md = _pq.ParquetFile(os.path.join(staging, f)).metadata
+        except Exception:
+            return None
+        schema = md.schema
+        col_idx = {schema.column(i).name: i for i in range(len(schema))}
+        per_col: dict = {}
+        for c in stats_cols:
+            i = col_idx.get(c)
+            if i is None:
+                return None
+            pcol = schema.column(i)
+            phys = pcol.physical_type
+            logical = str(pcol.logical_type)
+            ok = (
+                phys in ("INT32", "INT64", "BOOLEAN")
+                and not logical.startswith(("Timestamp", "Time", "Decimal"))
+            ) or (phys == "BYTE_ARRAY" and logical.startswith("String"))
+            if not ok:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(i)
+                st = cc.statistics
+                n_vals = cc.num_values if cc.num_values is not None else 0
+                if st is None or not st.has_min_max:
+                    if n_vals and (st is None or (st.null_count or 0) < n_vals):
+                        # non-null values exist but no trustworthy
+                        # min/max → this footer can't serve the stats
+                        return None
+                    continue  # all-null / empty row group contributes nothing
+                lo, hi = st.min, st.max
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            per_col[c] = [mn, mx]
+        stats[f] = per_col
+    return stats
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -199,7 +264,12 @@ def _write_data_files(
     data-skipping index — Delta's file statistics). The Spark job
     writes to a staging dir, then each part-file is renamed (same
     filesystem — a move, not a copy) into ``data/`` under a
-    version+token prefix so names never collide across commits."""
+    version+token prefix so names never collide across commits.
+
+    Stats come from the parquet FOOTERS when the column types allow an
+    exact read (``_stats_from_footers`` — zero extra Spark jobs, the
+    Delta/Iceberg production shape); otherwise one scan of the NEW
+    files only computes them (never the table)."""
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(path, _DATA)
@@ -215,25 +285,30 @@ def _write_data_files(
         names.append(name)
     stats: dict = {}
     if stats_cols and names:
-        # one scan of the NEW files only (never the table), grouped by
-        # physical file — the stats ride in the manifest from birth
-        spark = df.sparkSession
-        aggs = []
-        for c in stats_cols:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        for r in (
-            spark.read.parquet(staging)
-            .withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
-            .groupBy("__f")
-            .agg(*aggs)
-            .collect()
-        ):
-            fname = renames.get(r["__f"])
-            if fname:
-                stats[fname] = {
-                    c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
-                }
+        footer = _stats_from_footers(staging, sorted(renames), stats_cols)
+        if footer is not None:
+            for src, per_col in footer.items():
+                stats[renames[src]] = per_col
+        else:
+            # fallback: one scan of the NEW files only (never the
+            # table), grouped by physical file
+            spark = df.sparkSession
+            aggs = []
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            for r in (
+                spark.read.parquet(staging)
+                .withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+                .groupBy("__f")
+                .agg(*aggs)
+                .collect()
+            ):
+                fname = renames.get(r["__f"])
+                if fname:
+                    stats[fname] = {
+                        c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+                    }
     if bloom_col and names:
         # second metadata pass over the NEW files only: per-file set of
         # occupied bit positions (<= bloom_bits ints — manifest-sized),
@@ -758,6 +833,11 @@ def merge_files(
     parent_fstats = manifest.get("file_stats", {})
     data_dir = os.path.join(path, _DATA)
 
+    # the batch's distinct key set feeds BOTH the manifest-level prune
+    # join and the touched-file semi-join — materialize it once instead
+    # of re-running the (possibly computed) incoming subtree per probe
+    inc_keys = incoming.select(*keys).distinct().localCheckpoint(eager=False)
+
     # manifest-level data skipping: a file whose [min, max] of the
     # prune key contains NO batch key cannot be touched — exact
     # per-file test via a broadcast join of the (file, lo, hi) stats
@@ -785,7 +865,7 @@ def merge_files(
             F.col("__lo").cast(key_type).alias("__lo"),
             F.col("__hi").cast(key_type).alias("__hi"),
         )
-        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        bkeys = inc_keys.select(F.col(prune_col).alias("__k")).distinct()
         candidates = [
             r[0]
             for r in bkeys.join(
@@ -813,7 +893,7 @@ def merge_files(
         ).withColumn("__file", F.input_file_name())
         touched = [
             by_base[os.path.basename(r[0])]
-            for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
+            for r in with_file.join(inc_keys, list(keys), "left_semi")
             .select("__file")
             .distinct()
             .collect()
@@ -891,6 +971,9 @@ def _merge_files_sharded(
     touched files) — independent of total table file count.
     """
     prune_col = keys[0]
+    # one materialized distinct-key frame for the shard prune, the file
+    # prune AND the touched-file semi-join (r12: 3 executions -> 1)
+    inc_keys = incoming.select(*keys).distinct().localCheckpoint(eager=False)
     shard_stats = pointer.get("shard_stats", {})
     all_shards = pointer["shards"]
     data_dir = os.path.join(path, _DATA)
@@ -908,7 +991,7 @@ def _merge_files_sharded(
             F.col("__lo").cast(key_type).alias("__lo"),
             F.col("__hi").cast(key_type).alias("__hi"),
         )
-        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        bkeys = inc_keys.select(F.col(prune_col).alias("__k")).distinct()
         hit = {
             r[0]
             for r in bkeys.join(
@@ -950,7 +1033,7 @@ def _merge_files_sharded(
             F.col("__lo").cast(key_type).alias("__lo"),
             F.col("__hi").cast(key_type).alias("__hi"),
         )
-        bkeys = incoming.select(F.col(prune_col).alias("__k")).distinct()
+        bkeys = inc_keys.select(F.col(prune_col).alias("__k")).distinct()
         candidates = [
             r[0]
             for r in bkeys.join(
@@ -975,7 +1058,7 @@ def _merge_files_sharded(
         ).withColumn("__file", F.input_file_name())
         touched = [
             by_base[os.path.basename(r[0])]
-            for r in with_file.join(incoming.select(*keys).distinct(), list(keys), "left_semi")
+            for r in with_file.join(inc_keys, list(keys), "left_semi")
             .select("__file")
             .distinct()
             .collect()
@@ -1876,6 +1959,7 @@ def vacuum(
 
 from pim_etl_spark.catalog import query  # noqa: E402
 from pim_etl_spark.sources import load_table  # noqa: E402
+from pim_etl_spark.tuning import sorted_output
 
 
 @query(
@@ -1968,7 +2052,7 @@ def gold_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tbl, ignore_errors=True)
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, total_price double"
-    ).orderBy("version")
+    ).transform(sorted_output, "version")
 
 
 @query(
@@ -2042,7 +2126,7 @@ def gold_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tbl, ignore_errors=True)
     return spark.createDataFrame(
         rows, "from_v int, to_v int, change_type string, n_keys bigint"
-    ).orderBy("from_v", "change_type")
+    ).transform(sorted_output, "from_v", "change_type")
 
 
 @query(
@@ -2841,7 +2925,13 @@ def merge_branch(
     bhead = current_version(branch_path)
     if bhead == 1:
         return {"merged": False, "reason": "branch has no commits past the branch point"}
-    bdelta = changes_between(spark, branch_path, keys, 1, bhead)
+    # narrow (keys, change_type) frame consumed by the conflict check,
+    # the upsert semi-join, the delete key set AND the emptiness probes
+    # below — materialize once instead of re-running the CDC diff scan
+    # per consumer (r12: 4 executions → 1)
+    bdelta = changes_between(spark, branch_path, keys, 1, bhead).localCheckpoint(
+        eager=False
+    )
     src_head = current_version(src_path)
     n_conflicts = 0
     if src_head > base_v:
@@ -2919,8 +3009,16 @@ def merge_branch(
             .unionByName(merged_conf)
         )
     del_keys = bdelta.filter(F.col("change_type") == "delete").select(*keys)
-    n_up = upserts.limit(1).count()
-    n_del = del_keys.limit(1).count()
+    # one probe job, not two: upserts is nonempty iff bdelta holds any
+    # non-delete row (its keys exist at the branch head by construction
+    # of the change feed, so the semi-join always matches), and del_keys
+    # mirrors that for deletes — both flags fold into one agg over the
+    # materialized narrow delta
+    probe = bdelta.agg(
+        F.count(F.when(F.col("change_type") != "delete", 1)).alias("n_up"),
+        F.count(F.when(F.col("change_type") == "delete", 1)).alias("n_del"),
+    ).collect()[0]
+    n_up, n_del = probe["n_up"], probe["n_del"]
     if n_up:
         merge_files(spark, src_path, upserts, keys=keys, order_col=order_col)
     if n_del:
@@ -2995,8 +3093,14 @@ def sync_replica(
         "left_semi",
     )
     deleted_keys = net.filter(F.col("change_type") == "delete").select(*keys)
-    n_del = deleted_keys.count()
-    n_up = upserts.limit(1).count()
+    # one probe job over the already-checkpointed narrow feed: upserts
+    # is nonempty iff net has any non-delete row (those keys exist at
+    # the source head by construction, so the semi-join always matches)
+    probe = net.agg(
+        F.count(F.when(F.col("change_type") == "delete", 1)).alias("n_del"),
+        F.count(F.when(F.col("change_type") != "delete", 1)).alias("n_up"),
+    ).collect()[0]
+    n_del, n_up = probe["n_del"], probe["n_up"]
     if n_up > 0:
         merge_files(
             spark, dst_path, upserts, keys=keys, order_col=order_col,
