@@ -292,14 +292,14 @@ def verified_neardup_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Data
     O(collisions)); exact verification never leaves the candidate set.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    # one CACHED shingle frame feeds signature hashing AND both verify
-    # sides — uncached, Catalyst executes the shingle pipeline (regex
-    # normalize + split + zip + transform over every document) once per
-    # consumer: 3× here, 4× in simhash_buckets (r12 measurement). Cache
-    # lifetime is entry-scoped (catalog._entry_scoped clearCache).
+    # NOTE (r12): caching the shingle frame to share it across the
+    # signature and verify branches was tried and REGRESSED 10-40% at
+    # sf0.1 — the columnar (de)serialization of array<string> rows in
+    # and out of the SQL cache costs more than re-running the fused
+    # scan->shingle pipeline per consumer. Left uncached deliberately.
     if sh is None:
-        sh = shingle_sets(docs).cache()
-    sigs = minhash_signatures(docs, sh=sh)
+        sh = shingle_sets(docs)
+    sigs = minhash_signatures(docs, sh=None)
     pairs = lsh_candidate_pairs(sigs)
     return (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
@@ -598,11 +598,8 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding recall fix at every scale it is gated at.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # one cached shingle frame for the fingerprint features, the MinHash
-    # signatures AND both exact-verify sides (4 executions -> 1, r12)
-    sh = shingle_sets(docs).cache()
-    sim = simhash(docs, sh=sh)
-    verified = verified_neardup_pairs(docs, sh=sh)
+    sim = simhash(docs)
+    verified = verified_neardup_pairs(docs)
     dup_pairs = verified.select("doc_a", "doc_b")
     adjacent = docs.select(F.col("doc_id").alias("doc_a")).join(
         docs.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")),
@@ -783,14 +780,7 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 7 == 3)
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
-    # one cached shingle frame, sliced per side: index signatures, probe
-    # signatures, and both exact-verify sides all read it (4 -> 1, r12)
-    sh = shingle_sets(docs).cache()
-    gated = neardup_gate(
-        corpus, incoming,
-        corpus_sh=sh.filter(F.col("doc_id") % 7 != 3),
-        incoming_sh=sh.filter(F.col("doc_id") % 7 == 3),
-    )
+    gated = neardup_gate(corpus, incoming)
     n_incoming = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
     confirmed = gated.filter(F.col("is_neardup")).agg(
         F.count(F.lit(1)).alias("n_neardups"),
@@ -852,16 +842,11 @@ def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
-    # one cached shingle frame; each side's signatures explode its
-    # doc_id-filtered slice (identical arrays -> identical signatures),
-    # and the verify joins read the same cache (4 executions -> 1, r12)
-    sh = shingle_sets(docs).cache()
-    banded_t = band_signatures(
-        minhash_signatures(train, sh=sh.filter(F.col("doc_id") % 10 != 0))
+    banded_t = band_signatures(minhash_signatures(train))
+    banded_b = band_signatures(minhash_signatures(bench)).withColumnsRenamed(
+        {"doc_id": "bench_id"}
     )
-    banded_b = band_signatures(
-        minhash_signatures(bench, sh=sh.filter(F.col("doc_id") % 10 == 0))
-    ).withColumnsRenamed({"doc_id": "bench_id"})
+    sh = shingle_sets(docs)
     cands = (
         banded_t.join(banded_b, ["band", "band_hash"])
         .select(F.col("doc_id").alias("train_id"), "bench_id")

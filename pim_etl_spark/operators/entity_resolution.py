@@ -555,8 +555,16 @@ def er_blocking_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = (
         norm.agg(F.count(F.lit(1)).alias("n_recs"))
         .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
-        .crossJoin(F.broadcast(keys.agg(F.countDistinct("bkey").alias("n_blocks"))))
-        .crossJoin(F.broadcast(per_block.agg(F.max("sz").alias("max_block"))))
+        # one agg, not two: per_block has exactly one row per distinct
+        # bkey (its pass prefix is a function of the key), so its row
+        # count IS countDistinct(bkey) and rides the same job as max(sz)
+        .crossJoin(
+            F.broadcast(
+                per_block.agg(
+                    F.count(F.lit(1)).alias("n_blocks"), F.max("sz").alias("max_block")
+                )
+            )
+        )
         .crossJoin(
             F.broadcast(truth_pairs.agg(F.count(F.lit(1)).alias("n_truth")))
         )

@@ -59,6 +59,14 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)),
         )
+        # Whole-stage codegen field cap: the MinHash signature aggregate
+        # carries 145 columns (144 coordinates + doc_id), which falls
+        # back to interpreted evaluation at the default maxFields=100 —
+        # measured ~17% slower on the LSH family at sf0.1. 400 keeps the
+        # aggregate inside codegen; the setting is scale- and
+        # core-count-independent (it caps generated-code width, not
+        # parallelism), so the same value ships to a cluster.
+        .config("spark.sql.codegen.maxFields", "400")
         # --- python<->jvm transfer is Arrow-batched everywhere ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -18,6 +18,7 @@ from pyspark.sql.types import StructType
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.operators.entity_resolution import _ER_CTE
+from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.sources import _ensure_nanos_conf, normalize_event_ts
 
 
@@ -1072,6 +1073,11 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = blocking_keys(norm).cache()
     # static join side: base blocking keys + features + cluster label,
     # feature columns prefixed b_
+    # NOTE (r12): localCheckpoint(eager=True) for static_side and a
+    # .cache() on incoming were both tried to cut per-micro-batch
+    # replanning — measured a 30-40% REGRESSION at sf0.1: materializing
+    # array<string>-bearing rows (tset) through either store costs more
+    # than the replanning saves. Left as the original cached plan.
     static_side = (
         keys.join(base, "rec_id")
         .join(lbl, "rec_id")
@@ -1148,7 +1154,7 @@ def stream_er_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_correct"),
         )
-        .orderBy("chunk")
+        .transform(sorted_output, "chunk")
     )
 
 
