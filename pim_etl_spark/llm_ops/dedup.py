@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.sources import load_table
-from pim_etl_spark.tuning import sorted_output
+from pim_etl_spark.tuning import fan_out, mark_wide, sorted_output
 
 # Normalization shared by all dedup flavors: lowercase + collapse
 # whitespace, so trivially-different copies hash identically.
@@ -138,45 +138,130 @@ def _shingles(c, k: int = 3):
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, n_hashes: int = N_HASHES, sh: DataFrame | None = None
-) -> DataFrame:
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sb: array<long>) — each doc's distinct shingle set,
+    reduced to xxhash64 base values in the JVM (string hashing stays
+    where UTF-8 semantics are authoritative). Base-hash collisions
+    conflate two shingles with probability ~2⁻⁶⁴ — negligible against
+    the banding's own error terms. ``fan_out`` widens the
+    single-row-group local scan so the per-doc shingle build
+    parallelizes (no-op at production scale, see tuning.fan_out)."""
+    return fan_out(docs, "doc_id").select(
+        "doc_id", F.transform(_shingles(F.col("text")), lambda s: F.xxhash64(s)).alias("sb")
+    )
+
+
+def _sig_kernel(n_hashes: int):
+    """mapInPandas kernel: one complete (doc_id, h0..h{n-1}) MinHash
+    signature row per input (doc_id, sb) row, computed in one
+    vectorized numpy pass (guide §4.2). Coordinate values are
+    bit-identical to the JVM expression ``min(xxhash64(lit(i),
+    sbase))`` — the xxh64_np kernels are pinned against the live
+    expressions by tests — so signatures, band hashes and the LSH
+    candidate set are unchanged. ``sb`` arrays are non-empty by
+    construction (_shingles emits >= 1 shingle for every doc,
+    including empty text), which reduceat relies on."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pim_etl_spark.llm_ops.xxh64_np import coordinate_seeds, hash_long
+
+        seeds = coordinate_seeds(n_hashes)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            arrs = pdf["sb"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+            flat = np.ascontiguousarray(np.concatenate(arrs), dtype=np.int64).view(np.uint64)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for i in range(n_hashes):
+                h = hash_long(flat, seeds[i])
+                # min in the SIGNED domain — Spark's min over longs is
+                # signed, and a negative hash is huge as uint64
+                out[f"h{i}"] = np.minimum.reduceat(h.view(np.int64), starts)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _banded_kernel(n_bands: int, n_hashes: int):
+    """mapInPandas kernel fusing signature + banding: (doc_id, band,
+    band_hash) — ``n_bands`` rows per input doc — without the
+    144-column signature frame ever existing in the plan (its py4j
+    construction, analysis and band-explode were measured driver cost
+    per LSH entry). Per band b the state folds exactly like the JVM
+    ``xxhash64(h_{3b}, h_{3b+1}, h_{3b+2})``: seed 42, then one
+    hashLong per coordinate minimum."""
+    rows_per_band = n_hashes // n_bands
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pim_etl_spark.llm_ops.xxh64_np import SPARK_SEED, coordinate_seeds, hash_long
+
+        seeds = coordinate_seeds(n_hashes)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            arrs = pdf["sb"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+            flat = np.ascontiguousarray(np.concatenate(arrs), dtype=np.int64).view(np.uint64)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            bh = np.empty((m, n_bands), dtype=np.uint64)
+            for b in range(n_bands):
+                h = np.full(m, SPARK_SEED, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    # min in the SIGNED domain (Spark's long min), then
+                    # back to the uint64 bit pattern for the band fold
+                    coord = np.minimum.reduceat(
+                        hash_long(flat, seeds[b * rows_per_band + r]).view(np.int64),
+                        starts,
+                    ).view(np.uint64)
+                    h = hash_long(coord, h)
+                bh[:, b] = h
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), m),
+                    "band_hash": bh.reshape(-1).view(np.int64),
+                }
+            )
+
+    return fn
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """Per-doc MinHash signature over 3-token shingles.
 
-    explode(shingles) → partial min-agg per coordinate, map-side
-    combined before the doc_id shuffle, so only (doc_id, 144 longs)
-    rows cross the exchange — never the shingle text. (A fully
-    per-row array formulation was tried twice and is 2-100× slower:
-    ProjectCollapse inlines the shingle expression tree into the
-    coordinate loop and re-evaluates it per coordinate — the round-5
-    trap, which the explode's generator barrier prevents.)
+    r13 shape (guide §4.2, VERDICT r12 next-round #5): the per-doc
+    (doc_id, array<xxhash64(shingle)>) rows feed ONE vectorized numpy
+    mapInPandas stage that emits complete signature rows — replacing
+    the previous explode → 145-column min-aggregate, whose dominant
+    cost was never the hash arithmetic (~38M hashLongs at sf0.1) but
+    the 145-field plan itself: py4j construction of 144 agg
+    expressions, catalyst analysis, a janino compile near the codegen
+    field cap, and a doc_id exchange — all per entry, several times
+    per LSH entry. The numpy stage needs no shuffle at all (each input
+    row is one whole doc), and per-batch memory is one (n_shingles,)
+    hash column at a time.
 
-    The 144 coordinates hash the variable-length shingle STRING only
-    once (its xxhash64 base value), then derive coordinate i as
-    xxhash64(i, base) — a fixed-width 12-byte hash per coordinate.
-    Measured at sf0.1: the 144 cheap-hash aggs run FASTER than the
-    old 32 string-rehash aggs (2.8 s vs 3.5 s), and the
-    spark.sql.codegen.maxFields=100 whole-stage-codegen fallback the
-    145-field aggregate triggers costs ~15%, not a cliff (A/B with
-    maxFields=400: 2.4 s). Derivation is ANSI-safe (unlike h1 + i*h2
-    double hashing, whose long arithmetic can overflow-throw under
-    Spark 4's ANSI mode); base-hash collisions conflate two shingles
-    with probability ~2⁻⁶⁴ — negligible against the banding's own
-    error terms. Deterministic: xxhash64 is a fixed algorithm,
-    coordinate indices are literal.
+    Values are bit-identical to the old aggregate (same base-hash →
+    per-coordinate xxhash64 derivation, reproduced exactly by
+    xxh64_np; pinned by tests/test_r13_optimizations.py), so band
+    hashes and the candidate set are unchanged. Deterministic: xxhash64
+    is a fixed algorithm, coordinate indices are literal.
     """
-    if sh is not None:
-        # caller already holds the (cached) shingle-set frame — explode
-        # it instead of re-deriving the shingle pipeline (identical
-        # arrays, so identical signature values)
-        exploded = sh.select("doc_id", F.explode("s").alias("shingle"))
-    else:
-        exploded = docs.select(
-            "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-        )
-    shingled = exploded.select("doc_id", F.xxhash64(F.col("shingle")).alias("sbase"))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sbase"))).alias(f"h{i}") for i in range(n_hashes)]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_t}, " + ", ".join(f"h{i} bigint" for i in range(n_hashes))
+    return _hashed_shingles(docs).mapInPandas(_sig_kernel(n_hashes), schema=schema)
 
 
 def band_signatures(
@@ -203,13 +288,9 @@ def band_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band hash.
-
-    The self-join happens per (band, band_hash) bucket — tiny groups —
-    never across the full corpus.
-    """
-    banded = band_signatures(signatures, n_bands, n_hashes)
+def _pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Distinct ordered doc pairs sharing any (band, band_hash) bucket
+    — tiny groups, never a full cross-corpus join."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -218,6 +299,15 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    The self-join happens per (band, band_hash) bucket — tiny groups —
+    never across the full corpus.
+    """
+    return _pairs_from_bands(band_signatures(signatures, n_bands, n_hashes))
 
 
 # DuckDB twin of `_shingles` + shingle-set Jaccard: normalize, split,
@@ -273,11 +363,12 @@ _TRUTH_PAIRS_CTE = f"""
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, distinct 3-token shingle set) — the similarity unit for
     every near-dup operator (signatures hash these; verification
-    intersects them)."""
-    return docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    intersects them). ``fan_out`` parallelizes the per-doc shingle
+    build past the single-row-group local scan (no-op at scale)."""
+    return fan_out(docs, "doc_id").select("doc_id", _shingles(F.col("text")).alias("s"))
 
 
-def verified_neardup_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def verified_neardup_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidate discovery + EXACT
     shingle-Jaccard verification of only the collided pairs
     (2*|∩| >= |∪| — integer-exact at the 0.5 boundary).
@@ -297,10 +388,9 @@ def verified_neardup_pairs(docs: DataFrame, sh: DataFrame | None = None) -> Data
     # sf0.1 — the columnar (de)serialization of array<string> rows in
     # and out of the SQL cache costs more than re-running the fused
     # scan->shingle pipeline per consumer. Left uncached deliberately.
-    if sh is None:
-        sh = shingle_sets(docs)
-    sigs = minhash_signatures(docs, sh=None)
-    pairs = lsh_candidate_pairs(sigs)
+    docs = fan_out(docs, "doc_id")
+    sh = shingle_sets(docs)
+    pairs = _pairs_from_bands(banded_signatures(docs))
     return (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "s": "sh_b"}), "doc_b")
@@ -350,7 +440,41 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 64
 
 
-def simhash(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def _simhash_kernel():
+    """mapInPandas kernel: (doc_id, simhash) per input (doc_id, sb)
+    row. Per bit b, the vote is the count of feature hashes with bit b
+    set; the bit lands in the fingerprint when votes*2 >= n_features —
+    exactly the old JVM fold (getbit on a signed long reads the same
+    bit pattern these unsigned shifts do, and the MIN_LONG bit-63
+    weight is just the uint64 bit before the int64 reinterpret)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            arrs = pdf["sb"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+            flat = np.ascontiguousarray(np.concatenate(arrs), dtype=np.int64).view(np.uint64)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            acc = np.zeros(m, dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(SIMHASH_BITS):
+                ones = (flat >> np.uint64(b)) & one
+                votes = np.add.reduceat(ones.view(np.int64), starts)
+                acc |= (votes * 2 >= lens).astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": acc.view(np.int64)}
+            )
+
+    return fn
+
+
+def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: per-SHINGLE xxhash64, per-bit majority
     vote (the standard document fingerprint — features are the same
     3-token shingles MinHash signs, so hamming distance tracks
@@ -358,38 +482,18 @@ def simhash(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     degenerate on small vocabularies where unrelated docs share whole
     token SETS and collapse to hamming 0).
 
-    Single-pass per row: one ``aggregate`` folds the feature hashes
-    into a 64-slot vote array (zip_with accumulator), then the votes
-    pack into one long. No shuffle, no repeated traversal per bit.
+    r13 shape (guide §4.2): the previous single-pass JVM fold — an
+    ``aggregate`` whose lambda zips a 64-slot vote array per feature —
+    is interpreted per element (64 × |shingles| lambda evaluations per
+    doc, the hottest per-row expression in the family). The same fold
+    now runs as one vectorized numpy pass over the per-doc hash arrays
+    (values pinned identical by tests/test_r13_optimizations.py); the
+    JVM still computes the per-shingle xxhash64 base values.
     """
-    bit_idx = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
-    feats = (sh if sh is not None else shingle_sets(docs)).withColumnRenamed("s", "feat")
-    votes = F.aggregate(
-        F.transform(F.col("feat"), lambda t: F.xxhash64(t)),
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            bit_idx,
-            lambda a, b: a + F.getbit(h, b).cast("int"),
-        ),
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return _hashed_shingles(docs).mapInPandas(
+        _simhash_kernel(), schema=f"doc_id {id_t}, simhash bigint"
     )
-    with_votes = feats.withColumn("votes", votes)
-    # majority vote per bit → packed long; bit 63's weight is MIN_LONG
-    # (two's complement), sidestepping the 1<<63 literal overflow
-    pow2 = F.array(
-        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS - 1)],
-        F.lit(-(1 << 63)).cast("long"),
-    )
-    packed = F.aggregate(
-        F.zip_with(
-            F.col("votes"),
-            pow2,
-            lambda v, p: F.when(v * 2 >= F.size(F.col("feat")), p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return with_votes.select("doc_id", packed.alias("simhash"))
 
 
 def dedup_corpus(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
@@ -402,14 +506,14 @@ def dedup_corpus(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
     only ids+hashes; the text never leaves the scan except inside
     LSH buckets.
     """
+    docs = fan_out(docs, "doc_id")
     keeper = (
         docs.groupBy(F.md5(_norm_text(F.col("text"))).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_kept = docs.join(keeper, "doc_id", "left_semi")
-    sigs = minhash_signatures(exact_kept)
-    pairs = lsh_candidate_pairs(sigs)
+    exact_kept = mark_wide(docs.join(keeper, "doc_id", "left_semi"))
+    pairs = _pairs_from_bands(banded_signatures(exact_kept))
     sh = shingle_sets(exact_kept)
     confirmed = (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a", "s": "sh_a"}), "doc_a")
@@ -597,7 +701,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH + exact-verify path, so this entry additionally re-proves the
     banding recall fix at every scale it is gated at.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     sim = simhash(docs)
     verified = verified_neardup_pairs(docs)
     dup_pairs = verified.select("doc_a", "doc_b")
@@ -646,16 +750,20 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
     near-dup structure. At scale the corpus side is a persisted
     artifact (like the IVF/PQ/text indexes) rebuilt only on corpus
     growth; signatures are ~144 longs/doc, so the store is O(corpus
-    rows), not O(corpus bytes)."""
-    return band_signatures(minhash_signatures(docs))
+    rows), not O(corpus bytes). r13: fused signature+banding numpy
+    kernel (_banded_kernel) — triples identical to
+    ``band_signatures(minhash_signatures(docs))``."""
+    id_t = docs.schema["doc_id"].dataType.simpleString()
+    return _hashed_shingles(docs).mapInPandas(
+        _banded_kernel(N_BANDS, N_HASHES),
+        schema=f"doc_id {id_t}, band int, band_hash bigint",
+    )
 
 
 def neardup_gate(
     corpus: DataFrame,
     incoming: DataFrame,
     jaccard_threshold: float = 0.5,
-    corpus_sh: DataFrame | None = None,
-    incoming_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion near-dup gate: which INCOMING documents
     near-duplicate the EXISTING corpus (the check a training-data
@@ -670,13 +778,10 @@ def neardup_gate(
     Returns one row per incoming doc with a bucket collision:
     (doc_id, best_match_id, best_jaccard, is_neardup).
     """
-    index_sigs = band_signatures(minhash_signatures(corpus, sh=corpus_sh)).select(
+    index_sigs = banded_signatures(corpus).select(
         F.col("doc_id").alias("corpus_id"), "band", "band_hash"
     )
-    return gate_against_index(
-        index_sigs, incoming, corpus, jaccard_threshold,
-        corpus_sh=corpus_sh, incoming_sh=incoming_sh,
-    )
+    return gate_against_index(index_sigs, incoming, corpus, jaccard_threshold)
 
 
 def gate_against_index(
@@ -684,8 +789,6 @@ def gate_against_index(
     incoming: DataFrame,
     corpus: DataFrame,
     jaccard_threshold: float = 0.5,
-    corpus_sh: DataFrame | None = None,
-    incoming_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup gate against a PRE-BUILT banded-signature index
     (``(corpus_id, band, band_hash)`` — a persisted artifact at scale,
@@ -695,21 +798,15 @@ def gate_against_index(
     text, so per-batch cost is O(batch + collisions), never
     O(batch × corpus)."""
     cand = (
-        band_signatures(minhash_signatures(incoming, sh=incoming_sh))
+        banded_signatures(incoming)
         .join(index_sigs, ["band", "band_hash"])
         .select("doc_id", "corpus_id")
         .distinct()
     )
-    if incoming_sh is not None:
-        inc_toks = incoming_sh.withColumnsRenamed({"s": "tok_in"})
-    else:
-        inc_toks = incoming.select("doc_id", _shingles(F.col("text")).alias("tok_in"))
-    if corpus_sh is not None:
-        corp_toks = corpus_sh.withColumnsRenamed({"doc_id": "corpus_id", "s": "tok_c"})
-    else:
-        corp_toks = corpus.select(
-            F.col("doc_id").alias("corpus_id"), _shingles(F.col("text")).alias("tok_c")
-        )
+    inc_toks = shingle_sets(incoming).withColumnsRenamed({"s": "tok_in"})
+    corp_toks = shingle_sets(corpus).withColumnsRenamed(
+        {"doc_id": "corpus_id", "s": "tok_c"}
+    )
     # shingle-set Jaccard — the same unit the banded signatures hash,
     # so collision probability and the verify threshold live on one
     # scale (round-5 change from token sets, which saturate on small
@@ -777,9 +874,9 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly those docs — with the same best scores — from
     O(batch + collisions) work. Planted-copy behavior additionally
     pinned in tests/test_llm_ops.py::test_neardup_gate_catches_planted_copy."""
-    docs = load_table(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 7 == 3)
-    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    incoming = mark_wide(docs.filter(F.col("doc_id") % 7 == 3))
+    corpus = mark_wide(docs.filter(F.col("doc_id") % 7 != 3))
     gated = neardup_gate(corpus, incoming)
     n_incoming = incoming.agg(F.count(F.lit(1)).alias("n_incoming"))
     confirmed = gated.filter(F.col("is_neardup")).agg(
@@ -839,13 +936,11 @@ def cross_corpus_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
     >= 0.5 pair on this corpus, and the cross-corpus pairs are a
     subset of those.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") % 10 == 0)
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    banded_t = band_signatures(minhash_signatures(train))
-    banded_b = band_signatures(minhash_signatures(bench)).withColumnsRenamed(
-        {"doc_id": "bench_id"}
-    )
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    bench = mark_wide(docs.filter(F.col("doc_id") % 10 == 0))
+    train = mark_wide(docs.filter(F.col("doc_id") % 10 != 0))
+    banded_t = banded_signatures(train)
+    banded_b = banded_signatures(bench).withColumnsRenamed({"doc_id": "bench_id"})
     sh = shingle_sets(docs)
     cands = (
         banded_t.join(banded_b, ["band", "band_hash"])

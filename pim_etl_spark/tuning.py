@@ -41,6 +41,49 @@ def sorted_output(df: DataFrame, *cols) -> DataFrame:
     return df.cache().orderBy(*cols)
 
 
+def fan_out(df: DataFrame, *cols) -> DataFrame:
+    """Widen a NARROW scan so downstream map-side compute parallelizes
+    (r13, guide §2.6/§6: single-row-group parquet files scan as ONE
+    task, serializing every per-row transform — shingling, signature
+    hashing, per-doc folds — that runs before the first exchange).
+
+    Scale-adaptive by probe, not by constant: the repartition fires
+    only when the frame's current partition count is below half the
+    session's shuffle width. At production scale the scan is already
+    wide (many files / splittable row groups) and this is a no-op — no
+    data-sized shuffle is ever introduced; locally it moves only the
+    small source rows (the documents table is ~1.6 MB at sf0.1).
+    Hash-partitioning on ``cols`` keeps the row→partition mapping
+    deterministic (guide §2.5's retry rule); pass the frame's unique
+    key.
+    """
+    if getattr(df, "_pim_fanned", False):
+        # already widened by a caller that passed the same frame to
+        # several consumers — skip the (plan-analyzing) partition probe
+        return df
+    try:
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        current = int(df.rdd.getNumPartitions())
+    except Exception:
+        return df
+    if current * 2 >= target:
+        df._pim_fanned = True
+        return df
+    wide = df.repartition(target, *cols) if cols else df.repartition(target)
+    wide._pim_fanned = True
+    return wide
+
+
+def mark_wide(df: DataFrame) -> DataFrame:
+    """Tag a frame as already wide enough so ``fan_out`` skips its
+    partition probe. For frames derived from a fanned-out parent by
+    partitioning-preserving ops (e.g. a broadcast semi-join) — probing
+    such plans with ``.rdd`` would execute their broadcast exchanges at
+    plan time."""
+    df._pim_fanned = True
+    return df
+
+
 def loop_partitions(df: DataFrame, floor: int = 8, divisor: int = 4) -> int:
     """Partition count for an iterative loop's pinned co-partitioning.
 

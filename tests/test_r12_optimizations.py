@@ -58,10 +58,7 @@ def test_footer_stats_fall_back_for_inexact_types(spark, tmp_path):
     """Doubles (NaN hazard) are NOT served from footers — the Spark
     stats job must still run and produce correct values, so pruning
     behavior is unchanged for them."""
-    assert (
-        V._stats_from_footers("/nonexistent", ["nope.parquet"], ("x",)) is None
-        or True
-    )
+    assert V._stats_from_footers("/nonexistent", ["nope.parquet"], ("x",)) is None
     tbl = str(tmp_path / "t2")
     df = _mk_df(spark).coalesce(1)
     V.commit_snapshot(df, tbl, stats_cols=("x",))

@@ -1,0 +1,146 @@
+"""Focused pins for the round-13 optimization internals.
+
+Each test guards one optimization against semantic drift:
+- the numpy XXH64 kernels (xxh64_np) must be bit-identical to the live
+  JVM ``xxhash64`` expressions they replace;
+- the vectorized MinHash signature / fused banding / SimHash kernels
+  must produce exactly the values of the JVM-expression formulations
+  they replaced (the r12 explode → 144-min-agg pipeline, the 48-band
+  struct explode, and the per-bit vote fold);
+- ``fan_out`` must be a row-preserving no-op semantically, only ever
+  widening partitioning, and must not fire on already-wide frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pim_etl_spark.llm_ops import xxh64_np as X
+from pim_etl_spark.llm_ops.dedup import (
+    N_BANDS,
+    N_HASHES,
+    _shingles,
+    band_signatures,
+    banded_signatures,
+    minhash_signatures,
+    simhash,
+)
+from pim_etl_spark.tuning import fan_out
+
+_EDGE_LONGS = [0, 1, -1, 2**63 - 1, -(2**63), 42, 1234567890123456789, -98765432109876543]
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "short doc"),
+        (4, ""),
+        (5, "a a a a a a a a"),
+        (6, "unicode caféé naïve déjà vu über straße"),
+        (7, "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_xxh64_np_matches_jvm_expressions(spark):
+    """hash_long / coordinate_seeds reproduce xxhash64(lit(i), sbase)
+    and the multi-long left fold bit-for-bit, including sign-edge
+    longs."""
+    df = spark.createDataFrame([(v,) for v in _EDGE_LONGS], "v long")
+    idxs = (0, 1, 2, 47, 143)
+    rows = df.select(
+        "v",
+        *[F.xxhash64(F.lit(i), F.col("v")).alias(f"c{i}") for i in idxs],
+        F.xxhash64(F.col("v"), F.col("v"), F.col("v")).alias("fold3"),
+    ).collect()
+    seeds = X.coordinate_seeds(N_HASHES)
+    for r in rows:
+        v = np.uint64(np.int64(r["v"]))
+        for i in idxs:
+            assert int(np.int64(X.hash_long(v, seeds[i]))) == r[f"c{i}"]
+        h = X.hash_long(v, X.SPARK_SEED)
+        h = X.hash_long(v, h)
+        h = X.hash_long(v, h)
+        assert int(np.int64(h)) == r["fold3"]
+
+
+def _reference_signatures(docs, n_hashes=N_HASHES):
+    """The r12 JVM formulation: explode(shingles) → per-coordinate
+    min(xxhash64(lit(i), xxhash64(shingle))) aggregate."""
+    exploded = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    shingled = exploded.select("doc_id", F.xxhash64(F.col("shingle")).alias("sbase"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sbase"))).alias(f"h{i}") for i in range(n_hashes)]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def test_minhash_signatures_match_jvm_reference(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r for r in minhash_signatures(docs).collect()}
+    want = {r["doc_id"]: r for r in _reference_signatures(docs).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        for i in range(N_HASHES):
+            assert got[d][f"h{i}"] == want[d][f"h{i}"], (d, i)
+
+
+def test_banded_signatures_match_jvm_banding(spark):
+    docs = _docs(spark)
+    got = {(r.doc_id, r.band): r.band_hash for r in banded_signatures(docs).collect()}
+    want = {
+        (r.doc_id, r.band): r.band_hash
+        for r in band_signatures(_reference_signatures(docs)).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count() * N_BANDS
+
+
+def _reference_simhash(docs):
+    """The r12 JVM fold: per-bit vote over feature hashes, majority →
+    packed long with the MIN_LONG bit-63 weight."""
+    from pim_etl_spark.llm_ops.dedup import SIMHASH_BITS
+
+    bit_idx = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
+    feats = docs.select("doc_id", _shingles(F.col("text")).alias("feat"))
+    votes = F.aggregate(
+        F.transform(F.col("feat"), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bit_idx, lambda a, b: a + F.getbit(h, b).cast("int")),
+    )
+    pow2 = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS - 1)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v * 2 >= F.size(F.col("feat")), p).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select("doc_id", packed.alias("simhash"))
+
+
+def test_simhash_matches_jvm_reference(spark):
+    docs = _docs(spark)
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    want = {r.doc_id: r.simhash for r in _reference_simhash(docs).collect()}
+    assert got == want
+
+
+def test_fan_out_preserves_rows_and_widens_only(spark):
+    df = spark.range(0, 1000, 1, 1).select(F.col("id").alias("doc_id"))
+    wide = fan_out(df, "doc_id")
+    assert wide.rdd.getNumPartitions() >= df.rdd.getNumPartitions()
+    assert sorted(r.doc_id for r in wide.collect()) == list(range(1000))
+    # already-wide frames pass through untouched (no extra exchange)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    already = spark.range(0, 1000, 1, max(2, target)).select(F.col("id").alias("doc_id"))
+    assert fan_out(already, "doc_id") is already
+    # and the fanned marker suppresses a second repartition
+    assert fan_out(wide, "doc_id") is wide
