@@ -161,6 +161,11 @@ def dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: rec_id, pk (provenance — the matcher never reads it),
     name, brand, ptype, psize, cents, nname, tset, bdig.
     """
+    # NOTE (r13): fan_out on the part scan was tried and REGRESSED
+    # (dirty_records 0.51 → 0.93 s, scored_pairs 3.06 → 3.66 s at
+    # sf0.1): the normalization is cheap enough that the extra
+    # exchange + partition probe cost more than the parallelism buys —
+    # unlike the documents-table shingle pipelines where it wins 2×.
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"),
         F.col("p_name"),
@@ -372,6 +377,26 @@ def match_features(xp: str, yp: str) -> dict:
         return ((a - (a % b)) / b).cast("long")
 
     name_lev = F.levenshtein(c(xp, "nname"), c(yp, "nname")).cast("long")
+    # The SCORE only reads the name distance through
+    # greatest(0, 20 - 4*lev), which floors at 0 for lev >= 5 — so the
+    # score can use a THRESHOLDED levenshtein (r13, guide §2.3 /
+    # VERDICT r12 #6): Spark's 3-arg levenshtein short-circuits to -1
+    # when abs(len(a) - len(b)) > k (most cross-source pairs here: a
+    # verbatim 5-token name vs a 2-token abbreviation) and otherwise
+    # runs the banded O(k·n) DP instead of the full O(m·n) matrix.
+    # Equivalence: lev <= 4 → same value → same term; lev > 4 → -1 →
+    # term 0 = greatest(0, negative). Consumers that also project the
+    # exact ``name_lev`` feature (er_matched_pairs) pay the full DP
+    # only on rows surviving the match filter, because Catalyst pushes
+    # the score filter below the feature projection; consumers that
+    # never read name_lev (golden record, incremental/stream linkers,
+    # linkage scorecard) never compute the full DP at all (column
+    # pruning). Rows are unchanged either way — pinned by
+    # tests/test_r13_optimizations.py against the unthresholded score.
+    lev4 = F.levenshtein(c(xp, "nname"), c(yp, "nname"), 4)
+    lev_term = F.when(lev4 >= 0, (F.lit(20) - 4 * lev4).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
     tok_jac_e4 = nonneg_idiv(
         F.size(F.array_intersect(c(xp, "tset"), c(yp, "tset"))).cast("long") * 10000,
         F.size(F.array_union(c(xp, "tset"), c(yp, "tset"))),
@@ -386,7 +411,7 @@ def match_features(xp: str, yp: str) -> dict:
         + F.greatest(F.lit(0), F.lit(20) - 5 * size_diff)
         + F.greatest(
             F.least(F.lit(20).cast("long"), nonneg_idiv(tok_jac_e4 * 2, 1000)),
-            F.greatest(F.lit(0).cast("long"), F.lit(20) - 4 * name_lev),
+            lev_term,
         )
         + F.greatest(F.lit(0).cast("long"), F.lit(20) - nonneg_idiv(cents_diff, 10))
     ).cast("long")
@@ -657,8 +682,11 @@ def er_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = dirty_records(spark, sf_dir).cache()
     # scored has exactly one row per candidate pair, so the candidate
     # count derives from the CACHED scored frame — the blocking
-    # self-join runs once per entry, not twice
-    scored = scored_pairs(spark, sf_dir, norm=norm).cache()
+    # self-join runs once per entry, not twice. Cache only the two
+    # columns this scorecard reads (r13): the full feature projection
+    # (incl. the exact name_lev DP) is never consumed here, and the
+    # narrow cache lets column pruning skip computing it.
+    scored = scored_pairs(spark, sf_dir, norm=norm).select("score", "is_true").cache()
     m = scored.filter(F.col("score") >= MATCH_THRESHOLD)
     truth = (
         norm.groupBy("pk")
