@@ -313,6 +313,33 @@ def main() -> None:
     headline = json.dumps(headline_rec)
     print(headline, flush=True)
     print(json.dumps(payload), flush=True)
+    # r13 (VERDICT r12 "what's wrong" #2): the driver tail-captures only
+    # the last ~2000 chars of stdout, so the full per-query payload above
+    # never survives and PERF rounds ship with per_query empty. Emit a
+    # COMPACT heaviest-entries record immediately before the final
+    # headline — sized so that record + headline fit the captured tail —
+    # putting real per-query seconds inside what the driver keeps.
+    # Additions-only: the payload line, the artifact file and the
+    # headline-last contract are unchanged.
+    heaviest = sorted(
+        ((n, t) for n, t in timings.items() if t is not None),
+        key=lambda kv: -kv[1],
+    )
+    top_rec = None
+    for top_n in range(min(40, len(heaviest)), 0, -1):
+        top_rec = {
+            "metric": "catalog_heaviest_queries",
+            "unit": "sec",
+            "sf": payload["sf"],
+            "top_n": top_n,
+            "queries": dict(heaviest[:top_n]),
+        }
+        if filtered:
+            top_rec["filtered"] = True
+        if len(json.dumps(top_rec)) + len(headline) + 2 <= 1900:
+            break
+    if top_rec is not None:
+        print(json.dumps(top_rec), flush=True)
     print(headline, flush=True)
     # also persist the full parsed map next to the repo so round-over-
     # round comparisons never depend on scraping a truncated stdout tail

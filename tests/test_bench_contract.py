@@ -36,8 +36,8 @@ def test_bench_prints_headline_last_and_payload_parses(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 3, res.stdout
-    first, payload_line, last = lines
+    assert len(lines) == 4, res.stdout
+    first, payload_line, top_line, last = lines
     # the LAST line is the headline — it's what survives tail capture
     head = json.loads(last)
     assert head["metric"] == "catalog_total_runtime_headline"
@@ -59,6 +59,20 @@ def test_bench_prints_headline_last_and_payload_parses(tmp_path):
     assert head["filtered"] is True
     assert payload["filtered"] is True
     assert abs(head["value"] - payload["value"]) < 1e-9
+    # r13: a compact heaviest-entries record prints immediately before
+    # the final headline, and record + headline together fit inside the
+    # driver's ~2000-char tail capture — per-query seconds survive
+    # truncation (VERDICT r12 #2). It carries a DISTINCT metric name so
+    # no consumer can mistake its partial queries map for the full
+    # payload's.
+    top = json.loads(top_line)
+    assert top["metric"] == "catalog_heaviest_queries"
+    assert top["filtered"] is True
+    assert 1 <= top["top_n"] <= 40
+    assert set(top["queries"]) <= set(payload["queries"])
+    for name, sec in top["queries"].items():
+        assert abs(sec - payload["queries"][name]) < 1e-9
+    assert len(top_line) + len(last) + 2 <= 1900
     # the full payload persists to the (redirected) artifact path
     with open(out) as f:
         disk = json.load(f)
