@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.tuning import sorted_output
-from pim_etl_spark.sources import load_table
+from pim_etl_spark.sources import load_table, read_parquet_memoized
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -452,8 +452,8 @@ def ivf_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored index. Recall vs brute force asserted in tests/test_llm_ops.py.
     """
     d = build_ivf_index(spark, sf_dir)
-    assigned = spark.read.parquet(f"{d}/assignment.parquet")
-    cells_df = spark.read.parquet(f"{d}/centroids.parquet")
+    assigned = read_parquet_memoized(spark, f"{d}/assignment.parquet")
+    cells_df = read_parquet_memoized(spark, f"{d}/centroids.parquet")
     cell_list = cells_df.groupBy().agg(F.collect_list(F.struct("cell", "cv")).alias("cells"))
     qrow = (
         assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -571,7 +571,7 @@ def pq_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pool. Recall vs brute force asserted in tests.
     """
     d = build_pq_index(spark, sf_dir)
-    codes = spark.read.parquet(f"{d}/codes.parquet")
+    codes = read_parquet_memoized(spark, f"{d}/codes.parquet")
     books = spark.read.parquet(f"{d}/codebooks.parquet").collect()  # model-sized
     emb = load_table(spark, sf_dir, "embeddings")
     q = list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"])

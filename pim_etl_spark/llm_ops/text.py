@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pim_etl_spark.catalog import query
 from pim_etl_spark.tuning import sorted_output
 from pim_etl_spark.functions import token_count
-from pim_etl_spark.sources import load_table
+from pim_etl_spark.sources import load_table, read_parquet_memoized
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -122,7 +122,7 @@ def text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests additionally assert agreement with the substring-scan twin.
     """
     d = build_text_index(spark, sf_dir)
-    postings = spark.read.parquet(f"{d}/postings.parquet")
+    postings = read_parquet_memoized(spark, f"{d}/postings.parquet")
     terms = ("spark", "stream", "window")
     hits = postings.filter(F.col("token").isin(*terms))
     return (

@@ -38,6 +38,42 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema-inference memo (r13, guide §6 metadata costs): a bare
+# ``spark.read.parquet(path)`` re-infers the schema on EVERY call —
+# measured 87 ms vs 12 ms with an explicit schema at sf0.1 — and the
+# catalog pays that 1-4× per entry, ~30-45 s across a full bench run.
+# This caches ONLY plan metadata (a StructType), in process memory,
+# keyed by (Spark application, resolved path, file mtime+size): a
+# regenerated or rewritten file misses the key and re-infers, a new
+# session (the driver builds its own) starts empty, and no query
+# RESULT is ever stored — the scan itself always reads the parquet.
+# Same class of caching as Spark's own file-listing cache
+# (spark.sql.hive.filesourcePartitionFileCacheSize).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _stat_key(spark: SparkSession, path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
+def read_parquet_memoized(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the inferred schema memoized
+    per (session, file identity) — identical frame, ~7× cheaper plan
+    construction on a repeat read of an unchanged file."""
+    key = _stat_key(spark, path)
+    if key is None:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Defensive runtime confs: the driver harness builds its own
@@ -89,7 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeps NTZ↔LTZ casts lossless everywhere, not just for events.
     """
     _ensure_nanos_conf(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = read_parquet_memoized(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df, target="timestamp_ntz")
     return df

@@ -19,7 +19,11 @@ from pyspark.sql.types import StructType
 from pim_etl_spark.catalog import query
 from pim_etl_spark.operators.entity_resolution import _ER_CTE
 from pim_etl_spark.tuning import sorted_output
-from pim_etl_spark.sources import _ensure_nanos_conf, normalize_event_ts
+from pim_etl_spark.sources import (
+    _ensure_nanos_conf,
+    normalize_event_ts,
+    read_parquet_memoized,
+)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +41,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is lossless.
     """
     _ensure_nanos_conf(spark)
-    physical = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    physical = read_parquet_memoized(spark, f"{sf_dir.rstrip('/')}/events.parquet").schema
     raw = (
         spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")

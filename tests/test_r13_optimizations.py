@@ -178,6 +178,34 @@ def test_thresholded_score_equals_unthresholded(spark):
     assert dist["over"] > 0 and dist["under"] > 0
 
 
+def test_read_parquet_memoized_schema_and_invalidation(spark, tmp_path):
+    """The memoized reader must return the same schema and rows as a
+    bare read, and a REWRITTEN file (new mtime/size) must miss the
+    memo and re-infer — never serve a stale schema."""
+    from pim_etl_spark.sources import _SCHEMA_CACHE, read_parquet_memoized
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = read_parquet_memoized(spark, p)
+    assert first.schema == spark.read.parquet(p).schema
+    second = read_parquet_memoized(spark, p)  # memo hit
+    assert second.schema == first.schema
+    assert [tuple(r) for r in second.collect()] == [(1, "a")]
+    # rewrite with a DIFFERENT schema: the stat key changes, the memo
+    # misses, and the new schema is inferred
+    import time as _t
+
+    _t.sleep(0.01)
+    spark.createDataFrame([(2.5, 7)], "x double, y long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    third = read_parquet_memoized(spark, p)
+    assert set(third.columns) == {"x", "y"}
+    assert any(k[1].endswith("t.parquet") for k in _SCHEMA_CACHE)
+
+
 def test_fan_out_preserves_rows_and_widens_only(spark):
     df = spark.range(0, 1000, 1, 1).select(F.col("id").alias("doc_id"))
     wide = fan_out(df, "doc_id")
