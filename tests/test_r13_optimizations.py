@@ -178,6 +178,80 @@ def test_thresholded_score_equals_unthresholded(spark):
     assert dist["over"] > 0 and dist["under"] > 0
 
 
+def test_merge_branch_columns_no_spurious_empty_commit(spark, tmp_path):
+    """ADVICE r12: under strategy='columns', a branch-upserted key that
+    the SOURCE deleted drops out of the rebuilt upserts frame (inner
+    join with the source head), so the bdelta-based probe alone would
+    commit a spurious EMPTY merge version. The probe must detect the
+    empty frame and skip the commit."""
+    from pim_etl_spark.pipeline import versioned as V
+
+    schema = "product_id long, price double, version long"
+    src = str(tmp_path / "src")
+    br = str(tmp_path / "br")
+    base = spark.createDataFrame([(i, float(i), 1) for i in range(5)], schema).coalesce(1)
+    V.commit_snapshot(base, src, op="bootstrap", stats_cols=("product_id",))
+    V.shallow_clone(src, br)
+    # branch updates key 3's price; source DELETES key 3 → conflict
+    V.merge_files(
+        spark,
+        br,
+        spark.createDataFrame([(3, 300.0, 2)], schema),
+        keys=["product_id"],
+        order_col="version",
+    )
+    V.delete_matching(
+        spark, src, spark.createDataFrame([(3,)], "product_id long"), ["product_id"]
+    )
+    v_before = V.current_version(src)
+    out = V.merge_branch(
+        spark, src, br, keys=["product_id"], order_col="version", strategy="columns"
+    )
+    assert out["merged"]
+    assert out["conflicts"] == 1
+    # no spurious empty merge version: the branch's only upsert was
+    # dropped by the source-side delete, so nothing new commits
+    assert V.current_version(src) == v_before
+    keys = {r[0] for r in V.read_version(spark, src).select("product_id").collect()}
+    assert keys == {0, 1, 2, 4}
+
+
+def test_footer_stats_reject_long_string_bounds(spark, tmp_path):
+    """A stats column whose min/max is a >=60-byte string must NOT be
+    served from footers (truncation cannot be ruled out without
+    exactness flags) — the commit falls back to the Spark stats job and
+    the manifest still carries the exact values."""
+    from pim_etl_spark.pipeline import versioned as V
+
+    long_a = "a" * 80
+    long_b = "b" * 80
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, long_a), (2, long_b), (3, "mid")], "k long, s string")
+    V.commit_snapshot(df.coalesce(1), tbl, stats_cols=("s",))
+    fstats = V.read_manifest(tbl, 1)["file_stats"]
+    (per_col,) = fstats.values()
+    # exact values regardless of which path produced them
+    assert per_col["s"] == [long_a, "mid"]
+    # and the footer path itself must refuse to serve this file
+    data_dir = f"{tbl}/data"
+    import os as _os
+
+    files = [f for f in _os.listdir(data_dir) if f.endswith(".parquet")]
+    assert V._stats_from_footers(data_dir, files, ("s",)) is None
+    # short strings keep the fast path
+    tbl2 = str(tmp_path / "t2")
+    V.commit_snapshot(
+        spark.createDataFrame([(1, "aa"), (2, "zz")], "k long, s string").coalesce(1),
+        tbl2,
+        stats_cols=("s",),
+    )
+    files2 = [f for f in _os.listdir(f"{tbl2}/data") if f.endswith(".parquet")]
+    got = V._stats_from_footers(f"{tbl2}/data", files2, ("s",))
+    assert got is not None
+    (pc2,) = got.values()
+    assert pc2["s"] == ["aa", "zz"]
+
+
 def test_read_parquet_memoized_schema_and_invalidation(spark, tmp_path):
     """The memoized reader must return the same schema and rows as a
     bare read, and a REWRITTEN file (new mtime/size) must miss the
