@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from pim_etl_spark.catalog import query
 from pim_etl_spark.tuning import sorted_output
-from pim_etl_spark.sources import load_table
+from pim_etl_spark.sources import _ensure_nanos_conf, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -36,8 +36,15 @@ def bench_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime measures sandbox/JVM speed, never data or plan changes.
     Cross-round bench comparisons divide by this entry's ratio to
     self-normalize for host speed instead of reverse-engineering it
-    from `topk_orders`."""
-    return load_table(spark, sf_dir, "region").agg(
+    from `topk_orders`.
+
+    r13: reads with a BARE ``spark.read.parquet`` on purpose — the
+    schema-inference memo (sources.read_parquet_memoized) would
+    otherwise speed the control up along with the fleet, destroying
+    its value as a pure host probe (a normalizer must not absorb the
+    optimizations it normalizes)."""
+    _ensure_nanos_conf(spark)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("r_regionkey").cast("long").alias("min_key"),
     )
