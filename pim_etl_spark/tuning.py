@@ -1,5 +1,14 @@
 """Runtime tuning dials shared by iterative operators.
 
+CACHE-LIFETIME CONTRACT (module-wide): helpers here that ``cache()``
+frames (``sorted_output``) never unpersist — inside the catalog the
+lifetime is bounded by ``catalog._entry_scoped``, which clears the
+Spark cache at every entry start. A LIBRARY caller (notebooks, ad-hoc
+scripts) that invokes these helpers outside the catalog wrapper owns
+cache hygiene: call ``spark.catalog.clearCache()`` (or unpersist the
+returned frames) between logical units, or executor storage
+accumulates for the session.
+
 VERDICT r9 watch-item: iterative label-propagation / closure loops
 pinned a *constant* ``repartition(8, key)`` co-partitioning on their
 join keys. At bench scale that constant is a measured win (it kills
